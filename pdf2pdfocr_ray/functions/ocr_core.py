@@ -1,0 +1,254 @@
+"""The OCR engine core: line/glyph segmentation + template classification.
+
+In-process replacement for the external Tesseract/Cuneiform binaries the
+reference drives via subprocess (/root/reference/pdf2pdfocr.py:104-207).  The
+algorithm is a real (if small) OCR engine over the deterministic 5x7 font:
+
+1. binarize -> ink mask;
+2. horizontal-projection line segmentation (blank-row runs >= 4 units split
+   line bands; glyph-internal blank rows are <= 2 units by font invariant);
+3. per line, vertical-projection glyph segmentation (any blank column splits
+   glyphs — the font guarantees no internal blank columns — and gaps >= 5
+   units split words; inter-char gaps are exactly 2 units);
+4. per glyph, tight-crop, block-downsample by the render scale, and exact
+   template match against the font table (unknown shapes -> U+FFFD).
+
+Orientation detection (reference: tesseract --psm 0 OSD,
+/root/reference/pdf2pdfocr.py:78-91) falls out of the same machinery: try the
+four 90-degree rotations and keep the one whose first glyphs actually match
+templates.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .font5x7 import (
+    LINE_SPLIT_UNITS,
+    REPLACEMENT_CHAR,
+    WORD_GAP_MIN_UNITS,
+    classify_tight,
+)
+from .image_ops import ink_mask
+
+
+@dataclass
+class WordBox:
+    text: str
+    x1: int
+    y1: int
+    x2: int
+    y2: int
+
+
+@dataclass
+class LineBox:
+    words: list[WordBox] = field(default_factory=list)
+
+    @property
+    def bbox(self) -> tuple[int, int, int, int]:
+        return (
+            min(w.x1 for w in self.words),
+            min(w.y1 for w in self.words),
+            max(w.x2 for w in self.words),
+            max(w.y2 for w in self.words),
+        )
+
+    @property
+    def text(self) -> str:
+        return " ".join(w.text for w in self.words)
+
+
+def _runs(mask_1d: np.ndarray, min_gap: int) -> list[tuple[int, int]]:
+    """Group True positions into runs, splitting where the blank gap between
+    consecutive True positions is >= ``min_gap`` (gap = diff - 1, so the
+    split condition is ``diff > min_gap``)."""
+    idx = np.flatnonzero(mask_1d)
+    if idx.size == 0:
+        return []
+    breaks = np.flatnonzero(np.diff(idx) > min_gap)
+    starts = np.concatenate([[0], breaks + 1])
+    ends = np.concatenate([breaks, [idx.size - 1]])
+    return [(int(idx[s]), int(idx[e]) + 1) for s, e in zip(starts, ends)]
+
+
+def _downsample(tight: np.ndarray, s: int) -> np.ndarray | None:
+    h, w = tight.shape
+    if h % s or w % s:
+        return None
+    blocks = tight.reshape(h // s, s, w // s, s)
+    return blocks.any(axis=(1, 3))
+
+
+def _classify_glyph(tight: np.ndarray, s: int) -> str:
+    small = _downsample(tight, s)
+    if small is None:
+        return REPLACEMENT_CHAR
+    return classify_tight(small)
+
+
+def recognize_page(img: np.ndarray, scale: int) -> list[LineBox]:
+    """Segment and classify a clean (upright, deskewed) page image."""
+    mask = ink_mask(img)
+    lines: list[LineBox] = []
+    for y1, y2 in _runs(mask.any(axis=1), LINE_SPLIT_UNITS * scale):
+        band = mask[y1:y2]
+        line = LineBox()
+        word_chars: list[str] = []
+        word_x1 = word_y1 = word_x2 = word_y2 = 0
+
+        def flush_word() -> None:
+            if word_chars:
+                line.words.append(
+                    WordBox("".join(word_chars), word_x1, word_y1, word_x2, word_y2)
+                )
+
+        prev_end = None
+        for x1, x2 in _runs(band.any(axis=0), 1):
+            glyph = band[:, x1:x2]
+            rows = np.flatnonzero(glyph.any(axis=1))
+            gy1, gy2 = int(rows[0]), int(rows[-1]) + 1
+            ch = _classify_glyph(glyph[gy1:gy2], scale)
+            if prev_end is not None and (x1 - prev_end) >= WORD_GAP_MIN_UNITS * scale:
+                flush_word()
+                word_chars = []
+            if not word_chars:
+                word_x1, word_y1 = x1, y1 + gy1
+                word_x2, word_y2 = x2, y1 + gy2
+            else:
+                word_x2 = max(word_x2, x2)
+                word_y1 = min(word_y1, y1 + gy1)
+                word_y2 = max(word_y2, y1 + gy2)
+            word_chars.append(ch)
+            prev_end = x2
+        flush_word()
+        if line.words:
+            lines.append(line)
+    return lines
+
+
+def match_score(img: np.ndarray, scale: int, max_glyphs: int = 8) -> float:
+    """Fraction of the first ``max_glyphs`` glyphs that match a template."""
+    mask = ink_mask(img)
+    row_runs = _runs(mask.any(axis=1), LINE_SPLIT_UNITS * scale)
+    if not row_runs:
+        return 0.0
+    y1, y2 = row_runs[0]
+    band = mask[y1:y2]
+    hits = total = 0
+    for x1, x2 in _runs(band.any(axis=0), 1)[:max_glyphs]:
+        glyph = band[:, x1:x2]
+        rows = np.flatnonzero(glyph.any(axis=1))
+        ch = _classify_glyph(glyph[rows[0] : rows[-1] + 1], scale)
+        total += 1
+        if ch != REPLACEMENT_CHAR:
+            hits += 1
+    return hits / total if total else 0.0
+
+
+def detect_orientation(img: np.ndarray, scale: int) -> int:
+    """Return k in {0,1,2,3}: the page was rotated by k*90 deg CCW.
+
+    Correcting rotation = np.rot90(img, -k).  Mirrors the reference's
+    per-page OSD pass (pdf2pdfocr.py:78-91, 1018-1036) via 4-way trial
+    recognition instead of a separate model.
+    """
+    best_k, best = 0, -1.0
+    for k in range(4):
+        candidate = np.rot90(img, -k) if k else img
+        score = match_score(candidate, scale)
+        if score > best:
+            best, best_k = score, k
+    return best_k
+
+
+def _unshear_band(mask: np.ndarray, y1: int, y2: int, slope: float) -> np.ndarray:
+    """Inverse-shear rows [y1, y2) of a bool ink mask (absolute y offsets)."""
+    band = mask[y1:y2]
+    if slope == 0.0:
+        return band
+    h, w = band.shape
+    shifts = np.round(slope * np.arange(y1, y2)).astype(np.int64)
+    lo, hi = int(shifts.min()), int(shifts.max())
+    out = np.zeros((h, w + hi - lo), dtype=bool)
+    for i in range(h):
+        x0 = hi - shifts[i]
+        out[i, x0 : x0 + w] = band[i]
+    return out
+
+
+def _band_glyph_score(band: np.ndarray, scale: int, max_glyphs: int = 12) -> float:
+    """Fraction of the band's first ``max_glyphs`` glyphs matching a template."""
+    cols = band.any(axis=0)
+    hits = total = 0
+    for x1, x2 in _runs(cols, 1)[:max_glyphs]:
+        glyph = band[:, x1:x2]
+        rows = np.flatnonzero(glyph.any(axis=1))
+        ch = _classify_glyph(glyph[rows[0] : rows[-1] + 1], scale)
+        total += 1
+        if ch != REPLACEMENT_CHAR:
+            hits += 1
+    return hits / total if total else 0.0
+
+
+def _page_match_fraction(img: np.ndarray, scale: int) -> float:
+    """Fraction of non-replacement chars over a full-page recognition."""
+    lines = recognize_page(img, scale)
+    text = "".join(w.text for ln in lines for w in ln.words)
+    if not text:
+        return 0.0
+    return 1.0 - text.count(REPLACEMENT_CHAR) / len(text)
+
+
+def normalize_page(img: np.ndarray, scale: int) -> tuple[np.ndarray, int, float]:
+    """Jointly detect and undo 90-degree rotation and integer shear.
+
+    Scan-distortion model: ``scan = rot90(shear(clean), k)``; recovery
+    un-rotates first, then deskews.  Fuses the reference's separate OSD
+    (pdf2pdfocr.py:78-91) and mogrify-deskew (94-101) passes, scoring by OCR
+    confidence itself: for each (rotation, grid slope) candidate, the BOTTOM
+    line band (largest y ⇒ max shear lever arm ⇒ best slope discrimination)
+    is inverse-sheared and its glyphs template-matched; finalists tied at the
+    best band score are verified with a full-page recognition.  Projection
+    sharpness criteria are deliberately not used — cross-line superposition
+    makes them content-fragile.
+
+    Returns ``(upright_image, k, slope)``.  Blank pages → (img, 0, 0.0).
+    Ties prefer smaller k then the earlier grid slope.  Caveat (shared with
+    any OSD): a page whose glyphs are all 180°-symmetric is ambiguous.
+    """
+    from .image_ops import DESKEW_SLOPES, deskew, ink_mask
+
+    mask0 = ink_mask(img)
+    if not mask0.any():
+        return img, 0, 0.0
+
+    candidates: list[tuple[float, int, float]] = []
+    for k in range(4):
+        mask = np.ascontiguousarray(np.rot90(mask0, -k)) if k else mask0
+        row_runs = _runs(mask.any(axis=1), LINE_SPLIT_UNITS * scale)
+        if not row_runs:
+            continue
+        y1, y2 = row_runs[-1]
+        for slope in DESKEW_SLOPES:
+            band = _unshear_band(mask, y1, y2, float(slope))
+            score = _band_glyph_score(band, scale)
+            if score > 0.0:
+                candidates.append((score, k, float(slope)))
+    if not candidates:
+        return img, 0, 0.0
+
+    best_band = max(c[0] for c in candidates)
+    best: tuple[float, int, float, np.ndarray] | None = None
+    for score, k, slope in candidates:
+        if score < best_band:
+            continue
+        cand = np.ascontiguousarray(np.rot90(img, -k)) if k else img
+        fixed = deskew(cand, slope) if slope != 0.0 else cand
+        full = _page_match_fraction(fixed, scale)
+        if best is None or full > best[0]:
+            best = (full, k, slope, fixed)
+    _, k, slope, fixed = best
+    return fixed, k, slope
