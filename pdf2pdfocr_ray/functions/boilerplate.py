@@ -1,0 +1,159 @@
+"""HTML boilerplate stripping: tag-density / link-density main-content
+extraction (the north-rule's HTML branch; no reference analog — see
+repo:BASELINE.json north_rule and SURVEY.md §2.2 M13).
+
+Algorithm (deterministic, jusText/readability-style, stdlib-only):
+
+1. stream-parse the HTML (``html.parser``, charrefs decoded);
+2. text is attributed to the NEAREST enclosing block-level element — nested
+   blocks never double-count their children's text;
+3. a closed block is classified **content** iff
+   - no ancestor is a boilerplate container (nav/header/footer/aside/form/
+     script/style/noscript/template/button/select/option/iframe), and
+   - its collapsed text has >= MIN_CHARS characters, and
+   - its link density (chars inside <a> / total chars) < MAX_LINK_DENSITY;
+4. output = content blocks in document order joined by "\\n\\n", each block's
+   whitespace collapsed to single spaces and stripped.
+
+The classification is context-free (no neighbor propagation), which makes the
+extracted text an exact, order-stable function of the DOM — the property the
+byte-identical golden check relies on.
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+
+BLOCK_TAGS = frozenset(
+    {
+        "p",
+        "h1",
+        "h2",
+        "h3",
+        "h4",
+        "h5",
+        "h6",
+        "li",
+        "td",
+        "th",
+        "blockquote",
+        "pre",
+        "div",
+        "article",
+        "section",
+        "main",
+        "figcaption",
+        "dd",
+        "dt",
+    }
+)
+BOILERPLATE_TAGS = frozenset(
+    {
+        "nav",
+        "header",
+        "footer",
+        "aside",
+        "form",
+        "script",
+        "style",
+        "noscript",
+        "template",
+        "button",
+        "select",
+        "option",
+        "iframe",
+    }
+)
+VOID_TAGS = frozenset(
+    {"br", "hr", "img", "input", "meta", "link", "area", "base", "col",
+     "embed", "source", "track", "wbr"}
+)
+MIN_CHARS = 30
+MAX_LINK_DENSITY = 0.3
+
+
+def _collapse(text: str) -> str:
+    return " ".join(text.split())
+
+
+class _Block:
+    __slots__ = ("order", "chars", "link_chars", "bad")
+
+    def __init__(self, order: int, bad: bool) -> None:
+        self.order = order
+        self.chars: list[str] = []
+        self.link_chars = 0
+        self.bad = bad
+
+
+class _Extractor(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.block_stack: list[_Block] = []
+        self.tag_stack: list[str] = []
+        self.bad_depth = 0
+        self.link_depth = 0
+        self.order = 0
+        self.kept: list[tuple[int, str]] = []
+
+    def handle_starttag(self, tag, attrs):
+        if tag in VOID_TAGS:
+            return
+        self.tag_stack.append(tag)
+        if tag in BOILERPLATE_TAGS:
+            self.bad_depth += 1
+        if tag == "a":
+            self.link_depth += 1
+        if tag in BLOCK_TAGS:
+            self.order += 1
+            self.block_stack.append(_Block(self.order, self.bad_depth > 0))
+
+    def handle_endtag(self, tag):
+        if tag in VOID_TAGS:
+            return
+        # pop to the matching open tag (tolerates mis-nesting)
+        while self.tag_stack:
+            top = self.tag_stack.pop()
+            if top in BOILERPLATE_TAGS:
+                self.bad_depth -= 1
+            if top == "a":
+                self.link_depth -= 1
+            if top in BLOCK_TAGS:
+                self._close_block()
+            if top == tag:
+                break
+
+    def _close_block(self) -> None:
+        blk = self.block_stack.pop()
+        text = _collapse("".join(blk.chars))
+        if blk.bad or not text:
+            return
+        n = len(text)
+        if n < MIN_CHARS:
+            return
+        if blk.link_chars / n >= MAX_LINK_DENSITY:
+            return
+        self.kept.append((blk.order, text))
+
+    def handle_data(self, data):
+        if not data or not self.block_stack:
+            return
+        blk = self.block_stack[-1]
+        blk.chars.append(data)
+        if self.link_depth > 0:
+            blk.link_chars += len(_collapse(data))
+
+    def close(self):
+        super().close()
+        while self.tag_stack:
+            top = self.tag_stack.pop()
+            if top in BLOCK_TAGS:
+                self._close_block()
+
+
+def extract_main_text(html: str) -> str:
+    """HTML string -> main-content text (blocks joined by blank lines)."""
+    p = _Extractor()
+    p.feed(html)
+    p.close()
+    return "\n\n".join(text for _, text in sorted(p.kept, key=lambda t: t[0]))

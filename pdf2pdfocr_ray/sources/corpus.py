@@ -1,0 +1,273 @@
+"""Deterministic synthetic Common-Crawl-style corpus generator + golden oracle.
+
+Produces the ``pages`` input table mandated by BASELINE.json's input_hint —
+``(url:string, warc_ts:timestamp[us], html:binary, text:string, lang:string)``
+— with the FIXTURES.md row mix: ~70% HTML, ~20% PDF (page counts 1-5 plus
+deliberately skewed giant docs for the repartition/skew path), ~5% image,
+~5% corrupt/edge rows (encrypted PDFs, zero-byte, native-text PDFs, junk).
+
+The golden ``extracted`` table is computed here by an independent oracle
+path — the *specification* of each route's output, not the engine code:
+
+* html  → blocks passing the content rule (>=30 chars, link density < 0.3,
+  not inside a boilerplate container) joined by "\\n\\n";
+* pdf   → per page "\\n".join(lines) + "\\n" with ligatures normalized
+  (reference pdf2pdfocr.py:356-366), blank pages contribute "", pages
+  concatenated in page order with no separator bytes (reference 928-940);
+* image → single-page pdf formula;
+* error rows → null text + error code.
+
+Everything is seeded; no wall clock, no external data.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.hocr import normalize_ligatures
+from ..functions.image_ops import DESKEW_SLOPES
+from ..functions.minipdf import PageSpec, build_pdf
+from ..functions.pagerender import (
+    COLOR_INK,
+    apply_rot90,
+    apply_shear,
+    render_page,
+)
+from ..functions.pngcodec import encode_png
+
+# Font-supported vocabulary (OCR branch); includes ligature words to pin M6.
+PDF_VOCAB = [
+    "the", "quick", "brown", "fox", "jumps", "over", "lazy", "dog", "invoice",
+    "total", "page", "report", "summary", "data", "table", "value", "amount",
+    "ﬂow", "ﬂuid", "ﬁne", "ﬁrst", "ﬁsh", "final", "draft", "review", "signed",
+    "Lorem", "ipsum", "dolor", "sit", "amet", "scan", "copy", "original",
+    "2026", "410", "77", "1024", "A4", "Ref", "No.", "Q3",
+]
+# HTML vocabulary (no font constraint).
+HTML_VOCAB = [
+    "research", "article", "content", "analysis", "methods", "results",
+    "discussion", "São", "Paulo", "naïve", "crédito", "R&D", "ação",
+    "window", "stream", "shuffle", "partition", "actor", "arrow", "batch",
+    "cluster", "byte", "golden", "extracted", "pipeline", "engine", "web",
+    "crawl", "corpus", "document", "heuristics", "density", "boilerplate",
+]
+LANGS = ["por", "eng", "por+eng"]
+EPOCH_US = 1_767_225_600_000_000  # 2026-01-01T00:00:00Z in microseconds
+
+PAGES_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("warc_ts", pa.timestamp("us")),
+        ("html", pa.binary()),
+        ("text", pa.string()),
+        ("lang", pa.string()),
+    ]
+)
+GOLDEN_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("route", pa.string()),
+        ("extracted_text", pa.string()),
+        ("n_pages", pa.int32()),
+        ("error", pa.string()),
+    ]
+)
+
+
+def _words(rng: np.random.Generator, vocab: list[str], n: int) -> str:
+    return " ".join(vocab[i] for i in rng.integers(0, len(vocab), n))
+
+
+def _pdf_line(rng: np.random.Generator) -> str:
+    return _words(rng, PDF_VOCAB, int(rng.integers(2, 6)))
+
+
+def _make_pdf_doc(
+    rng: np.random.Generator, n_pages: int, *, native_text: bool = False,
+    encrypted: bool = False, distort: bool = True,
+) -> tuple[bytes, str]:
+    """Build one mini-PDF and its golden extracted text."""
+    specs: list[PageSpec] = []
+    golden_parts: list[str] = []
+    for _ in range(n_pages):
+        if rng.random() < 0.10:
+            specs.append(
+                PageSpec(blank=True, blank_w_u=int(rng.integers(60, 120)),
+                         blank_h_u=int(rng.integers(80, 160)))
+            )
+            golden_parts.append("")
+            continue
+        lines = [_pdf_line(rng) for _ in range(int(rng.integers(2, 5)))]
+        rot_k = int(rng.integers(0, 4)) if (distort and rng.random() < 0.3) else 0
+        shear = (
+            float(DESKEW_SLOPES[rng.integers(0, len(DESKEW_SLOPES))])
+            if (distort and rng.random() < 0.3)
+            else 0.0
+        )
+        color = bool(rng.random() < 0.2)
+        specs.append(PageSpec(lines=lines, dpi=72, rot_k=rot_k, shear=shear, color=color))
+        golden_parts.append(normalize_ligatures("\n".join(lines)) + "\n")
+    data = build_pdf(specs, encrypted=encrypted, native_text=native_text)
+    return data, "".join(golden_parts)
+
+
+def _make_image_doc(rng: np.random.Generator) -> tuple[bytes, str]:
+    lines = [_pdf_line(rng) for _ in range(int(rng.integers(1, 4)))]
+    img = render_page(lines, dpi=72, ink=COLOR_INK if rng.random() < 0.2 else (0, 0, 0))
+    if rng.random() < 0.3:
+        img = apply_shear(img, float(DESKEW_SLOPES[rng.integers(0, len(DESKEW_SLOPES))]))
+    if rng.random() < 0.3:
+        img = apply_rot90(img, int(rng.integers(0, 4)))
+    return encode_png(img), normalize_ligatures("\n".join(lines)) + "\n"
+
+
+def _html_paragraph(rng: np.random.Generator) -> str:
+    while True:
+        t = _words(rng, HTML_VOCAB, int(rng.integers(6, 15))).capitalize() + "."
+        if len(t) >= 30:
+            return t
+
+
+def _make_html_doc(rng: np.random.Generator) -> tuple[bytes, str]:
+    paras = [_html_paragraph(rng) for _ in range(int(rng.integers(2, 7)))]
+    nav_items = "".join(
+        f'<li><a href="/{w}">{w}</a></li>' for w in ("home", "about", "contact", "blog")
+    )
+    farm = "".join(
+        f'<a href="/t/{i}">{_words(rng, HTML_VOCAB, 2)}</a> ' for i in range(6)
+    )
+    title = _words(rng, HTML_VOCAB, 3)
+    body = [
+        f"<html><head><title>{title}</title></head><body>",
+        f"<header><h1>{title}</h1></header>",
+        f"<nav><ul>{nav_items}</ul></nav>",
+        "<article>",
+    ]
+    for p in paras:
+        body.append(f"  <p>\n    {p.replace('&', '&amp;')}\n  </p>")
+    body.append("</article>")
+    body.append(f"<aside><div>{farm}</div></aside>")
+    body.append("<footer><div>© 2026 example.org</div></footer>")
+    body.append("</body></html>")
+    html = "\n".join(body)
+    return html.encode("utf-8"), "\n\n".join(paras)
+
+
+def generate_corpus(
+    n_docs: int, seed: int = 42
+) -> tuple[pa.Table, pa.Table]:
+    """Return (pages_table, golden_table), both deterministic in (n_docs, seed)."""
+    rng = np.random.default_rng(seed)
+    urls, tss, payloads, texts, langs = [], [], [], [], []
+    g_routes, g_texts, g_npages, g_errors = [], [], [], []
+
+    n_giants = max(1, n_docs // 150)
+    for i in range(n_docs):
+        r = rng.random()
+        if i < n_giants:
+            kind = "pdf_giant"
+        elif r < 0.70:
+            kind = "html"
+        elif r < 0.90:
+            kind = "pdf"
+        elif r < 0.95:
+            kind = "image"
+        else:
+            kind = ("encrypted", "junk", "zero", "native", "badpdf")[
+                int(rng.integers(0, 5))
+            ]
+
+        url = f"https://example.org/{kind}/{i:08d}"
+        if kind == "html":
+            payload, golden = _make_html_doc(rng)
+            route, n_pages, error = "html", 1, None
+        elif kind == "pdf":
+            payload, golden = _make_pdf_doc(rng, int(rng.integers(1, 6)))
+            route, n_pages, error = "pdf", payload_pages(payload), None
+        elif kind == "pdf_giant":
+            payload, golden = _make_pdf_doc(rng, int(rng.integers(40, 81)), distort=False)
+            route, n_pages, error = "pdf", payload_pages(payload), None
+        elif kind == "image":
+            payload, golden = _make_image_doc(rng)
+            route, n_pages, error = "image", 1, None
+        elif kind == "encrypted":
+            payload, _ = _make_pdf_doc(rng, int(rng.integers(1, 4)), encrypted=True)
+            route, golden, n_pages, error = "pdf", None, payload_pages(payload), "encrypted"
+        elif kind == "native":
+            # PDF that already has a text layer: extracted normally (reference
+            # default without -t processes them; has_native_text is a column)
+            payload, golden = _make_pdf_doc(rng, int(rng.integers(1, 4)), native_text=True)
+            route, n_pages, error = "pdf", payload_pages(payload), None
+        elif kind == "zero":
+            payload, golden = b"", None
+            route, n_pages, error = "error", 0, "unsupported_type"
+        elif kind == "badpdf":
+            good, _ = _make_pdf_doc(rng, 2)
+            payload = good[: len(good) // 3]  # truncated: no trailer/%%EOF
+            golden, route, n_pages, error = None, "pdf", 0, "corrupt_pdf"
+        else:  # junk: leading NUL guarantees no magic-prefix collision
+            payload = b"\x00" + bytes(
+                rng.integers(1, 255, int(rng.integers(16, 200)), dtype=np.uint8)
+            )
+            golden, route, n_pages, error = None, "error", 0, "unsupported_type"
+
+        urls.append(url)
+        tss.append(EPOCH_US + i * 1_000_000)
+        payloads.append(payload)
+        noisy = (golden or "")[:80]
+        texts.append(noisy + (" …" if golden and len(golden) > 80 else ""))
+        langs.append(LANGS[int(rng.integers(0, len(LANGS)))])
+        g_routes.append(route)
+        g_texts.append(golden)
+        g_npages.append(n_pages)
+        g_errors.append(error)
+
+    pages = pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(tss, pa.timestamp("us")),
+            "html": pa.array(payloads, pa.binary()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+        },
+        schema=PAGES_SCHEMA,
+    )
+    golden = pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "route": pa.array(g_routes, pa.string()),
+            "extracted_text": pa.array(g_texts, pa.string()),
+            "n_pages": pa.array(g_npages, pa.int32()),
+            "error": pa.array(g_errors, pa.string()),
+        },
+        schema=GOLDEN_SCHEMA,
+    )
+    return pages, golden
+
+
+def payload_pages(pdf_bytes: bytes) -> int:
+    import re
+
+    m = re.search(rb"/Count (\d+)", pdf_bytes)
+    return int(m.group(1)) if m else 0
+
+
+def write_corpus_parquet(
+    out_dir: str, n_docs: int, seed: int = 42, n_shards: int = 4
+) -> tuple[str, str]:
+    """Write pages/ (sharded parquet) + golden.parquet under out_dir."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    pages, golden = generate_corpus(n_docs, seed)
+    pages_dir = os.path.join(out_dir, "pages")
+    os.makedirs(pages_dir, exist_ok=True)
+    n = pages.num_rows
+    per = max(1, (n + n_shards - 1) // n_shards)
+    for s in range(0, n, per):
+        pq.write_table(pages.slice(s, per), os.path.join(pages_dir, f"part-{s//per:05d}.parquet"))
+    golden_path = os.path.join(out_dir, "golden.parquet")
+    pq.write_table(golden, golden_path)
+    return pages_dir, golden_path

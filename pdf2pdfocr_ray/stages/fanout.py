@@ -1,0 +1,138 @@
+"""Document → page fan-out (S3 validate + S4/S5 rasterize + F1-F4 guards +
+M13 HTML extraction), emitting a unified page-row stream.
+
+Reference mapping:
+* validate/metadata: PyPDF2 read at /root/reference/pdf2pdfocr.py:1169-1198
+  → ``minipdf.parse_pdf`` per row, errors captured into the ``error`` column
+  (row-level fault isolation replacing the per-file abort at 1505-1533);
+* guards: --min-kbytes 1207-1213 (F1), -b max pages 1200-1205 (F2),
+  pdffonts has-text 1215-1227 (F3), encrypted 1196-1198 (F4);
+* rasterize: pdftoppm page JPEGs at 56-75/1100-1141 (S4) → in-process render
+  of each page's text + stored scan-distortion profile, PNG-encoded;
+* image inputs: convert-to-page-images at 1133-1138 (S5) → payload is already
+  the single page image;
+* HTML rows (north-rule M13) are extracted here directly — they fan out to a
+  single already-final row, so the downstream OCR stage never sees them.
+
+Scale notes: one input row of B bytes becomes N page rows of ~B/N bytes —
+giant PDFs spread across blocks (the skew design demanded by
+BASELINE.json). Output rows interleave "done" rows (page_text set, image
+null) and "todo" rows (image set) so the whole pipeline stays one lineage.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..config import PipelineConfig
+from ..functions.boilerplate import extract_main_text
+from ..functions.minipdf import parse_pdf
+from ..functions.pagerender import (
+    BLACK_INK,
+    COLOR_INK,
+    apply_rot90,
+    apply_shear,
+    render_blank_page,
+    render_page,
+)
+from ..functions.pngcodec import encode_png
+from .sniff import ROUTE_ERROR, ROUTE_HTML, ROUTE_IMAGE, ROUTE_PDF
+
+PAGE_ROW_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("warc_ts", pa.timestamp("us")),
+        ("route", pa.string()),
+        ("page_no", pa.int32()),
+        ("n_pages", pa.int32()),
+        ("dpi", pa.int32()),
+        ("image", pa.binary()),
+        ("page_text", pa.string()),
+        ("error", pa.string()),
+    ]
+)
+
+
+def _rasterize_scan(spec) -> bytes:
+    """PageSpec -> PNG bytes of the simulated scan (render then distort —
+    the inverse of what preprocess+OCR must do)."""
+    if spec.blank:
+        img = render_blank_page(spec.blank_w_u, spec.blank_h_u, spec.dpi)
+    else:
+        ink = COLOR_INK if spec.color else BLACK_INK
+        img = render_page(spec.lines, dpi=spec.dpi, ink=ink)
+        if spec.shear:
+            img = apply_shear(img, spec.shear)
+        if spec.rot_k:
+            img = apply_rot90(img, spec.rot_k)
+    return encode_png(img)
+
+
+class FanOut:
+    """Stateless-in-spirit batch fn (class only to hold config)."""
+
+    def __init__(self, config: PipelineConfig | None = None) -> None:
+        self.config = config or PipelineConfig()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cfg = self.config
+        out: dict[str, list] = {name: [] for name in PAGE_ROW_SCHEMA.names}
+
+        def emit(url, ts, route, page_no, n_pages, dpi, image, page_text, error):
+            out["url"].append(url)
+            out["warc_ts"].append(ts)
+            out["route"].append(route)
+            out["page_no"].append(page_no)
+            out["n_pages"].append(n_pages)
+            out["dpi"].append(dpi)
+            out["image"].append(image)
+            out["page_text"].append(page_text)
+            out["error"].append(error)
+
+        urls = batch.column("url").to_pylist()
+        tss = batch.column("warc_ts").to_pylist()
+        payloads = batch.column("html").to_pylist()
+        routes = batch.column("route").to_pylist()
+
+        for url, ts, payload, route in zip(urls, tss, payloads, routes):
+            if route == ROUTE_ERROR:
+                emit(url, ts, ROUTE_ERROR, 0, 0, 0, None, None, "unsupported_type")
+                continue
+            if cfg.min_kbytes and len(payload) / 1024.0 < cfg.min_kbytes:
+                emit(url, ts, route, 0, 0, 0, None, None, "too_small")
+                continue
+            if route == ROUTE_HTML:
+                try:
+                    text = extract_main_text(payload.decode("utf-8"))
+                    emit(url, ts, route, 0, 1, 0, None, text, None)
+                except Exception as e:  # noqa: BLE001 — row-level isolation
+                    emit(url, ts, route, 0, 1, 0, None, None, f"html_parse: {e}")
+                continue
+            if route == ROUTE_IMAGE:
+                emit(url, ts, route, 0, 1, 72, payload, None, None)
+                continue
+            # PDF route
+            try:
+                doc = parse_pdf(payload)
+            except ValueError:
+                emit(url, ts, route, 0, 0, 0, None, None, "corrupt_pdf")
+                continue
+            if doc.is_encrypted:
+                emit(url, ts, route, 0, doc.n_pages, 0, None, None, "encrypted")
+                continue
+            if cfg.max_pages and doc.n_pages > cfg.max_pages:
+                emit(url, ts, route, 0, doc.n_pages, 0, None, None, "too_many_pages")
+                continue
+            if cfg.skip_native_text and doc.has_native_text:
+                emit(url, ts, route, 0, doc.n_pages, 0, None, None, "has_native_text")
+                continue
+            for i, spec in enumerate(doc.pages):
+                try:
+                    png = _rasterize_scan(spec)
+                except Exception as e:  # noqa: BLE001
+                    emit(url, ts, route, i, doc.n_pages, spec.dpi, None, None,
+                         f"rasterize: {e}")
+                    continue
+                emit(url, ts, route, i, doc.n_pages, spec.dpi, png, None, None)
+
+        return pa.table(out, schema=PAGE_ROW_SCHEMA)

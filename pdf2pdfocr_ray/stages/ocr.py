@@ -1,0 +1,162 @@
+"""T1 — the stateful OCR stage (actor pool).
+
+Ray mapping of the reference's warm external OCR engine
+(/root/reference/pdf2pdfocr.py:104-160: tesseract per page, pool of
+``cpu_count * -j`` processes, OMP_THREAD_LIMIT=1): a callable class passed to
+``map_batches(OcrStage, concurrency=N, batch_size=B, num_cpus=1)`` — engine
+state (glyph template table, config) is bound once per actor in ``__init__``;
+``__call__`` OCRs one Arrow batch of page rows.
+
+Fused per page (one image decode, per SURVEY.md §7.2 note):
+* M1/M2 greyscale + blank checks (reference 227-252, 1005-1016);
+* M4/M5 orientation detect + rotation apply and M3 deskew via
+  ``normalize_page`` (reference 78-101, 1018-1098);
+* OCR proper → hOCR emit → hOCR parse → normalized page text + spans
+  (reference 104-160 + HocrTransform 278-437);
+* M11 failure stub: any per-page exception yields the empty A4 stub page
+  (reference cuneiform repair, 192-205) — never an exception past the batch.
+
+Rows with a null ``image`` (already-final HTML rows, error rows) pass
+through untouched.  The ``image`` column is DROPPED from the output: the
+downstream groupby('url') shuffle carries text and small ints only.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..config import PipelineConfig
+from ..functions.hocr import A4_STUB_BBOX, emit_hocr, parse_hocr
+from ..functions.image_ops import is_blank, is_greyscale
+from ..functions.ocr_core import normalize_page, recognize_page
+from ..functions.pagerender import BASE_DPI
+from ..functions.pngcodec import decode_png
+
+OCR_OUT_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("warc_ts", pa.timestamp("us")),
+        ("route", pa.string()),
+        ("page_no", pa.int32()),
+        ("n_pages", pa.int32()),
+        ("page_text", pa.string()),
+        ("error", pa.string()),
+        ("is_blank", pa.bool_()),
+        ("is_greyscale", pa.bool_()),
+        ("rotate_deg", pa.int32()),
+        ("skew", pa.float64()),
+        ("width_px", pa.int32()),
+        ("height_px", pa.int32()),
+    ]
+)
+
+SPAN_TYPE = pa.list_(
+    pa.struct(
+        [
+            ("text", pa.string()),
+            ("x1", pa.int32()),
+            ("y1", pa.int32()),
+            ("x2", pa.int32()),
+            ("y2", pa.int32()),
+            ("kind", pa.string()),
+        ]
+    )
+)
+
+
+class OcrStage:
+    """Warm-engine OCR actor.  ``keep_spans`` adds a ``spans`` list<struct>
+    column (the M8/M9 span layout path) — off for the flagship pipeline."""
+
+    def __init__(self, config: PipelineConfig | None = None, keep_spans: bool = False):
+        # Engine warm-up, once per actor: bind the template table (the
+        # "language model") and config. Reference loads tesseract's models
+        # per process invocation; here the cost is import+table build.
+        from ..functions import font5x7
+
+        self._templates = font5x7._TEMPLATES
+        self.config = config or PipelineConfig()
+        self.keep_spans = keep_spans
+
+    def _ocr_one(self, png: bytes, dpi: int):
+        """One page image -> (text, spans, stats...). Never raises."""
+        try:
+            img = decode_png(png)
+            h, w = img.shape[:2]
+            if is_blank(img):
+                return "", [], True, True, 0, 0.0, w, h, None
+            grey = is_greyscale(img)
+            scale = max(1, dpi // BASE_DPI)
+            if self.config.autorotate or self.config.deskew:
+                img, k, slope = normalize_page(img, scale)
+            else:
+                k, slope = 0, 0.0
+            lines = recognize_page(img, scale)
+            hocr = emit_hocr(lines, img.shape[1], img.shape[0], dpi)
+            page = parse_hocr(hocr)
+            spans = [
+                {"text": s.text, "x1": s.x1, "y1": s.y1, "x2": s.x2, "y2": s.y2,
+                 "kind": s.kind}
+                for s in page.spans
+            ]
+            return (page.text, spans, False, grey, k * 90, slope,
+                    page.width_px, page.height_px, None)
+        except Exception:  # noqa: BLE001 — M11 stub, row-level isolation
+            return ("", [], False, True, 0, 0.0,
+                    A4_STUB_BBOX[2], A4_STUB_BBOX[3], None)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        images = batch.column("image").to_pylist()
+        dpis = batch.column("dpi").to_pylist()
+        texts = batch.column("page_text").to_pylist()
+        errors = batch.column("error").to_pylist()
+
+        out_text: list[str | None] = []
+        out_err: list[str | None] = []
+        blanks, greys, rots, skews, widths, heights = [], [], [], [], [], []
+        spans_col: list[list | None] = []
+        for png, dpi, text, err in zip(images, dpis, texts, errors):
+            if png is None:
+                out_text.append(text)
+                out_err.append(err)
+                blanks.append(False)
+                greys.append(True)
+                rots.append(0)
+                skews.append(0.0)
+                widths.append(0)
+                heights.append(0)
+                spans_col.append([] if self.keep_spans else None)
+                continue
+            t, spans, blank, grey, rot, skew, w, h, e = self._ocr_one(png, dpi)
+            out_text.append(t)
+            out_err.append(err if err is not None else e)
+            blanks.append(blank)
+            greys.append(grey)
+            rots.append(rot)
+            skews.append(skew)
+            widths.append(w)
+            heights.append(h)
+            spans_col.append(spans)
+
+        cols = {
+            "url": batch.column("url"),
+            "warc_ts": batch.column("warc_ts"),
+            "route": batch.column("route"),
+            "page_no": batch.column("page_no"),
+            "n_pages": batch.column("n_pages"),
+            "page_text": pa.array(out_text, pa.string()),
+            "error": pa.array(out_err, pa.string()),
+            "is_blank": pa.array(blanks, pa.bool_()),
+            "is_greyscale": pa.array(greys, pa.bool_()),
+            "rotate_deg": pa.array(rots, pa.int32()),
+            "skew": pa.array(skews, pa.float64()),
+            "width_px": pa.array(widths, pa.int32()),
+            "height_px": pa.array(heights, pa.int32()),
+        }
+        names = list(OCR_OUT_SCHEMA.names)
+        arrays = [cols[n] for n in names]
+        if self.keep_spans:
+            names.append("spans")
+            arrays.append(pa.array(spans_col, SPAN_TYPE))
+        return pa.table(dict(zip(names, arrays)))

@@ -1,0 +1,36 @@
+"""S2 — content-type sniff + routing (reference shells out to
+``file -b --mime-type`` per file, /root/reference/pdf2pdfocr.py:1229-1236;
+here: vectorized magic-byte prefix checks on the ``html`` binary column inside
+``map_batches(batch_format="pyarrow")``)."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+ROUTE_PDF = "pdf"
+ROUTE_IMAGE = "image"
+ROUTE_HTML = "html"
+ROUTE_ERROR = "error"
+
+_IMAGE_MAGICS = (b"\x89PNG\r\n\x1a\n", b"\xff\xd8\xff", b"II*\x00", b"MM\x00*")
+
+
+def sniff_route(batch: pa.Table) -> pa.Table:
+    """Append a ``route`` column derived from payload magic bytes.
+
+    pdf: ``%PDF-`` prefix; image: PNG/JPEG/TIFF magics; html: leading ``<``;
+    anything else (including empty payloads) -> error route.
+    """
+    col = batch.column("html")
+    is_pdf = pc.starts_with(col, pattern=b"%PDF-")
+    is_img = pc.starts_with(col, pattern=_IMAGE_MAGICS[0])
+    for magic in _IMAGE_MAGICS[1:]:
+        is_img = pc.or_(is_img, pc.starts_with(col, pattern=magic))
+    is_html = pc.starts_with(col, pattern=b"<")
+    route = pc.if_else(
+        is_pdf,
+        ROUTE_PDF,
+        pc.if_else(is_img, ROUTE_IMAGE, pc.if_else(is_html, ROUTE_HTML, ROUTE_ERROR)),
+    )
+    return batch.append_column("route", route)
