@@ -1,16 +1,14 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry``   — flagship extraction pipeline on the deterministic synthetic
+              corpus (the pages table mandated by BASELINE.json input_hint).
+``queries`` — one entry per implemented operator family from SURVEY.md §2 +
+              the training-data ops; each takes ``sf_dir``.
+``oracle_sql`` — DuckDB equivalents for the SQL-expressible ones (column
+              names match the Ray outputs exactly).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE import; nothing here calls
+``ray.init``/``ray.shutdown``.
 """
 
 from __future__ import annotations
@@ -18,27 +16,373 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+ENTRY_N_DOCS = 120
+QUERY_N_DOCS = 240
+SEED = 42
+
+
+def _corpus_ds(n_docs: int, seed: int = SEED):
+    """Synthesize the pages corpus in-memory and lay it out as Ray blocks."""
+    import ray.data
+
+    from pdf2pdfocr_ray.sources.corpus import generate_corpus
+
+    pages, golden = generate_corpus(n_docs, seed)
+    return ray.data.from_arrow(pages).repartition(8), golden
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: pages corpus -> extracted table (url, warc_ts, route,
+    extracted_text, n_pages, error)."""
+    from pdf2pdfocr_ray.pipelines.extract import extract
+
+    ds, _ = _corpus_ds(ENTRY_N_DOCS)
+    return extract(ds)
+
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
+
+def _q_flagship(sf_dir: str):
+    from pdf2pdfocr_ray.pipelines.extract import extract
+
+    ds, _ = _corpus_ds(QUERY_N_DOCS)
+    return extract(ds)
+
+
+def _q_flagship_match(sf_dir: str):
+    """Extraction + byte-identical comparison against the golden oracle:
+    returns one row with total docs and the number matched byte-exactly."""
+    import pandas as pd
+
+    from pdf2pdfocr_ray.pipelines.extract import extract
+
+    ds, golden = _corpus_ds(QUERY_N_DOCS)
+    res = extract(ds).to_pandas().sort_values("url").reset_index(drop=True)
+    g = golden.to_pandas().sort_values("url").reset_index(drop=True)
+    eq = 0
+    for i in range(len(g)):
+        a, b = res["extracted_text"][i], g["extracted_text"][i]
+        if (a == b) or (pd.isna(a) and pd.isna(b)):
+            eq += 1
+    return pd.DataFrame({"n_docs": [len(g)], "n_byte_identical": [eq]})
+
+
+def _q_page_spans(sf_dir: str):
+    """Per-page word spans (M8/M9 path) for the PDF/image rows of a small
+    corpus slice; returns url, page_no, n_spans, first span bbox."""
+    import pandas as pd
+    import ray.data
+
+    from pdf2pdfocr_ray.config import PipelineConfig
+    from pdf2pdfocr_ray.stages.fanout import FanOut
+    from pdf2pdfocr_ray.stages.ocr import OcrStage
+    from pdf2pdfocr_ray.stages.sniff import sniff_route
+
+    ds, _ = _corpus_ds(60)
+    cfg = PipelineConfig()
+    pages = ds.map_batches(sniff_route, batch_format="pyarrow").map_batches(
+        FanOut(cfg), batch_format="pyarrow", batch_size=cfg.doc_batch_size
+    )
+    ocred = pages.map_batches(
+        OcrStage,
+        fn_constructor_kwargs={"config": cfg, "keep_spans": True},
+        batch_format="pyarrow",
+        batch_size=cfg.page_batch_size,
+        concurrency=(1, 4),
+        num_cpus=1,
+    )
+
+    def summarize(batch):
+        import pyarrow as pa
+
+        spans = batch.column("spans").to_pylist()
+        n = [len(s) if s else 0 for s in spans]
+        first_x1 = [s[0]["x1"] if s else -1 for s in spans]
+        return pa.table(
+            {
+                "url": batch.column("url"),
+                "page_no": batch.column("page_no"),
+                "n_spans": pa.array(n, pa.int32()),
+                "first_x1": pa.array(first_x1, pa.int32()),
+            }
+        )
+
+    return ocred.map_batches(summarize, batch_format="pyarrow")
+
+
+def _q_doc_filter(sf_dir: str):
+    from pdf2pdfocr_ray.ops.relational import doc_filter
+
+    return doc_filter(sf_dir)
+
+
+def _q_doc_stats(sf_dir: str):
+    from pdf2pdfocr_ray.ops.relational import doc_stats
+
+    return doc_stats(sf_dir)
+
+
+def _q_group_concat(sf_dir: str):
+    from pdf2pdfocr_ray.ops.relational import group_concat_events
+
+    return group_concat_events(sf_dir)
+
+
+def _q_tpch_q1(sf_dir: str):
+    from pdf2pdfocr_ray.ops.relational import tpch_q1
+
+    return tpch_q1(sf_dir)
+
+
+def _q_top_orders(sf_dir: str):
+    from pdf2pdfocr_ray.ops.relational import top_orders
+
+    return top_orders(sf_dir)
+
+
+def _q_building_orders(sf_dir: str):
+    from pdf2pdfocr_ray.ops.relational import building_orders
+
+    return building_orders(sf_dir)
+
+
+def _q_orders_by_nation(sf_dir: str):
+    from pdf2pdfocr_ray.ops.relational import orders_by_nation
+
+    return orders_by_nation(sf_dir)
+
+
+def _q_events_hourly(sf_dir: str):
+    from pdf2pdfocr_ray.ops.relational import events_hourly
+
+    return events_hourly(sf_dir)
+
+
+def _q_token_stats(sf_dir: str):
+    from pdf2pdfocr_ray.ops.relational import read
+    from pdf2pdfocr_ray.ops.text_analysis import add_token_stats
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    return add_token_stats(ds).select_columns(["doc_id", "n_tokens", "n_punct"])
+
+
+def _q_fingerprint(sf_dir: str):
+    from pdf2pdfocr_ray.ops.relational import read
+    from pdf2pdfocr_ray.ops.text_analysis import add_fingerprint
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    return add_fingerprint(ds).select_columns(["doc_id", "fingerprint"])
+
+
+def _q_dedup_exact(sf_dir: str):
+    """Exact-dedup groups: content hash -> kept (min) id + group size."""
+    from ray.data.aggregate import Count, Min
+
+    from pdf2pdfocr_ray.ops.relational import read
+    from pdf2pdfocr_ray.ops.text_analysis import add_fingerprint
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    return (
+        add_fingerprint(ds)
+        .groupby("fingerprint")
+        .aggregate(Min("doc_id", alias_name="keep_id"), Count(alias_name="n_dups"))
+    )
+
+
+def _q_dedup_minhash(sf_dir: str):
+    from pdf2pdfocr_ray.ops.dedup import dedup_minhash_lsh
+    from pdf2pdfocr_ray.ops.relational import read
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    return dedup_minhash_lsh(ds, threshold=0.5).select_columns(["id_a", "id_b"])
+
+
+def _q_dedup_simhash(sf_dir: str):
+    from pdf2pdfocr_ray.ops.dedup import dedup_simhash
+    from pdf2pdfocr_ray.ops.relational import read
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    return dedup_simhash(ds, max_hamming=3).select_columns(["id_a", "id_b", "hamming"])
+
+
+def _q_embedding_near_dup(sf_dir: str):
+    from pdf2pdfocr_ray.ops.dedup import embedding_near_dup
+    from pdf2pdfocr_ray.ops.relational import read
+
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return embedding_near_dup(ds, threshold=0.45).select_columns(["id_a", "id_b"])
+
+
+def _q_ann_topk(sf_dir: str):
+    """Exact cosine top-10 for the query vector = embedding of vec_id 0."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from pdf2pdfocr_ray.ops.relational import read
+    from pdf2pdfocr_ray.ops.similarity import topk_bruteforce
+
+    emb = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q0 = (
+        emb.map_batches(
+            lambda t: t.filter(pc.equal(t["vec_id"], 0)), batch_format="pyarrow"
+        )
+        .to_pandas()["embedding"][0]
+    )
+    out = topk_bruteforce(emb, np.asarray(q0), k=10)
+    return out[["vec_id"]]
+
+
+def _q_ann_lsh(sf_dir: str):
+    import numpy as np
+
+    from pdf2pdfocr_ray.ops.relational import read
+    from pdf2pdfocr_ray.ops.similarity import topk_lsh
+
+    emb = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q0 = emb.to_pandas().sort_values("vec_id")["embedding"].iloc[0]
+    return topk_lsh(emb, np.asarray(q0), k=10)[["vec_id", "query_id"]]
+
+
+def _q_lang_id(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    from pdf2pdfocr_ray.ops.relational import read
+    from pdf2pdfocr_ray.ops.text_analysis import add_lang_id
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    return add_lang_id(ds).groupby("lang_pred").aggregate(Count(alias_name="n"))
+
+
+def _q_quality(sf_dir: str):
+    from pdf2pdfocr_ray.ops.relational import read
+    from pdf2pdfocr_ray.ops.text_analysis import add_quality
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    out = add_quality(ds)
+    return out.select_columns(["doc_id", "n_tokens", "is_quality"])
+
+
+def _q_multimodal_decode(sf_dir: str):
+    """Image rows of the corpus through the (real-PNG) decode actor stage."""
+    import pyarrow.compute as pc
+
+    from pdf2pdfocr_ray.ops.multimodal import decode_images
+    from pdf2pdfocr_ray.stages.fanout import FanOut
+    from pdf2pdfocr_ray.stages.sniff import sniff_route
+
+    ds, _ = _corpus_ds(120)
+    pages = ds.map_batches(sniff_route, batch_format="pyarrow").map_batches(
+        FanOut(), batch_format="pyarrow"
+    )
+    imgs = pages.map_batches(
+        lambda t: t.filter(pc.is_valid(t["image"])), batch_format="pyarrow"
+    )
+    return decode_images(imgs).select_columns(
+        ["url", "page_no", "width", "height", "channels"]
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "flagship_extract": _q_flagship,
+        "flagship_match_rate": _q_flagship_match,
+        "page_spans": _q_page_spans,
+        "doc_filter": _q_doc_filter,
+        "doc_stats": _q_doc_stats,
+        "group_concat_events": _q_group_concat,
+        "tpch_q1": _q_tpch_q1,
+        "top_orders": _q_top_orders,
+        "building_orders": _q_building_orders,
+        "orders_by_nation": _q_orders_by_nation,
+        "events_hourly": _q_events_hourly,
+        "token_stats": _q_token_stats,
+        "fingerprint": _q_fingerprint,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_minhash": _q_dedup_minhash,
+        "dedup_simhash": _q_dedup_simhash,
+        "embedding_near_dup": _q_embedding_near_dup,
+        "ann_topk": _q_ann_topk,
+        "ann_lsh": _q_ann_lsh,
+        "lang_id": _q_lang_id,
+        "quality": _q_quality,
+        "multimodal_decode": _q_multimodal_decode,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "doc_filter": (
+            "SELECT doc_id, lang, n_chars FROM documents "
+            "WHERE n_chars >= 500 AND lang = 'en'"
+        ),
+        "doc_stats": (
+            "SELECT lang, source, count(*) AS n_docs, "
+            "CAST(sum(n_chars) AS BIGINT) AS sum_chars, "
+            "min(n_chars) AS min_chars, max(n_chars) AS max_chars "
+            "FROM documents GROUP BY lang, source"
+        ),
+        "group_concat_events": (
+            "SELECT user_id, string_agg(event_type, '' ORDER BY ts, event_id) "
+            "AS event_seq, count(*) AS n_events FROM events GROUP BY user_id"
+        ),
+        "tpch_q1": (
+            "SELECT l_returnflag, l_linestatus, "
+            "round(sum(l_quantity), 2) AS sum_qty, "
+            "round(sum(l_extendedprice), 2) AS sum_base_price, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, "
+            "count(*) AS count_order "
+            "FROM lineitem WHERE l_shipdate <= '1998-09-02' "
+            "GROUP BY l_returnflag, l_linestatus"
+        ),
+        "top_orders": (
+            "SELECT o_orderkey, o_totalprice FROM orders "
+            "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
+        ),
+        "building_orders": (
+            "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
+            "WHERE o_custkey IN (SELECT c_custkey FROM customer "
+            "WHERE c_mktsegment = 'BUILDING')"
+        ),
+        "orders_by_nation": (
+            "SELECT n_name, count(*) AS n_orders, "
+            "round(sum(o_totalprice), 2) AS sum_price "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"
+        ),
+        "events_hourly": (
+            "SELECT user_id, epoch_us(ts) // 3600000000 AS hour_bucket, "
+            "count(*) AS n_events, round(sum(value), 2) AS sum_value "
+            "FROM events GROUP BY 1, 2"
+        ),
+        "token_stats": (
+            "SELECT doc_id, "
+            "len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens, "
+            "length(regexp_replace(text, '[\\w\\s]', '', 'g')) AS n_punct "
+            "FROM documents"
+        ),
+        "fingerprint": (
+            "SELECT doc_id, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) "
+            "AS fingerprint FROM documents"
+        ),
+        "dedup_exact": (
+            "SELECT md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS "
+            "fingerprint, min(doc_id) AS keep_id, count(*) AS n_dups "
+            "FROM documents GROUP BY 1"
+        ),
+        "embedding_near_dup": (
+            "SELECT a.vec_id AS id_a, b.vec_id AS id_b "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE list_dot_product(a.embedding, b.embedding) / "
+            "(sqrt(list_dot_product(a.embedding, a.embedding)) * "
+            " sqrt(list_dot_product(b.embedding, b.embedding))) >= 0.45"
+        ),
+        "ann_topk": (
+            "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0), "
+            "n AS (SELECT vec_id, list_dot_product(embedding, qe) / "
+            "(sqrt(list_dot_product(embedding, embedding)) * "
+            " sqrt(list_dot_product(qe, qe))) AS cos FROM embeddings, q) "
+            "SELECT vec_id FROM n ORDER BY cos DESC, vec_id LIMIT 10"
+        ),
+    }

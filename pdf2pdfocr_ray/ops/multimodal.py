@@ -1,0 +1,181 @@
+"""Multimodal column operators: image / audio / video as opaque ``binary``
+columns with typed metadata.
+
+The Ray-side plumbing — schemas, actor-pool stages, batch sizing for wide
+binary rows, error columns — is real and tested.  Codec internals that need
+native libraries absent from this container (JPEG/TIFF decode, audio
+resample, video demux) are STUBBED: they either raise NotImplementedError
+(``strict=True``) or produce a clearly-marked deterministic fake derived
+from the payload hash (``strict=False``), so pipelines exercise the full
+distributed path end-to-end.  PNG decode/resize is REAL (pngcodec).
+
+Batch-size guidance baked into the helpers: image rows are MBs wide —
+``batch_size`` small (8-32) and ``batch_format="pyarrow"`` so binary columns
+never round-trip through pandas object dtype.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import TYPE_CHECKING
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.pngcodec import decode_png, encode_png
+
+if TYPE_CHECKING:
+    import ray.data
+
+IMAGE_META_SCHEMA = [
+    ("width", pa.int32()),
+    ("height", pa.int32()),
+    ("channels", pa.int32()),
+    ("mean_luma", pa.float64()),
+    ("decode_error", pa.string()),
+]
+
+
+def _fake_dims(payload: bytes) -> tuple[int, int]:
+    h = hashlib.md5(payload[:64]).digest()
+    return 64 + h[0] % 192, 64 + h[1] % 192
+
+
+class ImageDecodeStage:
+    """Actor stage: binary image column -> decoded metadata + luma stats.
+
+    PNG: real decode.  JPEG/TIFF: stub (strict -> NotImplementedError noted
+    in decode_error; else deterministic fake dims)."""
+
+    def __init__(self, image_col: str = "image", strict: bool = False):
+        self.image_col = image_col
+        self.strict = strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        widths, heights, chans, lumas, errs = [], [], [], [], []
+        for payload in batch.column(self.image_col).to_pylist():
+            if payload is None:
+                widths.append(0); heights.append(0); chans.append(0)
+                lumas.append(0.0); errs.append("null_payload")
+                continue
+            if payload.startswith(b"\x89PNG"):
+                try:
+                    img = decode_png(payload)
+                    widths.append(img.shape[1]); heights.append(img.shape[0])
+                    chans.append(img.shape[2])
+                    lumas.append(float(img.mean())); errs.append(None)
+                except Exception as e:  # noqa: BLE001
+                    widths.append(0); heights.append(0); chans.append(0)
+                    lumas.append(0.0); errs.append(f"png: {e}")
+            elif self.strict:
+                raise NotImplementedError(
+                    "non-PNG image decode requires an image library not in "
+                    "this container (drop a real decoder into this stage)"
+                )
+            else:
+                w, h = _fake_dims(payload)
+                widths.append(w); heights.append(h); chans.append(3)
+                lumas.append(float(payload[0])); errs.append("stub_decode")
+        for name, typ, vals in [
+            ("width", pa.int32(), widths),
+            ("height", pa.int32(), heights),
+            ("channels", pa.int32(), chans),
+            ("mean_luma", pa.float64(), lumas),
+            ("decode_error", pa.string(), errs),
+        ]:
+            batch = batch.append_column(name, pa.array(vals, typ))
+        return batch
+
+
+class ImageResizeStage:
+    """Actor stage: real nearest-neighbor resize for PNG payloads."""
+
+    def __init__(self, out_w: int, out_h: int, image_col: str = "image"):
+        self.out_w, self.out_h = out_w, out_h
+        self.image_col = image_col
+
+    def _resize(self, img: np.ndarray) -> np.ndarray:
+        h, w = img.shape[:2]
+        ys = (np.arange(self.out_h) * h // self.out_h).clip(0, h - 1)
+        xs = (np.arange(self.out_w) * w // self.out_w).clip(0, w - 1)
+        return img[ys][:, xs]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = []
+        for payload in batch.column(self.image_col).to_pylist():
+            if payload is None or not payload.startswith(b"\x89PNG"):
+                out.append(None)
+                continue
+            try:
+                out.append(encode_png(self._resize(decode_png(payload))))
+            except Exception:  # noqa: BLE001
+                out.append(None)
+        return batch.append_column("image_resized", pa.array(out, pa.binary()))
+
+
+class AudioFeatureStage:
+    """STUB actor stage: audio binary -> (duration_s, n_samples, rms) fake
+    features derived deterministically from payload bytes.  Real resample/
+    spectrogram code drops into ``_features``; the distributed plumbing
+    (actor pool, small batches, error column) is what this stage tests."""
+
+    def __init__(self, audio_col: str = "audio", strict: bool = False):
+        self.audio_col = audio_col
+        self.strict = strict
+
+    def _features(self, payload: bytes) -> tuple[float, int, float]:
+        if self.strict:
+            raise NotImplementedError("audio decode not available in container")
+        h = hashlib.md5(payload[:128]).digest()
+        n = max(1, len(payload)) * 4
+        return n / 16000.0, n, float(h[2]) / 255.0
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        durs, ns, rms = [], [], []
+        for payload in batch.column(self.audio_col).to_pylist():
+            d, n, r = self._features(payload or b"")
+            durs.append(d); ns.append(n); rms.append(r)
+        return (
+            batch.append_column("duration_s", pa.array(durs, pa.float64()))
+            .append_column("n_samples", pa.array(ns, pa.int64()))
+            .append_column("rms", pa.array(rms, pa.float64()))
+        )
+
+
+class VideoFrameSampleStage:
+    """STUB actor stage: video binary -> K sampled 'frames' (PNG bytes of
+    deterministic solid-color fakes).  Real demuxing drops into ``_frames``."""
+
+    def __init__(self, n_frames: int = 3, video_col: str = "video",
+                 strict: bool = False):
+        self.n_frames = n_frames
+        self.video_col = video_col
+        self.strict = strict
+
+    def _frames(self, payload: bytes) -> list[bytes]:
+        if self.strict:
+            raise NotImplementedError("video demux not available in container")
+        h = hashlib.md5(payload[:64]).digest()
+        out = []
+        for i in range(self.n_frames):
+            img = np.full((16, 16, 3), h[i % 16], dtype=np.uint8)
+            out.append(encode_png(img))
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        frames = [self._frames(p or b"") for p in
+                  batch.column(self.video_col).to_pylist()]
+        return batch.append_column(
+            "frames", pa.array(frames, pa.list_(pa.binary()))
+        )
+
+
+def decode_images(ds: "ray.data.Dataset", image_col: str = "image",
+                  concurrency=(1, 4), batch_size: int = 16) -> "ray.data.Dataset":
+    return ds.map_batches(
+        ImageDecodeStage,
+        fn_constructor_kwargs={"image_col": image_col},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

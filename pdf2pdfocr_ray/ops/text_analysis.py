@@ -1,0 +1,171 @@
+"""Text-analysis operators for large-scale training-data pipelines: token
+counting, quality statistics, language ID, document fingerprinting.
+
+All are stateless-or-warm-state ``map_batches`` stages over a text column
+(here the driver's ``documents`` table, or the engine's ``extracted`` output).
+Counting/statistics stages are exactly SQL-expressible (DuckDB oracles in
+``__ray_entry__``); language-ID is a heuristic model (rows-only check).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from typing import TYPE_CHECKING
+
+import pandas as pd
+
+if TYPE_CHECKING:
+    import ray.data
+
+_TOKEN_RE = re.compile(r"\S+")
+# BPE-ish subword splitter: runs of letters, runs of digits, single other char
+_BPE_RE = re.compile(r"[A-Za-zÀ-ɏ]+|[0-9]+|[^A-Za-z0-9\s]")
+_PUNCT_RE = re.compile(r"[^\w\s]", re.UNICODE)
+
+# Tiny per-language stopword profiles for the n-gram/stopword language-ID
+# heuristic (the shape of a fasttext-style lang-id stage without a model
+# download; real models drop into the same actor slot).
+_LANG_STOPWORDS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "it", "that", "for"},
+    "de": {"der", "die", "und", "das", "ist", "nicht", "ein", "mit", "zu", "den"},
+    "fr": {"le", "la", "et", "les", "des", "un", "une", "est", "que", "pour"},
+    "pt": {"o", "a", "de", "que", "e", "do", "da", "em", "um", "para"},
+    "es": {"el", "la", "de", "que", "y", "en", "un", "los", "se", "no"},
+}
+
+
+def token_stats(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+    """Vectorized token/char/punct counts (SQL-oracle-able)."""
+    s = batch[text_col]
+    batch = batch.copy()
+    batch["n_tokens"] = s.str.count(_TOKEN_RE).astype("int64")
+    batch["n_chars_measured"] = s.str.len().astype("int64")
+    batch["n_punct"] = s.str.count(_PUNCT_RE).astype("int64")
+    return batch
+
+
+def bpe_token_count(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+    batch = batch.copy()
+    batch["n_bpe_tokens"] = batch[text_col].str.count(_BPE_RE).astype("int64")
+    return batch
+
+
+def fingerprint_md5(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+    """Whitespace-normalized md5 fingerprint — matches DuckDB
+    ``md5(lower(regexp_replace(text, '\\s+', ' ', 'g')))`` exactly."""
+    batch = batch.copy()
+    norm = batch[text_col].str.replace(r"\s+", " ", regex=True).str.lower()
+    batch["fingerprint"] = [
+        hashlib.md5(t.encode("utf-8")).hexdigest() for t in norm
+    ]
+    return batch
+
+
+def rolling_fingerprints(text: str, window: int = 8, base: int = 257,
+                         mod: int = (1 << 61) - 1) -> list[int]:
+    """Rabin-Karp rolling hashes over the token stream (winnowing-style doc
+    fingerprinting; not SQL-expressible)."""
+    toks = _TOKEN_RE.findall(text.lower())
+    hs = [0] * max(0, len(toks) - window + 1)
+    if not hs:
+        return []
+    pw = pow(base, window - 1, mod)
+    h = 0
+    th = [hash(t) & 0xFFFFFFFF for t in toks]
+    for i, v in enumerate(th[:window]):
+        h = (h * base + v) % mod
+    hs[0] = h
+    for i in range(1, len(hs)):
+        h = ((h - th[i - 1] * pw) * base + th[i + window - 1]) % mod
+        hs[i] = h
+    return hs
+
+
+class QualityScorer:
+    """Stateful quality-scoring stage (compiled regexes + stopword set bound
+    once per actor).  Gopher-style heuristics: length, mean word length,
+    stopword ratio, punctuation ratio, alpha ratio."""
+
+    def __init__(self) -> None:
+        self.token_re = _TOKEN_RE
+        self.punct_re = _PUNCT_RE
+        self.stop = frozenset().union(*_LANG_STOPWORDS.values())
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch["text"]
+        n_tok, stop_ratio, mean_len, alpha_ratio, punct_ratio = [], [], [], [], []
+        for t in texts:
+            toks = self.token_re.findall(t)
+            n = len(toks)
+            n_tok.append(n)
+            if n == 0:
+                stop_ratio.append(0.0)
+                mean_len.append(0.0)
+            else:
+                stop_ratio.append(sum(tk.lower() in self.stop for tk in toks) / n)
+                mean_len.append(sum(len(tk) for tk in toks) / n)
+            nc = max(1, len(t))
+            alpha_ratio.append(sum(c.isalpha() for c in t) / nc)
+            punct_ratio.append(len(self.punct_re.findall(t)) / nc)
+        out = batch.copy()
+        out["n_tokens"] = pd.Series(n_tok, index=batch.index, dtype="int64")
+        out["stopword_ratio"] = stop_ratio
+        out["mean_word_len"] = mean_len
+        out["alpha_ratio"] = alpha_ratio
+        out["punct_ratio"] = punct_ratio
+        # composite quality verdict (deterministic bool, hash-stable)
+        out["is_quality"] = (
+            (out["n_tokens"] >= 5)
+            & (out["mean_word_len"].between(2.0, 12.0))
+            & (out["alpha_ratio"] >= 0.5)
+        )
+        return out
+
+
+class LangId:
+    """Stopword-profile language-ID actor stage (heuristic; rows-only check)."""
+
+    def __init__(self) -> None:
+        self.profiles = {k: frozenset(v) for k, v in _LANG_STOPWORDS.items()}
+        self.token_re = _TOKEN_RE
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        preds, confs = [], []
+        for t in batch["text"]:
+            toks = [w.lower() for w in self.token_re.findall(t)[:200]]
+            best, best_n = "und", 0
+            for lang, stop in self.profiles.items():
+                n = sum(tk in stop for tk in toks)
+                if n > best_n:
+                    best, best_n = lang, n
+            preds.append(best)
+            confs.append(best_n / max(1, len(toks)))
+        out = batch.copy()
+        out["lang_pred"] = preds
+        out["lang_conf"] = confs
+        return out
+
+
+def add_token_stats(ds: "ray.data.Dataset", text_col: str = "text") -> "ray.data.Dataset":
+    import functools
+
+    return ds.map_batches(
+        functools.partial(token_stats, text_col=text_col), batch_format="pandas"
+    )
+
+
+def add_fingerprint(ds: "ray.data.Dataset", text_col: str = "text") -> "ray.data.Dataset":
+    import functools
+
+    return ds.map_batches(
+        functools.partial(fingerprint_md5, text_col=text_col), batch_format="pandas"
+    )
+
+
+def add_quality(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    return ds.map_batches(QualityScorer, batch_format="pandas", concurrency=(1, 4))
+
+
+def add_lang_id(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    return ds.map_batches(LangId, batch_format="pandas", concurrency=(1, 4))

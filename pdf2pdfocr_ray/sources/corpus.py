@@ -154,74 +154,95 @@ def _make_html_doc(rng: np.random.Generator) -> tuple[bytes, str]:
     return html.encode("utf-8"), "\n\n".join(paras)
 
 
-def generate_corpus(
-    n_docs: int, seed: int = 42
-) -> tuple[pa.Table, pa.Table]:
-    """Return (pages_table, golden_table), both deterministic in (n_docs, seed)."""
-    rng = np.random.default_rng(seed)
+GIANT_EVERY = 150  # every 150th doc is a skewed giant PDF (repartition/skew path)
+
+
+def _gen_doc(i: int, seed: int):
+    """Generate document i (independent of n_docs: rng seeded per doc)."""
+    rng = np.random.default_rng([seed, i])
+    r = rng.random()
+    if i % GIANT_EVERY == 0:
+        kind = "pdf_giant"
+    elif r < 0.70:
+        kind = "html"
+    elif r < 0.90:
+        kind = "pdf"
+    elif r < 0.95:
+        kind = "image"
+    else:
+        kind = ("encrypted", "junk", "zero", "native", "badpdf")[
+            int(rng.integers(0, 5))
+        ]
+
+    url = f"https://example.org/{kind}/{i:08d}"
+    if kind == "html":
+        payload, golden = _make_html_doc(rng)
+        route, n_pages, error = "html", 1, None
+    elif kind == "pdf":
+        payload, golden = _make_pdf_doc(rng, int(rng.integers(1, 6)))
+        route, n_pages, error = "pdf", payload_pages(payload), None
+    elif kind == "pdf_giant":
+        payload, golden = _make_pdf_doc(rng, int(rng.integers(40, 81)), distort=False)
+        route, n_pages, error = "pdf", payload_pages(payload), None
+    elif kind == "image":
+        payload, golden = _make_image_doc(rng)
+        route, n_pages, error = "image", 1, None
+    elif kind == "encrypted":
+        payload, _ = _make_pdf_doc(rng, int(rng.integers(1, 4)), encrypted=True)
+        route, golden, n_pages, error = "pdf", None, payload_pages(payload), "encrypted"
+    elif kind == "native":
+        # PDF that already has a text layer: extracted normally (reference
+        # default without -t processes them; has_native_text is a column)
+        payload, golden = _make_pdf_doc(rng, int(rng.integers(1, 4)), native_text=True)
+        route, n_pages, error = "pdf", payload_pages(payload), None
+    elif kind == "zero":
+        payload, golden = b"", None
+        route, n_pages, error = "error", 0, "unsupported_type"
+    elif kind == "badpdf":
+        good, _ = _make_pdf_doc(rng, 2)
+        payload = good[: len(good) // 3]  # truncated: no trailer/%%EOF
+        golden, route, n_pages, error = None, "pdf", 0, "corrupt_pdf"
+    else:  # junk: leading NUL guarantees no magic-prefix collision
+        payload = b"\x00" + bytes(
+            rng.integers(1, 255, int(rng.integers(16, 200)), dtype=np.uint8)
+        )
+        golden, route, n_pages, error = None, "error", 0, "unsupported_type"
+
+    noisy = (golden or "")[:80] + (" …" if golden and len(golden) > 80 else "")
+    page_row = {
+        "url": url,
+        "warc_ts": EPOCH_US + i * 1_000_000,
+        "html": payload,
+        "text": noisy,
+        "lang": LANGS[int(rng.integers(0, len(LANGS)))],
+    }
+    golden_row = {
+        "url": url,
+        "route": route,
+        "extracted_text": golden,
+        "n_pages": n_pages,
+        "error": error,
+    }
+    return page_row, golden_row
+
+
+def generate_corpus(n_docs: int, seed: int = 42) -> tuple[pa.Table, pa.Table]:
+    """Return (pages_table, golden_table).  Deterministic per (seed, doc id) —
+    doc i's content is independent of n_docs, so any prefix/shard of the
+    corpus is stable (what lets generation itself run as a Ray job)."""
     urls, tss, payloads, texts, langs = [], [], [], [], []
     g_routes, g_texts, g_npages, g_errors = [], [], [], []
-
-    n_giants = max(1, n_docs // 150)
     for i in range(n_docs):
-        r = rng.random()
-        if i < n_giants:
-            kind = "pdf_giant"
-        elif r < 0.70:
-            kind = "html"
-        elif r < 0.90:
-            kind = "pdf"
-        elif r < 0.95:
-            kind = "image"
-        else:
-            kind = ("encrypted", "junk", "zero", "native", "badpdf")[
-                int(rng.integers(0, 5))
-            ]
-
-        url = f"https://example.org/{kind}/{i:08d}"
-        if kind == "html":
-            payload, golden = _make_html_doc(rng)
-            route, n_pages, error = "html", 1, None
-        elif kind == "pdf":
-            payload, golden = _make_pdf_doc(rng, int(rng.integers(1, 6)))
-            route, n_pages, error = "pdf", payload_pages(payload), None
-        elif kind == "pdf_giant":
-            payload, golden = _make_pdf_doc(rng, int(rng.integers(40, 81)), distort=False)
-            route, n_pages, error = "pdf", payload_pages(payload), None
-        elif kind == "image":
-            payload, golden = _make_image_doc(rng)
-            route, n_pages, error = "image", 1, None
-        elif kind == "encrypted":
-            payload, _ = _make_pdf_doc(rng, int(rng.integers(1, 4)), encrypted=True)
-            route, golden, n_pages, error = "pdf", None, payload_pages(payload), "encrypted"
-        elif kind == "native":
-            # PDF that already has a text layer: extracted normally (reference
-            # default without -t processes them; has_native_text is a column)
-            payload, golden = _make_pdf_doc(rng, int(rng.integers(1, 4)), native_text=True)
-            route, n_pages, error = "pdf", payload_pages(payload), None
-        elif kind == "zero":
-            payload, golden = b"", None
-            route, n_pages, error = "error", 0, "unsupported_type"
-        elif kind == "badpdf":
-            good, _ = _make_pdf_doc(rng, 2)
-            payload = good[: len(good) // 3]  # truncated: no trailer/%%EOF
-            golden, route, n_pages, error = None, "pdf", 0, "corrupt_pdf"
-        else:  # junk: leading NUL guarantees no magic-prefix collision
-            payload = b"\x00" + bytes(
-                rng.integers(1, 255, int(rng.integers(16, 200)), dtype=np.uint8)
-            )
-            golden, route, n_pages, error = None, "error", 0, "unsupported_type"
-
-        urls.append(url)
-        tss.append(EPOCH_US + i * 1_000_000)
-        payloads.append(payload)
-        noisy = (golden or "")[:80]
-        texts.append(noisy + (" …" if golden and len(golden) > 80 else ""))
-        langs.append(LANGS[int(rng.integers(0, len(LANGS)))])
-        g_routes.append(route)
-        g_texts.append(golden)
-        g_npages.append(n_pages)
-        g_errors.append(error)
+        p, g = _gen_doc(i, seed)
+        urls.append(p["url"])
+        tss.append(p["warc_ts"])
+        payloads.append(p["html"])
+        texts.append(p["text"])
+        langs.append(p["lang"])
+        g_routes.append(g["route"])
+        g_texts.append(g["extracted_text"])
+        g_npages.append(g["n_pages"])
+        g_errors.append(g["error"])
 
     pages = pa.table(
         {
@@ -251,6 +272,52 @@ def payload_pages(pdf_bytes: bytes) -> int:
 
     m = re.search(rb"/Count (\d+)", pdf_bytes)
     return int(m.group(1)) if m else 0
+
+
+COMBINED_SCHEMA = pa.schema(
+    list(PAGES_SCHEMA)
+    + [
+        ("g_route", pa.string()),
+        ("g_text", pa.string()),
+        ("g_npages", pa.int32()),
+        ("g_error", pa.string()),
+    ]
+)
+
+
+def _gen_batch(batch: pa.Table, seed: int) -> pa.Table:
+    """Ray batch fn: block of doc ids -> combined pages+golden rows."""
+    cols: dict[str, list] = {n: [] for n in COMBINED_SCHEMA.names}
+    for i in batch.column("id").to_pylist():
+        p, g = _gen_doc(int(i), seed)
+        cols["url"].append(p["url"])
+        cols["warc_ts"].append(p["warc_ts"])
+        cols["html"].append(p["html"])
+        cols["text"].append(p["text"])
+        cols["lang"].append(p["lang"])
+        cols["g_route"].append(g["route"])
+        cols["g_text"].append(g["extracted_text"])
+        cols["g_npages"].append(g["n_pages"])
+        cols["g_error"].append(g["error"])
+    return pa.table(cols, schema=COMBINED_SCHEMA)
+
+
+def write_corpus_parquet_ray(
+    out_dir: str, n_docs: int, seed: int = 42, docs_per_block: int = 500
+) -> str:
+    """Generate the corpus AS a Ray job (bench-scale path): range(n) →
+    map_batches(_gen_doc) → write_parquet.  Combined pages+golden columns in
+    one layout; consumers prune (`columns=[...]`) at the read."""
+    import functools
+
+    import ray.data
+
+    n_blocks = max(1, (n_docs + docs_per_block - 1) // docs_per_block)
+    ds = ray.data.range(n_docs, override_num_blocks=n_blocks)
+    ds.map_batches(
+        functools.partial(_gen_batch, seed=seed), batch_format="pyarrow"
+    ).write_parquet(out_dir)
+    return out_dir
 
 
 def write_corpus_parquet(
