@@ -25,10 +25,33 @@ class PipelineConfig:
     ocr_engine: str = "template"  # "template" | "no_ocr"
 
     # execution sizing (reference -j parallel percent; pdf2pdfocr.py:527-529)
-    doc_batch_size: int = 32  # rows per fan-out batch (binary payloads are wide)
+    # Rows (docs) per sniff/fan-out batch.  Small on purpose: the narrow path
+    # (sniff→fanout→OCR) fuses into the actor pool, so the batch is the unit
+    # of load balancing across actors — 4 docs bounds a skewed giant doc's
+    # task to ~the giant itself (measured: dbs=4 → 395 docs/s vs dbs=32 →
+    # 216 docs/s at 32 CPUs; see BASELINE.md).
+    doc_batch_size: int = 4
     page_batch_size: int = 16  # page-image rows per OCR batch
-    # OCR actor pool size. An autoscaling (min, max) tuple: a fixed pool equal
-    # to the cluster CPU count starves the read stage (observed deadlock on an
-    # 8-CPU local cluster with concurrency=8).
-    ocr_concurrency: int | tuple[int, int] = (1, 8)
-    shuffle_partitions: int = 0  # 0 = let Ray pick (groupby num_partitions)
+    # OCR actor pool size. None = size from cluster CPUs at pipeline build:
+    # cpus - max(2, cpus//8), leaving headroom for the read and assemble
+    # stages — a pool equal to the cluster CPU count starves the read stage
+    # (observed deadlock on an 8-CPU local cluster with concurrency=8).
+    ocr_concurrency: int | tuple[int, int] | None = None
+    # Split/coalesce page blocks to ~page_batch_size rows between fan-out and
+    # OCR (streaming repartition, no all-to-all): spreads one giant doc's
+    # pages across the whole actor pool, at the cost of unfusing the narrow
+    # path (separate fan-out tasks + a block-split barrier).  Default OFF:
+    # with doc_batch_size=4 the fused path is ~1.8x faster at this page size
+    # (72 DPI ≈ 50 KB rows).  Turn ON when page rows are wide (300 DPI ≈
+    # multi-MB rows) or docs exceed ~1k pages: then one doc's pages must not
+    # sit in one actor task's heap.
+    page_rebalance: bool = False
+    shuffle_partitions: int = 0  # 0 = cluster CPU count (assemble shuffle)
+
+    def resolve_ocr_concurrency(self) -> int | tuple[int, int]:
+        if self.ocr_concurrency is not None:
+            return self.ocr_concurrency
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        return max(2, cpus - max(2, cpus // 8))

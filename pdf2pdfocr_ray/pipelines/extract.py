@@ -41,15 +41,21 @@ def extract(
         batch_format="pyarrow",
         batch_size=cfg.doc_batch_size,
     )
+    if cfg.page_rebalance:
+        # Streaming split/coalesce (NOT an all-to-all): evens out giant-doc
+        # page runs so the OCR pool sees uniform ~page_batch_size blocks.
+        page_rows = page_rows.repartition(
+            target_num_rows_per_block=cfg.page_batch_size
+        )
     ocred = page_rows.map_batches(
         OcrStage,
         fn_constructor_kwargs={"config": cfg},
         batch_format="pyarrow",
         batch_size=cfg.page_batch_size,
-        concurrency=cfg.ocr_concurrency,
+        concurrency=cfg.resolve_ocr_concurrency(),
         num_cpus=1,
     )
-    return reassemble(ocred)
+    return reassemble(ocred, shuffle_partitions=cfg.shuffle_partitions)
 
 
 def extract_from_parquet(
