@@ -178,17 +178,18 @@ def _q_fingerprint(sf_dir: str):
 
 def _q_dedup_exact(sf_dir: str):
     """Exact-dedup groups: content hash -> kept (min) id + group size."""
-    from ray.data.aggregate import Count, Min
-
+    from pdf2pdfocr_ray.ops.grouped import sorted_groupby
     from pdf2pdfocr_ray.ops.relational import read
     from pdf2pdfocr_ray.ops.text_analysis import add_fingerprint
 
     ds = read(sf_dir, "documents", ["doc_id", "text"])
-    return (
-        add_fingerprint(ds)
-        .groupby("fingerprint")
-        .aggregate(Min("doc_id", alias_name="keep_id"), Count(alias_name="n_dups"))
-    )
+
+    def agg_block(df):
+        return df.groupby("fingerprint", as_index=False).agg(
+            keep_id=("doc_id", "min"), n_dups=("doc_id", "size")
+        )
+
+    return sorted_groupby(add_fingerprint(ds), "fingerprint", agg_block)
 
 
 def _q_dedup_minhash(sf_dir: str):
@@ -246,13 +247,16 @@ def _q_ann_lsh(sf_dir: str):
 
 
 def _q_lang_id(sf_dir: str):
-    from ray.data.aggregate import Count
-
+    from pdf2pdfocr_ray.ops.grouped import sorted_groupby
     from pdf2pdfocr_ray.ops.relational import read
     from pdf2pdfocr_ray.ops.text_analysis import add_lang_id
 
     ds = read(sf_dir, "documents", ["doc_id", "text"])
-    return add_lang_id(ds).groupby("lang_pred").aggregate(Count(alias_name="n"))
+
+    def agg_block(df):
+        return df.groupby("lang_pred", as_index=False).agg(n=("lang_pred", "size"))
+
+    return sorted_groupby(add_lang_id(ds), "lang_pred", agg_block)
 
 
 def _q_quality(sf_dir: str):

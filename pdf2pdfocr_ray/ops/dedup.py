@@ -53,13 +53,16 @@ def dedup_exact(ds: "ray.data.Dataset", text_col: str = "text",
         ]
         return batch
 
-    def first_per_group(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(id_col).head(1)
+    def first_per_block(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["content_hash", id_col], kind="stable")
+        return df.groupby("content_hash", as_index=False).head(1)
 
-    return (
-        ds.map_batches(add_hash, batch_format="pandas")
-        .groupby("content_hash")
-        .map_groups(first_per_group, batch_format="pandas")
+    from .grouped import sorted_groupby
+
+    return sorted_groupby(
+        ds.map_batches(add_hash, batch_format="pandas"),
+        "content_hash",
+        first_per_block,
     )
 
 
@@ -156,30 +159,42 @@ def dedup_minhash_lsh(
         batch_format="pandas",
     )
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []})
-        g = g.sort_values(id_col).head(max_bucket)  # hot-bucket cap (logged)
-        ids = g[id_col].to_numpy()
-        sig_mat = np.asarray([np.asarray(s, dtype=np.uint64) for s in g["minhash_sig"]])
-        a_idx, b_idx = np.triu_indices(len(ids), k=1)
-        est = (sig_mat[a_idx] == sig_mat[b_idx]).mean(axis=1)
-        keep = est >= threshold
+    from .grouped import sorted_groupby
+
+    def bucket_pairs_block(df: pd.DataFrame) -> pd.DataFrame:
+        # Vectorized prefilter: singleton buckets (the vast majority) drop
+        # before the per-bucket pair loop.
+        sizes = df.groupby(["band_id", "band_hash"])[id_col].transform("size")
+        df = df[sizes >= 2]
+        out_a: list = []
+        out_b: list = []
+        out_est: list = []
+        for _, g in df.groupby(["band_id", "band_hash"], sort=False):
+            g = g.sort_values(id_col).head(max_bucket)  # hot-bucket cap
+            ids = g[id_col].to_numpy()
+            sig_mat = np.asarray(
+                [np.asarray(s, dtype=np.uint64) for s in g["minhash_sig"]]
+            )
+            a_idx, b_idx = np.triu_indices(len(ids), k=1)
+            est = (sig_mat[a_idx] == sig_mat[b_idx]).mean(axis=1)
+            keep = est >= threshold
+            out_a.extend(ids[a_idx][keep])
+            out_b.extend(ids[b_idx][keep])
+            out_est.extend(est[keep])
         return pd.DataFrame(
-            {"id_a": ids[a_idx][keep], "id_b": ids[b_idx][keep],
-             "est_jaccard": est[keep]}
+            {
+                "id_a": pd.Series(out_a, dtype="int64"),
+                "id_b": pd.Series(out_b, dtype="int64"),
+                "est_jaccard": pd.Series(out_est, dtype="float64"),
+            }
         )
 
-    pairs = band_rows.groupby(["band_id", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas"
-    )
+    pairs = sorted_groupby(band_rows, ["band_id", "band_hash"], bucket_pairs_block)
 
-    def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
+    def dedup_pairs_block(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["id_a", "id_b"])
 
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        dedup_pairs, batch_format="pandas"
-    )
+    return sorted_groupby(pairs, ["id_a", "id_b"], dedup_pairs_block)
 
 
 # ------------------------------------------------------------------- simhash
@@ -233,27 +248,40 @@ def dedup_simhash(
              "simhash": hashes}
         )
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
-        g = g.sort_values(id_col).head(max_bucket)
-        ids = g[id_col].to_numpy()
-        hs = g["simhash"].to_numpy(dtype=np.uint64)
-        a, b = np.triu_indices(len(ids), k=1)
-        x = hs[a] ^ hs[b]
-        ham = np.array([bin(int(v)).count("1") for v in x])
-        keep = ham <= max_hamming
+    from .grouped import sorted_groupby
+
+    def bucket_pairs_block(df: pd.DataFrame) -> pd.DataFrame:
+        sizes = df.groupby(["chunk_id", "chunk_val"])[id_col].transform("size")
+        df = df[sizes >= 2]
+        out_a: list = []
+        out_b: list = []
+        out_h: list = []
+        for _, g in df.groupby(["chunk_id", "chunk_val"], sort=False):
+            g = g.sort_values(id_col).head(max_bucket)
+            ids = g[id_col].to_numpy()
+            hs = g["simhash"].to_numpy(dtype=np.uint64)
+            a, b = np.triu_indices(len(ids), k=1)
+            x = hs[a] ^ hs[b]
+            ham = np.array([bin(int(v)).count("1") for v in x], dtype=np.int64)
+            keep = ham <= max_hamming
+            out_a.extend(ids[a][keep])
+            out_b.extend(ids[b][keep])
+            out_h.extend(ham[keep])
         return pd.DataFrame(
-            {"id_a": ids[a][keep], "id_b": ids[b][keep], "hamming": ham[keep]}
+            {
+                "id_a": pd.Series(out_a, dtype="int64"),
+                "id_b": pd.Series(out_b, dtype="int64"),
+                "hamming": pd.Series(out_h, dtype="int64"),
+            }
         )
 
-    pairs = (
-        with_hash.map_batches(explode, batch_format="pandas")
-        .groupby(["chunk_id", "chunk_val"])
-        .map_groups(bucket_pairs, batch_format="pandas")
+    pairs = sorted_groupby(
+        with_hash.map_batches(explode, batch_format="pandas"),
+        ["chunk_id", "chunk_val"],
+        bucket_pairs_block,
     )
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+    return sorted_groupby(
+        pairs, ["id_a", "id_b"], lambda df: df.drop_duplicates(["id_a", "id_b"])
     )
 
 

