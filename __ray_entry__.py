@@ -268,6 +268,38 @@ def _q_quality(sf_dir: str):
     return out.select_columns(["doc_id", "n_tokens", "is_quality"])
 
 
+def _q_checkpointed_extract(sf_dir: str):
+    """Flagship extraction through the checkpoint/lineage path: shard-wise
+    write + per-shard _MANIFEST.json, then resume (second call skips all
+    shards).  Returns the extracted table read back from the checkpoint."""
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from pdf2pdfocr_ray.sources.corpus import generate_corpus
+    from pdf2pdfocr_ray.state.checkpoint import run_checkpointed
+
+    pages, _ = generate_corpus(120, SEED)
+    tmp = tempfile.mkdtemp(prefix="ckpt_q_")
+    try:
+        src = f"{tmp}/pages.parquet"
+        pq.write_table(pages, src)
+
+        def factory():
+            return ray.data.read_parquet(src)
+
+        out = f"{tmp}/out"
+        s1 = run_checkpointed(factory, out, num_shards=4)
+        s2 = run_checkpointed(factory, out, num_shards=4)  # exact resume
+        assert all(v == "skipped" for v in s2["shards"].values())
+        df = ray.data.read_parquet(out).to_pandas()
+        return df[["url", "route", "extracted_text", "n_pages", "error"]]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _q_multimodal_decode(sf_dir: str):
     """Image rows of the corpus through the (real-PNG) decode actor stage."""
     import pyarrow.compute as pc
@@ -312,6 +344,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": _q_lang_id,
         "quality": _q_quality,
         "multimodal_decode": _q_multimodal_decode,
+        "checkpointed_extract": _q_checkpointed_extract,
     }
 
 

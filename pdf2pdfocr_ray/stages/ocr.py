@@ -128,7 +128,15 @@ class OcrStage:
                 heights.append(0)
                 spans_col.append([] if self.keep_spans else None)
                 continue
-            t, spans, blank, grey, rot, skew, w, h, e = self._ocr_one(png, dpi)
+            if self.config.ocr_engine == "no_ocr":
+                # Reference -c no_ocr: OCR skipped entirely, pages pass
+                # through with no text layer (pdf2pdfocr.py:958-1003,
+                # 819-821 "ocr_ignored").
+                t, spans, blank, grey, rot, skew, w, h, e = (
+                    "", [], False, True, 0, 0.0, 0, 0, None
+                )
+            else:
+                t, spans, blank, grey, rot, skew, w, h, e = self._ocr_one(png, dpi)
             out_text.append(t)
             out_err.append(err if err is not None else e)
             blanks.append(blank)

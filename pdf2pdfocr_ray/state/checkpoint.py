@@ -1,0 +1,181 @@
+"""Checkpointed, resumable extraction output with per-partition lineage.
+
+The reference's only resume mechanism is safe-mode "skip if output file
+exists" (/root/reference/pdf2pdfocr.py:1161-1167).  The engine generalizes
+it to the north_rule requirement: deterministic output partitioning +
+per-partition lineage manifests + exact resume (SURVEY.md §4.2 J4 row).
+
+Layout::
+
+    out_dir/
+      shard=00000/           <- one url-hash shard of the corpus
+        *.parquet            <- extracted rows for that shard
+        _MANIFEST.json       <- written atomically AFTER the shard's data
+      shard=00001/...
+
+A shard is the unit of atomicity: its manifest is written (tmp + rename)
+only after ``write_parquet`` for the shard returns, so a crash mid-shard
+leaves a manifest-less directory that the next run wipes and redoes.
+Resume = skip every shard whose manifest exists AND whose ``config_hash``
+matches (a config change invalidates everything it would alter).
+
+Sharding key: ``crc32(url) % num_shards`` — stable across processes and
+runs (unlike Python's salted ``hash``), cheap, and the SAME key the
+re-assembly groupby uses, so one partitioning scheme serves both
+(SURVEY.md "pick ONE partitioning key").  At cluster scale the input
+corpus would be laid out pre-partitioned by this key so each shard read
+touches one input slice; here each shard filters at the read
+(predicate-inside-map_batches, zero-copy).
+
+The manifest records lineage + metrics: config hash, engine version, input
+row count, output rows, per-route counts, error count, wall seconds.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import json
+import os
+import shutil
+import time
+import zlib
+from typing import Callable
+
+import numpy as np
+import pyarrow as pa
+
+from ..config import PipelineConfig
+
+ENGINE_VERSION = "pdf2pdfocr_ray-r1"
+MANIFEST = "_MANIFEST.json"
+
+
+def config_hash(cfg: PipelineConfig) -> str:
+    payload = json.dumps(dataclasses.asdict(cfg), sort_keys=True, default=str)
+    return hashlib.md5(payload.encode()).hexdigest()
+
+
+def url_shard(urls, num_shards: int) -> np.ndarray:
+    """Stable shard id per url (vectorized-ish; crc32 is ~us/row)."""
+    return np.fromiter(
+        (zlib.crc32(u.encode("utf-8")) % num_shards for u in urls),
+        dtype=np.int64,
+        count=len(urls),
+    )
+
+
+def _shard_dir(out_dir: str, shard: int) -> str:
+    return os.path.join(out_dir, f"shard={shard:05d}")
+
+
+def _write_manifest(sdir: str, manifest: dict) -> None:
+    tmp = os.path.join(sdir, MANIFEST + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=2, sort_keys=True)
+    os.replace(tmp, os.path.join(sdir, MANIFEST))  # atomic publish
+
+
+def read_manifest(out_dir: str, shard: int) -> dict | None:
+    path = os.path.join(_shard_dir(out_dir, shard), MANIFEST)
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
+def completed_shards(out_dir: str, num_shards: int, cfg_hash: str) -> set[int]:
+    done = set()
+    for s in range(num_shards):
+        m = read_manifest(out_dir, s)
+        if m is not None and m.get("config_hash") == cfg_hash:
+            done.add(s)
+    return done
+
+
+def run_checkpointed(
+    pages_factory: Callable[[], "ray.data.Dataset"],  # noqa: F821
+    out_dir: str,
+    config: PipelineConfig | None = None,
+    num_shards: int = 8,
+) -> dict:
+    """Extract the corpus shard-by-shard with exact resume.
+
+    ``pages_factory`` returns a fresh lazy pages Dataset per call (a read,
+    not a materialized object — each shard execution re-reads and filters,
+    keeping per-shard memory bounded).  Returns a summary dict with
+    per-shard status ('done'|'resumed'|'skipped') and aggregate metrics.
+    """
+    from ..pipelines.extract import extract
+
+    cfg = config or PipelineConfig()
+    chash = config_hash(cfg)
+    os.makedirs(out_dir, exist_ok=True)
+    done = completed_shards(out_dir, num_shards, chash)
+
+    summary: dict = {"shards": {}, "rows": 0, "errors": 0, "wall_sec": 0.0}
+    for shard in range(num_shards):
+        if shard in done:
+            m = read_manifest(out_dir, shard)
+            summary["shards"][shard] = "skipped"
+            summary["rows"] += m["rows_out"]
+            summary["errors"] += m["n_errors"]
+            continue
+
+        sdir = _shard_dir(out_dir, shard)
+        shutil.rmtree(sdir, ignore_errors=True)  # wipe a crashed partial
+        t0 = time.time()
+
+        def keep_shard(t: pa.Table, _shard: int = shard) -> pa.Table:
+            mask = url_shard(t.column("url").to_pylist(), num_shards) == _shard
+            return t.filter(pa.array(mask))
+
+        ds = pages_factory().map_batches(keep_shard, batch_format="pyarrow")
+        n_in = ds.count()
+        res = extract(ds, cfg)
+        res.write_parquet(sdir)
+
+        # Lineage metrics from the written output (what actually landed).
+        import ray.data
+
+        out_ds = ray.data.read_parquet(sdir)
+        rows_out = out_ds.count()
+
+        def route_counts(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            routes = t.column("route")
+            errs = pc.sum(pc.cast(pc.is_valid(t.column("error")), pa.int64())).as_py()
+            vals, counts = np.unique(np.asarray(routes.to_pylist(), dtype=object), return_counts=True)
+            return pa.table(
+                {
+                    "route": pa.array([str(v) for v in vals]),
+                    "n": pa.array(counts, pa.int64()),
+                    "errs": pa.array([errs] * len(vals), pa.int64()),
+                }
+            )
+
+        rc = out_ds.map_batches(route_counts, batch_format="pyarrow").to_pandas()
+        per_route = rc.groupby("route")["n"].sum().to_dict()
+        n_errors = int(rc.groupby("route")["errs"].first().sum()) if len(rc) else 0
+        wall = time.time() - t0
+
+        _write_manifest(
+            sdir,
+            {
+                "shard": shard,
+                "num_shards": num_shards,
+                "config_hash": chash,
+                "engine_version": ENGINE_VERSION,
+                "rows_in": n_in,
+                "rows_out": rows_out,
+                "per_route": {str(k): int(v) for k, v in per_route.items()},
+                "n_errors": n_errors,
+                "wall_sec": round(wall, 3),
+            },
+        )
+        summary["shards"][shard] = "done"
+        summary["rows"] += rows_out
+        summary["errors"] += n_errors
+        summary["wall_sec"] += wall
+    return summary

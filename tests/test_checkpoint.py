@@ -1,0 +1,125 @@
+"""Checkpoint/resume tests (SURVEY.md §5.2 item 5, north_rule lineage +
+exact-resume requirement)."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from pdf2pdfocr_ray.config import PipelineConfig
+from pdf2pdfocr_ray.sources.corpus import generate_corpus
+from pdf2pdfocr_ray.state.checkpoint import (
+    MANIFEST,
+    completed_shards,
+    config_hash,
+    run_checkpointed,
+    url_shard,
+)
+
+N_DOCS = 60
+N_SHARDS = 4
+
+
+@pytest.fixture()
+def corpus_dir(tmp_path):
+    import pyarrow.parquet as pq
+
+    pages, golden = generate_corpus(N_DOCS, seed=42)
+    p = tmp_path / "pages.parquet"
+    pq.write_table(pages, str(p))
+    return str(p), golden
+
+
+def _factory(path):
+    def make():
+        import ray.data
+
+        return ray.data.read_parquet(path)
+
+    return make
+
+
+def _read_all(out_dir) -> pd.DataFrame:
+    frames = []
+    for f in glob.glob(os.path.join(out_dir, "shard=*", "*.parquet")):
+        frames.append(pd.read_parquet(f))
+    return (
+        pd.concat(frames).sort_values("url").reset_index(drop=True)
+        if frames
+        else pd.DataFrame()
+    )
+
+
+def test_full_run_writes_manifests_and_matches_golden(ray_session, corpus_dir, tmp_path):
+    path, golden = corpus_dir
+    out = str(tmp_path / "out")
+    summary = run_checkpointed(_factory(path), out, num_shards=N_SHARDS)
+    assert summary["rows"] == N_DOCS
+    assert all(v == "done" for v in summary["shards"].values())
+    for s in range(N_SHARDS):
+        m = json.load(open(os.path.join(out, f"shard={s:05d}", MANIFEST)))
+        assert m["rows_in"] == m["rows_out"]
+        assert m["config_hash"] == config_hash(PipelineConfig())
+    res = _read_all(out)
+    g = golden.to_pandas().sort_values("url").reset_index(drop=True)
+    assert len(res) == len(g)
+    for i in range(len(g)):
+        a, b = res["extracted_text"][i], g["extracted_text"][i]
+        assert (a == b) or (pd.isna(a) and pd.isna(b))
+
+
+def test_resume_skips_completed_shards(ray_session, corpus_dir, tmp_path):
+    path, _ = corpus_dir
+    out = str(tmp_path / "out")
+    run_checkpointed(_factory(path), out, num_shards=N_SHARDS)
+    before = _read_all(out)
+
+    # Simulate a crash on shard 2: drop its manifest (partial write).
+    victim = os.path.join(out, f"shard={2:05d}")
+    os.remove(os.path.join(victim, MANIFEST))
+    mtimes = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(os.path.join(out, "shard=*", "*.parquet"))
+        if "shard=00002" not in f
+    }
+
+    summary = run_checkpointed(_factory(path), out, num_shards=N_SHARDS)
+    statuses = summary["shards"]
+    assert statuses[2] == "done"
+    assert all(statuses[s] == "skipped" for s in (0, 1, 3))
+    # untouched shards were not rewritten
+    for f, t in mtimes.items():
+        assert os.path.getmtime(f) == t
+    after = _read_all(out)
+    pd.testing.assert_frame_equal(
+        before.fillna("∅"), after.fillna("∅"), check_like=True
+    )
+
+
+def test_config_change_invalidates(ray_session, corpus_dir, tmp_path):
+    path, _ = corpus_dir
+    out = str(tmp_path / "out")
+    run_checkpointed(_factory(path), out, num_shards=N_SHARDS)
+    done = completed_shards(out, N_SHARDS, config_hash(PipelineConfig()))
+    assert len(done) == N_SHARDS
+    # A different config must not treat old shards as complete.
+    other = PipelineConfig(ocr_engine="no_ocr")
+    assert completed_shards(out, N_SHARDS, config_hash(other)) == set()
+    summary = run_checkpointed(_factory(path), out, config=other, num_shards=N_SHARDS)
+    assert all(v == "done" for v in summary["shards"].values())
+
+
+def test_url_shard_stable_and_total():
+    urls = [f"https://example.org/x/{i}" for i in range(200)]
+    a = url_shard(urls, 8)
+    b = url_shard(urls, 8)
+    assert (a == b).all()
+    assert set(a) <= set(range(8))
+    # every shard non-empty at this size (sanity of spread)
+    assert len(set(a)) == 8

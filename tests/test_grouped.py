@@ -1,0 +1,88 @@
+"""sorted_groupby correctness: equivalence with a single-process pandas
+groupby on adversarial key distributions (skew, many groups, ties at
+block boundaries)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pdf2pdfocr_ray.ops.grouped import sorted_groupby
+
+
+@pytest.mark.parametrize("partitions", [1, 3, 7])
+def test_matches_pandas(ray_session, partitions):
+    import ray.data
+
+    def _agg_block(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("k", as_index=False).agg(
+            n=("v", "size"), s=("v", "sum"), mn=("v", "min"), mx=("v", "max")
+        )
+
+    rng = np.random.default_rng(11)
+    n = 20_000
+    df = pd.DataFrame(
+        {
+            # zipf-ish skew: one hot key plus a long tail
+            "k": np.where(
+                rng.random(n) < 0.3, 0, rng.integers(0, 500, n)
+            ).astype(np.int64),
+            "v": rng.integers(-1000, 1000, n).astype(np.int64),
+        }
+    )
+    expected = (
+        _agg_block(df).sort_values("k").reset_index(drop=True)
+    )
+    ds = ray.data.from_pandas(df).repartition(16)
+    got = (
+        sorted_groupby(ds, "k", _agg_block, partitions=partitions)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, expected, check_dtype=False)
+
+
+def test_no_group_split_across_blocks(ray_session):
+    """Each key must appear in exactly one output block — the contract the
+    vectorized per-block aggregation depends on."""
+    import ray.data
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({"k": rng.integers(0, 50, 5000), "v": rng.random(5000)})
+    ds = ray.data.from_pandas(df).repartition(16)
+
+    def key_set(block: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"k": block["k"].unique()})
+
+    out = sorted_groupby(ds, "k", key_set, partitions=5).to_pandas()
+    # a key emitted by two blocks would appear twice
+    assert out["k"].is_unique
+
+
+def test_string_keys_and_multi_key(ray_session):
+    import ray.data
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame(
+        {
+            "a": rng.choice(["x", "y", "z"], 3000),
+            "b": rng.integers(0, 10, 3000),
+            "v": rng.random(3000),
+        }
+    )
+
+    def agg(block):
+        return block.groupby(["a", "b"], as_index=False).agg(s=("v", "sum"))
+
+    expected = agg(df).sort_values(["a", "b"]).reset_index(drop=True)
+    got = (
+        sorted_groupby(ray.data.from_pandas(df).repartition(8), ["a", "b"], agg, 4)
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    got["s"] = got["s"].round(9)
+    expected["s"] = expected["s"].round(9)
+    pd.testing.assert_frame_equal(got, expected, check_dtype=False)

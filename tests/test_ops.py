@@ -1,0 +1,148 @@
+"""Training-data operator tests: dedup family (planted duplicates),
+similarity search (exact recall), text analysis (independent oracle)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+@pytest.fixture(scope="module")
+def doc_ds(ray_session):
+    """110 docs: 100 base, exact dups (ids 100-104 copy 0-4), near-dups
+    (ids 110-114 are 0-4 with one word changed)."""
+    import ray.data
+
+    rng = np.random.default_rng(9)
+    vocab = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    base = [
+        " ".join(rng.choice(vocab, 40)) for _ in range(100)
+    ]
+    texts = list(base)
+    ids = list(range(100))
+    for j in range(5):  # exact dups
+        ids.append(100 + j)
+        texts.append(base[j])
+    for j in range(5):  # near dups: flip one middle word
+        toks = base[j].split()
+        toks[20] = "OMEGA"
+        ids.append(110 + j)
+        texts.append(" ".join(toks))
+    df = pd.DataFrame({"doc_id": ids, "text": texts})
+    return ray.data.from_pandas(df).repartition(4), df
+
+
+def test_dedup_exact_keeps_min_id(doc_ds):
+    from pdf2pdfocr_ray.ops.dedup import dedup_exact
+
+    ds, df = doc_ds
+    kept = dedup_exact(ds).to_pandas()
+    assert len(kept) == 105  # 5 exact dups removed from 110 rows
+    assert set(range(100)) <= set(kept["doc_id"])
+    assert set(kept["doc_id"]).isdisjoint(range(100, 105))
+
+
+def test_minhash_finds_planted_pairs(doc_ds):
+    from pdf2pdfocr_ray.ops.dedup import dedup_minhash_lsh
+
+    ds, df = doc_ds
+    pairs = dedup_minhash_lsh(ds, threshold=0.5).to_pandas()
+    got = {tuple(sorted(p)) for p in zip(pairs["id_a"], pairs["id_b"])}
+    for j in range(5):
+        assert (j, 100 + j) in got  # exact dup -> jaccard 1
+        assert (j, 110 + j) in got  # near dup -> high jaccard
+    # est_jaccard for exact dups is 1.0
+    exact = pairs[(pairs["id_a"] < 5) & (pairs["id_b"] >= 100) & (pairs["id_b"] < 105)]
+    assert (exact["est_jaccard"] == 1.0).all()
+
+
+def test_simhash_finds_planted_pairs(doc_ds):
+    from pdf2pdfocr_ray.ops.dedup import dedup_simhash
+
+    ds, df = doc_ds
+    pairs = dedup_simhash(ds, max_hamming=3).to_pandas()
+    got = {tuple(sorted(p)) for p in zip(pairs["id_a"], pairs["id_b"])}
+    for j in range(5):
+        assert (j, 100 + j) in got  # identical text -> hamming 0
+    ham0 = pairs[pairs["hamming"] == 0]
+    assert len(ham0) >= 5
+
+
+def test_ngram_jaccard_kernel():
+    from pdf2pdfocr_ray.ops.dedup import ngram_jaccard
+
+    assert ngram_jaccard("a b c d e", "a b c d e") == 1.0
+    assert ngram_jaccard("a b c d e", "v w x y z") == 0.0
+    mid = ngram_jaccard("a b c d e f g h", "a b c d e f g X")
+    assert 0.0 < mid < 1.0
+
+
+def test_embedding_near_dup_planted(ray_session):
+    import ray.data
+
+    from pdf2pdfocr_ray.ops.dedup import embedding_near_dup
+
+    rng = np.random.default_rng(4)
+    mat = rng.standard_normal((60, 32))
+    mat[50] = mat[0] + 0.01 * rng.standard_normal(32)  # planted near-dup
+    df = pd.DataFrame({"vec_id": range(60), "embedding": list(mat)})
+    ds = ray.data.from_pandas(df).repartition(3)
+    pairs = embedding_near_dup(ds, threshold=0.99).to_pandas()
+    assert (0, 50) in set(zip(pairs["id_a"], pairs["id_b"]))
+
+
+def test_ann_bruteforce_exact(ray_session):
+    import ray.data
+
+    from pdf2pdfocr_ray.ops.similarity import topk_bruteforce
+
+    rng = np.random.default_rng(2)
+    mat = rng.standard_normal((200, 16))
+    df = pd.DataFrame({"vec_id": range(200), "embedding": list(mat)})
+    q = mat[17]
+    norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    cos = norm @ (q / np.linalg.norm(q))
+    expected = set(np.argsort(-cos)[:10])
+    got = topk_bruteforce(
+        ray.data.from_pandas(df).repartition(4), q, k=10
+    )
+    assert set(got["vec_id"]) == expected
+    assert got["vec_id"].iloc[0] == 17  # self is nearest
+
+
+def test_token_stats_oracle(ray_session):
+    import ray.data
+
+    from pdf2pdfocr_ray.ops.text_analysis import add_token_stats
+
+    df = pd.DataFrame(
+        {"doc_id": [0, 1, 2], "text": ["one two  three", "a,b.c!", "   x   "]}
+    )
+    out = (
+        add_token_stats(ray.data.from_pandas(df))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["n_tokens"].tolist() == [3, 1, 1]
+    assert out["n_punct"].tolist() == [0, 3, 0]
+
+
+def test_lang_id_separates(ray_session):
+    import ray.data
+
+    from pdf2pdfocr_ray.ops.text_analysis import add_lang_id
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "text": [
+                "the quick brown fox jumps over the lazy dog and the cat",
+                "o rato roeu a roupa do rei de roma e não deixou nada",
+            ],
+        }
+    )
+    out = add_lang_id(ray.data.from_pandas(df)).to_pandas().sort_values("doc_id")
+    assert out["lang_pred"].tolist()[0] == "en"
+    assert out["lang_pred"].tolist()[1] != "en"

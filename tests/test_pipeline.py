@@ -1,0 +1,81 @@
+"""End-to-end pipeline tests: golden byte-identical extraction, order
+independence, row-level fault isolation (SURVEY.md §5.2 items 2-4)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from pdf2pdfocr_ray.pipelines.extract import extract
+from pdf2pdfocr_ray.sources.corpus import generate_corpus
+
+N_DOCS = 90
+
+
+def _run(pages: pa.Table, **cfg_kwargs) -> pd.DataFrame:
+    import ray.data
+
+    from pdf2pdfocr_ray.config import PipelineConfig
+
+    ds = ray.data.from_arrow(pages).repartition(6)
+    cfg = PipelineConfig(**cfg_kwargs) if cfg_kwargs else None
+    return (
+        extract(ds, cfg).to_pandas().sort_values("url").reset_index(drop=True)
+    )
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    pages, golden = generate_corpus(N_DOCS, seed=42)
+    return pages, golden.to_pandas().sort_values("url").reset_index(drop=True)
+
+
+def test_golden_byte_identical(ray_session, corpus):
+    pages, golden = corpus
+    res = _run(pages)
+    assert len(res) == len(golden)
+    for i in range(len(golden)):
+        a, b = res["extracted_text"][i], golden["extracted_text"][i]
+        assert (a == b) or (pd.isna(a) and pd.isna(b)), (
+            golden["url"][i],
+            repr(a)[:120],
+            repr(b)[:120],
+        )
+    assert (res["route"] == golden["route"]).all()
+    assert (res["n_pages"].to_numpy() == golden["n_pages"].to_numpy()).all()
+
+
+def test_shuffled_input_same_output(ray_session, corpus):
+    """Page order must come from page_no, never block/row order."""
+    pages, golden = corpus
+    rng = np.random.default_rng(7)
+    perm = rng.permutation(pages.num_rows)
+    shuffled = pages.take(pa.array(perm))
+    res = _run(shuffled)
+    for i in range(len(golden)):
+        a, b = res["extracted_text"][i], golden["extracted_text"][i]
+        assert (a == b) or (pd.isna(a) and pd.isna(b))
+
+
+def test_error_rows_isolated(ray_session, corpus):
+    """Corrupt/encrypted/junk rows yield error codes; neighbors unaffected."""
+    pages, golden = corpus
+    res = _run(pages)
+    err = res[res["error"].notna()]
+    assert set(err["error"]) <= {"corrupt_pdf", "encrypted", "unsupported_type"}
+    assert (golden["error"].notna() == res["error"].notna()).all()
+    ok = res[res["error"].isna()]
+    assert ok["extracted_text"].notna().all()
+
+
+def test_no_ocr_engine_skips_ocr(ray_session, corpus):
+    """Reference -c no_ocr analog: OCR-routed rows produce no text."""
+    pages, golden = corpus
+    res = _run(pages, ocr_engine="no_ocr")
+    pdfish = res[(res["route"].isin(["pdf", "image"])) & res["error"].isna()]
+    assert (pdfish["extracted_text"] == "").all()
+    html = res[res["route"] == "html"]
+    gh = golden[golden["route"] == "html"]
+    assert (html["extracted_text"].to_numpy() == gh["extracted_text"].to_numpy()).all()
