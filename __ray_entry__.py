@@ -160,6 +160,57 @@ def _q_events_hourly(sf_dir: str):
     return events_hourly(sf_dir)
 
 
+def _q_events_running_sum(sf_dir: str):
+    from pdf2pdfocr_ray.ops.relational import events_running_sum
+
+    return events_running_sum(sf_dir)
+
+
+def _q_user_event_types(sf_dir: str):
+    from pdf2pdfocr_ray.ops.relational import user_event_types
+
+    return user_event_types(sf_dir)
+
+
+def _q_customers_without_orders(sf_dir: str):
+    from pdf2pdfocr_ray.ops.relational import customers_without_orders
+
+    return customers_without_orders(sf_dir)
+
+
+def _q_orders_sample(sf_dir: str):
+    from pdf2pdfocr_ray.ops.relational import orders_sample
+
+    return orders_sample(sf_dir)
+
+
+def _q_orders_customer_join(sf_dir: str):
+    from pdf2pdfocr_ray.ops.relational import orders_customer_join
+
+    return orders_customer_join(sf_dir)
+
+
+def _q_doc_meta_corpus(sf_dir: str):
+    from pdf2pdfocr_ray.pipelines.meta import doc_meta
+
+    ds, _ = _corpus_ds(QUERY_N_DOCS)
+    return doc_meta(ds)
+
+
+def _q_smart_preset(sf_dir: str):
+    from pdf2pdfocr_ray.pipelines.meta import smart_preset
+
+    ds, _ = _corpus_ds(120)
+    return smart_preset(ds)
+
+
+def _q_page_zip_merge(sf_dir: str):
+    from pdf2pdfocr_ray.pipelines.meta import page_zip_merge
+
+    ds, _ = _corpus_ds(120)
+    return page_zip_merge(ds)
+
+
 def _q_token_stats(sf_dir: str):
     from pdf2pdfocr_ray.ops.relational import read
     from pdf2pdfocr_ray.ops.text_analysis import add_token_stats
@@ -333,6 +384,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "building_orders": _q_building_orders,
         "orders_by_nation": _q_orders_by_nation,
         "events_hourly": _q_events_hourly,
+        "events_running_sum": _q_events_running_sum,
+        "user_event_types": _q_user_event_types,
+        "customers_without_orders": _q_customers_without_orders,
+        "orders_sample": _q_orders_sample,
+        "orders_customer_join": _q_orders_customer_join,
+        "doc_meta_corpus": _q_doc_meta_corpus,
+        "smart_preset": _q_smart_preset,
+        "page_zip_merge": _q_page_zip_merge,
         "token_stats": _q_token_stats,
         "fingerprint": _q_fingerprint,
         "dedup_exact": _q_dedup_exact,
@@ -392,6 +451,27 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, epoch_us(ts) // 3600000000 AS hour_bucket, "
             "count(*) AS n_events, round(sum(value), 2) AS sum_value "
             "FROM events GROUP BY 1, 2"
+        ),
+        "events_running_sum": (
+            "SELECT event_id, user_id, "
+            "round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) "
+            "AS running_value FROM events"
+        ),
+        "user_event_types": (
+            "SELECT user_id, count(DISTINCT event_type) AS n_types "
+            "FROM events GROUP BY user_id"
+        ),
+        "customers_without_orders": (
+            "SELECT c_custkey, c_name FROM customer WHERE c_custkey NOT IN "
+            "(SELECT o_custkey FROM orders WHERE o_orderdate < '1996-01-01')"
+        ),
+        "orders_sample": (
+            "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 10 = 0"
+        ),
+        "orders_customer_join": (
+            "SELECT o_custkey, o_orderkey, o_totalprice, c_mktsegment "
+            "FROM orders JOIN customer ON o_custkey = c_custkey"
         ),
         "token_stats": (
             "SELECT doc_id, "

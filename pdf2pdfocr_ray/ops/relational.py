@@ -199,6 +199,198 @@ def orders_by_nation(sf_dir: str) -> "ray.data.Dataset":
     return sorted_groupby(ds.map_batches(attach, batch_format="pandas"), "n_name", final)
 
 
+# ----------------------------------------------------- sort-merge join (J1)
+def sort_merge_join(
+    a: "ray.data.Dataset",
+    b: "ray.data.Dataset",
+    keys: list[str],
+    how: str = "inner",
+    suffixes: tuple[str, str] = ("_l", "_r"),
+) -> "ray.data.Dataset":
+    """Distributed sort-merge equi-join built on the sorted_groupby plan.
+
+    Both sides are padded to a common schema (missing columns = typed
+    nulls) plus a ``__side`` tag, unioned, range-shuffled on ``keys`` —
+    co-locating each key's rows from BOTH sides in one block — then joined
+    block-locally with a vectorized ``pandas.merge``.  Works for inner /
+    left / right / outer without aggregator actors, so it composes with
+    actor-pool stages (unlike hash-shuffle ``Dataset.join``, whose
+    aggregators can deadlock against a full actor pool on a small cluster).
+
+    Scale: the shuffle moves both tables once; skewed keys bound by block
+    = one key's rows from both sides (same constraint as any SMJ).
+    """
+    from .grouped import sorted_groupby
+
+    sa, sb = a.schema(), b.schema()
+    shared = (set(sa.names) & set(sb.names)) - set(keys)
+    ren_a = {c: c + suffixes[0] for c in shared}
+    ren_b = {c: c + suffixes[1] for c in shared}
+
+    def pad(side: str, rename: dict, other_names, other_types):
+        def fn(t: pa.Table) -> pa.Table:
+            for old, new in rename.items():
+                t = t.rename_columns(
+                    [new if n == old else n for n in t.column_names]
+                )
+            n = len(t)
+            for name, typ in zip(other_names, other_types):
+                t = t.append_column(name, pa.nulls(n, typ))
+            return t.append_column("__side", pa.array([side] * n, pa.string()))
+
+        return fn
+
+    names_a = [ren_a.get(n, n) for n in sa.names]
+    names_b = [ren_b.get(n, n) for n in sb.names]
+    only_b = [
+        (n, typ) for n, typ in zip(names_b, sb.types) if n not in names_a
+    ]
+    only_a = [
+        (n, typ) for n, typ in zip(names_a, sa.types) if n not in names_b
+    ]
+    a_p = a.map_batches(
+        pad("a", ren_a, [n for n, _ in only_b], [t for _, t in only_b]),
+        batch_format="pyarrow",
+    )
+    b_p = b.map_batches(
+        pad("b", ren_b, [n for n, _ in only_a], [t for _, t in only_a]),
+        batch_format="pyarrow",
+    )
+    # Column order must match for union.
+    order = keys + sorted((set(names_a) | set(names_b)) - set(keys)) + ["__side"]
+    a_p = a_p.select_columns(order)
+    b_p = b_p.select_columns(order)
+    both = a_p.union(b_p)
+
+    out_a = [n for n in names_a if n not in keys]
+    out_b = [n for n in names_b if n not in keys]
+    # Typed-null padding floats integer columns in pandas; restore them to
+    # nullable Int64 after the merge so joined output keeps integer dtype.
+    int_cols = {
+        n
+        for n, typ in list(zip(names_a, sa.types)) + list(zip(names_b, sb.types))
+        if pa.types.is_integer(typ)
+    }
+
+    def join_block(df: pd.DataFrame) -> pd.DataFrame:
+        left = df[df["__side"] == "a"][keys + out_a]
+        right = df[df["__side"] == "b"][keys + out_b]
+        pd_how = {"inner": "inner", "left": "left", "right": "right",
+                  "outer": "outer"}[how]
+        merged = left.merge(right, on=keys, how=pd_how)
+        for c in int_cols & set(merged.columns):
+            merged[c] = merged[c].astype("Int64")
+        return merged
+
+    return sorted_groupby(both, keys, join_block)
+
+
+def orders_customer_join(sf_dir: str) -> "ray.data.Dataset":
+    """orders ⋈ customer on custkey via the engine's sort-merge join (the
+    non-broadcast join path; compare orders_by_nation's broadcast plan)."""
+    orders = read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    cust = cust.map_batches(
+        lambda t: t.rename_columns(
+            ["o_custkey" if n == "c_custkey" else n for n in t.column_names]
+        ),
+        batch_format="pyarrow",
+    )
+    return sort_merge_join(orders, cust, ["o_custkey"], how="inner")
+
+
+# ------------------------------------------------ running (window) aggregate
+def events_running_sum(sf_dir: str) -> "ray.data.Dataset":
+    """Per-user running sum of value in (ts, event_id) order — the batch
+    equivalent of SUM() OVER (PARTITION BY user ORDER BY ts).  One
+    sorted_groupby; cumsum is vectorized within each user block."""
+    from .grouped import sorted_groupby
+
+    ds = read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def run_block(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        out = pd.DataFrame(
+            {
+                "event_id": df["event_id"].to_numpy(),
+                "user_id": df["user_id"].to_numpy(),
+                "running_value": df.groupby("user_id")["value"]
+                .cumsum()
+                .round(2)
+                .to_numpy(),
+            }
+        )
+        return out
+
+    return sorted_groupby(ds, "user_id", run_block)
+
+
+# --------------------------------------------------------- distinct count
+def user_event_types(sf_dir: str) -> "ray.data.Dataset":
+    """count(DISTINCT event_type) per user.  Exact distinct via the same
+    sorted_groupby plan (nunique per block); at 10^12 rows swap the block
+    fn for a per-batch partial set / HLL sketch merge."""
+    from .grouped import sorted_groupby
+
+    ds = read(sf_dir, "events", ["user_id", "event_type"])
+
+    def agg_block(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("user_id", as_index=False).agg(
+            n_types=("event_type", "nunique")
+        )
+
+    return sorted_groupby(ds, "user_id", agg_block)
+
+
+# ------------------------------------------------------ broadcast anti-join
+def customers_without_orders(sf_dir: str) -> "ray.data.Dataset":
+    """customer ▷ early-orders (anti-join): the custkeys of pre-1996 orders
+    are broadcast once, applied as an inverted is_in mask per batch — the
+    J4 resume-anti-join shape."""
+    import ray
+
+    cutoff = datetime.datetime(1996, 1, 1)
+    early = read(sf_dir, "orders", ["o_custkey", "o_orderdate"]).map_batches(
+        lambda t: t.filter(
+            pc.less(pc.cast(t["o_orderdate"], pa.timestamp("us")),
+                    pa.scalar(cutoff, pa.timestamp("us")))
+        ),
+        batch_format="pyarrow",
+    )
+    keys = early.to_pandas()["o_custkey"].unique()
+    keys_ref = ray.put(pa.array(sorted(keys), pa.int64()))
+
+    def anti(t: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref)
+        return t.filter(pc.invert(pc.is_in(t["c_custkey"], value_set=ks)))
+
+    ds = read(sf_dir, "customer", ["c_custkey", "c_name"])
+    return ds.map_batches(anti, batch_format="pyarrow")
+
+
+# --------------------------------------------- deterministic sample + limit
+def orders_sample(sf_dir: str, modulus: int = 10) -> "ray.data.Dataset":
+    """Systematic (deterministic) 1/modulus sample — reproducible across
+    runs/cluster sizes, unlike random_shuffle-based sampling."""
+    ds = read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    return ds.map_batches(
+        lambda t: t.filter(
+            pc.equal(pc.bit_wise_and(t["o_orderkey"], modulus - 1), 0)
+        )
+        if (modulus & (modulus - 1)) == 0
+        else t.filter(
+            pc.equal(
+                pc.subtract(
+                    t["o_orderkey"],
+                    pc.multiply(pc.divide(t["o_orderkey"], modulus), modulus),
+                ),
+                0,
+            )
+        ),
+        batch_format="pyarrow",
+    )
+
+
 # ------------------------------------------------------- windowed aggregate
 def events_hourly(sf_dir: str) -> "ray.data.Dataset":
     """Tumbling 1-hour window per user: event count + sum(value).
