@@ -371,6 +371,100 @@ def _q_multimodal_decode(sf_dir: str):
     )
 
 
+def _image_pages(n_docs: int = 120):
+    import pyarrow.compute as pc
+
+    from pdf2pdfocr_ray.stages.fanout import FanOut
+    from pdf2pdfocr_ray.stages.sniff import sniff_route
+
+    ds, _ = _corpus_ds(n_docs)
+    pages = ds.map_batches(sniff_route, batch_format="pyarrow").map_batches(
+        FanOut(), batch_format="pyarrow"
+    )
+    return pages.map_batches(
+        lambda t: t.filter(pc.is_valid(t["image"])), batch_format="pyarrow"
+    )
+
+
+def _q_multimodal_reencode(sf_dir: str):
+    """M12 preset re-encode over the corpus image pages (fast preset =
+    2x downscale + grayscale; PNG real codec)."""
+    from pdf2pdfocr_ray.ops.multimodal import reencode_pages
+
+    out = reencode_pages(_image_pages(), preset="fast")
+    return out.select_columns(["url", "page_no", "reencoded_bytes"])
+
+
+def _q_multimodal_resize(sf_dir: str):
+    import pyarrow as pa
+
+    from pdf2pdfocr_ray.ops.multimodal import ImageResizeStage
+
+    resized = _image_pages().map_batches(
+        ImageResizeStage,
+        fn_constructor_kwargs={"out_w": 32, "out_h": 48},
+        batch_format="pyarrow",
+        batch_size=16,
+        concurrency=(1, 4),
+    )
+
+    def size_of(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "url": t["url"],
+                "page_no": t["page_no"],
+                "resized_bytes": pa.array(
+                    [len(b) if b else 0 for b in t["image_resized"].to_pylist()],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return resized.map_batches(size_of, batch_format="pyarrow")
+
+
+def _q_audio_features(sf_dir: str):
+    """Stub audio-feature stage over a binary column (plumbing-real)."""
+    from pdf2pdfocr_ray.ops.multimodal import AudioFeatureStage
+
+    out = _image_pages().map_batches(
+        AudioFeatureStage,
+        fn_constructor_kwargs={"audio_col": "image"},
+        batch_format="pyarrow",
+        batch_size=16,
+        concurrency=(1, 4),
+    )
+    return out.select_columns(["url", "page_no", "duration_s", "n_samples", "rms"])
+
+
+def _q_video_frames(sf_dir: str):
+    """Stub video frame-sample stage over a binary column (plumbing-real)."""
+    import pyarrow as pa
+
+    from pdf2pdfocr_ray.ops.multimodal import VideoFrameSampleStage
+
+    out = _image_pages().map_batches(
+        VideoFrameSampleStage,
+        fn_constructor_kwargs={"video_col": "image", "n_frames": 3},
+        batch_format="pyarrow",
+        batch_size=16,
+        concurrency=(1, 4),
+    )
+
+    def summarize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "url": t["url"],
+                "page_no": t["page_no"],
+                "n_frames": pa.array(
+                    [len(f) for f in t["frames"].to_pylist()], pa.int64()
+                ),
+            }
+        )
+
+    return out.map_batches(summarize, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "flagship_extract": _q_flagship,
@@ -403,6 +497,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": _q_lang_id,
         "quality": _q_quality,
         "multimodal_decode": _q_multimodal_decode,
+        "multimodal_reencode": _q_multimodal_reencode,
+        "multimodal_resize": _q_multimodal_resize,
+        "audio_features": _q_audio_features,
+        "video_frames": _q_video_frames,
         "checkpointed_extract": _q_checkpointed_extract,
     }
 

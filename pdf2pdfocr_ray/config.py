@@ -21,8 +21,14 @@ class PipelineConfig:
     deskew: bool = True
     autorotate: bool = True
 
-    # OCR engine selection (reference -c; pdf2pdfocr.py:556-558)
-    ocr_engine: str = "template"  # "template" | "no_ocr"
+    # OCR engine selection (reference -c; pdf2pdfocr.py:556-558):
+    # "template" (T1), "template_retry" (T2: retry-with-normalization on
+    # empty pages, cuneiform's retry-with-English analog), "no_ocr".
+    ocr_engine: str = "template"
+    # Per-page OCR time guard in seconds (0 = off) — pages exceeding it
+    # become 'ocr_timeout' error rows (reference --timeout,
+    # pdf2pdfocr.py:1511-1528, at page granularity).
+    ocr_timeout_s: float = 0.0
 
     # execution sizing (reference -j parallel percent; pdf2pdfocr.py:527-529)
     # Rows (docs) per sniff/fan-out batch.  Small on purpose: the narrow path

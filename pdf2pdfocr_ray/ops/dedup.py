@@ -67,27 +67,44 @@ def dedup_exact(ds: "ray.data.Dataset", text_col: str = "text",
 
 
 # ------------------------------------------------------------- minhash + LSH
+_SHINGLE_P = np.uint64(1_000_003)
+
+
 def _shingles(text: str, k: int) -> np.ndarray:
-    """Word k-gram shingles -> uint64 hashes (stable: md5-based)."""
+    """Word k-gram shingles -> 31-bit hashes, vectorized.
+
+    Tokens hash via crc32 (stable, C-speed); k-grams combine via a
+    polynomial roll computed as a numpy stencil over the token-hash array.
+    31-bit folding keeps the downstream (a*x + b) universal hash inside
+    uint64 (31b * 31b = 62b, + b < 2^61 < 2^64 — no object-dtype bigints)."""
+    import zlib
+
     toks = _TOKEN_RE.findall(text.lower())
+    if not toks:
+        return np.empty(0, dtype=np.uint64)
+    th = np.fromiter(
+        (zlib.crc32(t.encode("utf-8")) for t in toks),
+        dtype=np.uint64,
+        count=len(toks),
+    )
     if len(toks) < k:
-        grams = [" ".join(toks)] if toks else []
-    else:
-        grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
-    out = np.empty(len(grams), dtype=np.uint64)
-    for i, g in enumerate(grams):
-        out[i] = int.from_bytes(
-            hashlib.md5(g.encode("utf-8")).digest()[:8], "little"
-        )
-    return out
+        acc = np.uint64(0)
+        for v in th:
+            acc = (acc * _SHINGLE_P + v) & np.uint64(0xFFFFFFFFFFFFFFFF)
+        return np.array([acc & np.uint64(0x7FFFFFFF)], dtype=np.uint64)
+    n = len(toks) - k + 1
+    acc = np.zeros(n, dtype=np.uint64)
+    for j in range(k):  # k is small (3): k stencil passes, each vectorized
+        acc = acc * _SHINGLE_P + th[j : j + n]
+    return acc & np.uint64(0x7FFFFFFF)
 
 
 class MinHasher:
     """Warm-state signature stage: per-actor permutation constants."""
 
-    def __init__(self, num_perm: int = 32, shingle_k: int = 3, seed: int = 7):
+    def __init__(self, num_perm: int = 64, shingle_k: int = 3, seed: int = 7):
         rng = np.random.default_rng(seed)
-        self.a = rng.integers(1, _MERSENNE, num_perm, dtype=np.uint64)
+        self.a = rng.integers(1, 1 << 31, num_perm, dtype=np.uint64)
         self.b = rng.integers(0, _MERSENNE, num_perm, dtype=np.uint64)
         self.num_perm = num_perm
         self.shingle_k = shingle_k
@@ -96,34 +113,48 @@ class MinHasher:
         sh = _shingles(text, self.shingle_k)
         if sh.size == 0:
             return np.zeros(self.num_perm, dtype=np.uint64)
-        # universal hashing h_i(x) = (a_i*x + b_i) mod p, vectorized
-        prod = (
-            sh[None, :].astype(object) * self.a[:, None].astype(object)
-            + self.b[:, None].astype(object)
-        ) % _MERSENNE
-        return np.min(prod.astype(np.uint64), axis=1)
+        # universal hashing h_i(x) = (a_i*x + b_i) mod p — pure uint64:
+        # a < 2^31, x < 2^31, b < 2^61 keeps a*x+b < 2^63.
+        prod = (self.a[:, None] * sh[None, :] + self.b[:, None]) % _MERSENNE
+        return np.min(prod, axis=1)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        sigs = [self.signature(t) for t in batch["text"]]
+        # Signatures ride as fixed-width BYTES (num_perm * 8), not
+        # list<uint64>: the band explode copies each sig `bands` times and
+        # the bucket shuffle moves them all — binary cells are ~5x cheaper
+        # to serialize than object lists.
         out = batch.copy()
-        out["minhash_sig"] = [s.tolist() for s in sigs]
+        out["minhash_sig"] = [self.signature(t).tobytes() for t in batch["text"]]
         return out
 
 
 def _explode_bands(batch: pd.DataFrame, bands: int, rows_per_band: int,
                    id_col: str) -> pd.DataFrame:
-    ids, band_ids, band_hashes, sigs = [], [], [], []
-    for _, row in batch.iterrows():
-        sig = row["minhash_sig"]
-        for b in range(bands):
-            chunk = tuple(sig[b * rows_per_band : (b + 1) * rows_per_band])
-            ids.append(row[id_col])
-            band_ids.append(b)
-            band_hashes.append(hash(chunk) & 0x7FFFFFFFFFFFFFFF)
-            sigs.append(sig)
+    """Row (id, sig) -> ``bands`` rows (id, band_id, band_hash, sig),
+    fully vectorized: the band hash is a polynomial fold of the band's
+    signature slice computed on the (n, bands, rows_per_band) cube."""
+    n = len(batch)
+    if n == 0:
+        return pd.DataFrame(
+            {id_col: pd.Series([], dtype="int64"),
+             "band_id": pd.Series([], dtype="int64"),
+             "band_hash": pd.Series([], dtype="uint64"),
+             "minhash_sig": pd.Series([], dtype="object")}
+        )
+    sig_mat = np.frombuffer(
+        b"".join(batch["minhash_sig"]), dtype=np.uint64
+    ).reshape(n, bands, rows_per_band)
+    mult = np.uint64(0x9E3779B97F4A7C15)  # odd constant -> bijective fold
+    bh = np.zeros((n, bands), dtype=np.uint64)
+    for j in range(rows_per_band):  # rows_per_band is small: vector passes
+        bh = bh * mult + sig_mat[:, :, j]
     return pd.DataFrame(
-        {id_col: ids, "band_id": band_ids, "band_hash": band_hashes,
-         "minhash_sig": sigs}
+        {
+            id_col: np.repeat(batch[id_col].to_numpy(), bands),
+            "band_id": np.tile(np.arange(bands, dtype=np.int64), n),
+            "band_hash": bh.reshape(-1),
+            "minhash_sig": [s for s in batch["minhash_sig"] for _ in range(bands)],
+        }
     )
 
 
@@ -131,8 +162,8 @@ def dedup_minhash_lsh(
     ds: "ray.data.Dataset",
     text_col: str = "text",
     id_col: str = "doc_id",
-    num_perm: int = 32,
-    bands: int = 8,
+    num_perm: int = 64,
+    bands: int = 16,
     threshold: float = 0.7,
     max_bucket: int = 64,
 ) -> "ray.data.Dataset":
@@ -172,9 +203,9 @@ def dedup_minhash_lsh(
         for _, g in df.groupby(["band_id", "band_hash"], sort=False):
             g = g.sort_values(id_col).head(max_bucket)  # hot-bucket cap
             ids = g[id_col].to_numpy()
-            sig_mat = np.asarray(
-                [np.asarray(s, dtype=np.uint64) for s in g["minhash_sig"]]
-            )
+            sig_mat = np.frombuffer(
+                b"".join(g["minhash_sig"]), dtype=np.uint64
+            ).reshape(len(g), -1)
             a_idx, b_idx = np.triu_indices(len(ids), k=1)
             est = (sig_mat[a_idx] == sig_mat[b_idx]).mean(axis=1)
             keep = est >= threshold

@@ -170,6 +170,75 @@ class VideoFrameSampleStage:
         )
 
 
+# Reference M12 presets (/root/reference/pdf2pdfocr.py:834-838): named
+# parameter sets for the per-page rebuild encoding ("-g fast/best/graynoise
+# .../jpeg" dispatching convert argv at 858-872).  Here each preset is a
+# pure-array transform re-encoded as PNG (the container's only real codec);
+# a JPEG encoder drops into the 'jpeg' branch when available.
+REENCODE_PRESETS: dict[str, dict] = {
+    "best": {"downscale": 1, "grayscale": False},
+    "grayscale": {"downscale": 1, "grayscale": True},
+    "fast": {"downscale": 2, "grayscale": True},
+    "jpeg": {"downscale": 2, "grayscale": False},
+}
+
+
+class PageReencodeStage:
+    """M12 actor stage: per-page image re-encode under a named preset (or a
+    custom parameter dict, the reference's raw-convert-argv escape hatch)."""
+
+    def __init__(self, preset: str | dict = "best", image_col: str = "image"):
+        self.params = (
+            dict(preset) if isinstance(preset, dict) else REENCODE_PRESETS[preset]
+        )
+        self.image_col = image_col
+
+    def _transform(self, img: np.ndarray) -> np.ndarray:
+        d = int(self.params.get("downscale", 1))
+        if d > 1:
+            img = img[::d, ::d]
+        if self.params.get("grayscale"):
+            luma = (
+                0.299 * img[:, :, 0] + 0.587 * img[:, :, 1] + 0.114 * img[:, :, 2]
+            ).astype(np.uint8)
+            img = np.repeat(luma[:, :, None], 3, axis=2)
+        return np.ascontiguousarray(img)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out, sizes = [], []
+        for payload in batch.column(self.image_col).to_pylist():
+            if payload is None or not payload.startswith(b"\x89PNG"):
+                out.append(None)
+                sizes.append(0)
+                continue
+            try:
+                enc = encode_png(self._transform(decode_png(payload)))
+                out.append(enc)
+                sizes.append(len(enc))
+            except Exception:  # noqa: BLE001
+                out.append(None)
+                sizes.append(0)
+        return batch.append_column(
+            "image_reencoded", pa.array(out, pa.binary())
+        ).append_column("reencoded_bytes", pa.array(sizes, pa.int64()))
+
+
+def reencode_pages(
+    ds: "ray.data.Dataset",
+    preset: str | dict = "best",
+    image_col: str = "image",
+    concurrency=(1, 4),
+    batch_size: int = 16,
+) -> "ray.data.Dataset":
+    return ds.map_batches(
+        PageReencodeStage,
+        fn_constructor_kwargs={"preset": preset, "image_col": image_col},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
 def decode_images(ds: "ray.data.Dataset", image_col: str = "image",
                   concurrency=(1, 4), batch_size: int = 16) -> "ray.data.Dataset":
     return ds.map_batches(

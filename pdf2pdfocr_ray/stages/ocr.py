@@ -67,7 +67,17 @@ SPAN_TYPE = pa.list_(
 
 class OcrStage:
     """Warm-engine OCR actor.  ``keep_spans`` adds a ``spans`` list<struct>
-    column (the M8/M9 span layout path) — off for the flagship pipeline."""
+    column (the M8/M9 span layout path) — off for the flagship pipeline.
+
+    Engine selection (reference -c, pdf2pdfocr.py:556-558):
+    * ``template``        — the deterministic template matcher (T1);
+    * ``template_retry``  — T2 shape (cuneiform's per-page
+      retry-with-English, reference 163-190): if the page yields no text,
+      retry once with normalization forced on;
+    * ``no_ocr``          — skip OCR, pages pass through textless.
+    A per-page time guard (``ocr_timeout_s``) marks overruns as error rows
+    — the actor-level analog of the reference's --timeout future
+    (pdf2pdfocr.py:1511-1528)."""
 
     def __init__(self, config: PipelineConfig | None = None, keep_spans: bool = False):
         # Engine warm-up, once per actor: bind the template table (the
@@ -78,8 +88,10 @@ class OcrStage:
         self._templates = font5x7._TEMPLATES
         self.config = config or PipelineConfig()
         self.keep_spans = keep_spans
+        if self.config.ocr_engine not in ("template", "template_retry", "no_ocr"):
+            raise ValueError(f"unknown ocr_engine {self.config.ocr_engine!r}")
 
-    def _ocr_one(self, png: bytes, dpi: int):
+    def _ocr_one(self, png: bytes, dpi: int, force_normalize: bool = False):
         """One page image -> (text, spans, stats...). Never raises."""
         try:
             img = decode_png(png)
@@ -88,7 +100,7 @@ class OcrStage:
                 return "", [], True, True, 0, 0.0, w, h, None
             grey = is_greyscale(img)
             scale = max(1, dpi // BASE_DPI)
-            if self.config.autorotate or self.config.deskew:
+            if force_normalize or self.config.autorotate or self.config.deskew:
                 img, k, slope = normalize_page(img, scale)
             else:
                 k, slope = 0, 0.0
@@ -136,7 +148,31 @@ class OcrStage:
                     "", [], False, True, 0, 0.0, 0, 0, None
                 )
             else:
+                import time as _time
+
+                t0 = _time.monotonic()
                 t, spans, blank, grey, rot, skew, w, h, e = self._ocr_one(png, dpi)
+                bad = (not t) or (
+                    t.count("�") / max(1, len(t.replace(" ", "").replace("\n", "")))
+                    > 0.3
+                )
+                if (
+                    self.config.ocr_engine == "template_retry"
+                    and bad
+                    and not blank
+                    and e is None
+                    and not (self.config.autorotate and self.config.deskew)
+                ):
+                    # T2 retry (low-confidence page: empty or mostly
+                    # unrecognized glyphs): re-run with normalization on.
+                    t, spans, blank, grey, rot, skew, w, h, e = self._ocr_one(
+                        png, dpi, force_normalize=True
+                    )
+                if (
+                    self.config.ocr_timeout_s
+                    and (_time.monotonic() - t0) > self.config.ocr_timeout_s
+                ):
+                    t, spans, e = None, [], "ocr_timeout"
             out_text.append(t)
             out_err.append(err if err is not None else e)
             blanks.append(blank)

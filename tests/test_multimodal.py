@@ -1,0 +1,130 @@
+"""Multimodal stage tests: real PNG decode/resize/re-encode, stub
+audio/video plumbing, strict-mode gating, OCR engine variants."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from pdf2pdfocr_ray.functions.pngcodec import decode_png, encode_png
+from pdf2pdfocr_ray.ops.multimodal import (
+    AudioFeatureStage,
+    ImageDecodeStage,
+    ImageResizeStage,
+    PageReencodeStage,
+    VideoFrameSampleStage,
+)
+
+
+def _img_batch(n=4, w=40, h=30) -> pa.Table:
+    rng = np.random.default_rng(1)
+    imgs = [
+        encode_png(rng.integers(0, 255, (h, w, 3), dtype=np.uint8).astype(np.uint8))
+        for _ in range(n)
+    ]
+    return pa.table({"image": pa.array(imgs, pa.binary())})
+
+
+def test_decode_real_png():
+    out = ImageDecodeStage()(_img_batch())
+    assert out.column("width").to_pylist() == [40] * 4
+    assert out.column("height").to_pylist() == [30] * 4
+    assert out.column("decode_error").to_pylist() == [None] * 4
+
+
+def test_decode_stub_and_strict():
+    jpeg_like = pa.table({"image": pa.array([b"\xff\xd8\xff\xe0fakejpeg"], pa.binary())})
+    out = ImageDecodeStage()(jpeg_like)
+    assert out.column("decode_error").to_pylist() == ["stub_decode"]
+    with pytest.raises(NotImplementedError):
+        ImageDecodeStage(strict=True)(jpeg_like)
+
+
+def test_resize_real():
+    out = ImageResizeStage(out_w=10, out_h=6)(_img_batch())
+    img = decode_png(out.column("image_resized").to_pylist()[0])
+    assert img.shape == (6, 10, 3)
+
+
+def test_reencode_presets():
+    batch = _img_batch()
+    best = PageReencodeStage("best")(batch)
+    fast = PageReencodeStage("fast")(batch)
+    b0 = decode_png(best.column("image_reencoded").to_pylist()[0])
+    f0 = decode_png(fast.column("image_reencoded").to_pylist()[0])
+    assert b0.shape == (30, 40, 3)
+    assert f0.shape == (15, 20, 3)  # 2x downscale
+    # fast is grayscale: all channels equal
+    assert (f0[:, :, 0] == f0[:, :, 1]).all() and (f0[:, :, 1] == f0[:, :, 2]).all()
+    # custom dict = the raw-params escape hatch
+    custom = PageReencodeStage({"downscale": 3})(batch)
+    c0 = decode_png(custom.column("image_reencoded").to_pylist()[0])
+    assert c0.shape == (10, 14, 3)
+
+
+def test_audio_video_stub_plumbing():
+    batch = _img_batch(2)
+    a = AudioFeatureStage(audio_col="image")(batch)
+    assert a.column("n_samples").to_pylist()[0] > 0
+    with pytest.raises(NotImplementedError):
+        AudioFeatureStage(audio_col="image", strict=True)(batch)
+    v = VideoFrameSampleStage(video_col="image", n_frames=2)(batch)
+    frames = v.column("frames").to_pylist()
+    assert all(len(f) == 2 for f in frames)
+    assert all(decode_png(f[0]).shape == (16, 16, 3) for f in frames)
+
+
+# ---------------------------------------------------------- engine variants
+def _page_batch(lines, distort=False) -> pa.Table:
+    from pdf2pdfocr_ray.functions.image_ops import DESKEW_SLOPES
+    from pdf2pdfocr_ray.functions.pagerender import apply_shear, render_page
+
+    img = render_page(lines, dpi=72)
+    if distort:
+        img = apply_shear(img, float(DESKEW_SLOPES[3]))
+    return pa.table(
+        {
+            "url": pa.array(["u"], pa.string()),
+            "warc_ts": pa.array([0], pa.timestamp("us")),
+            "route": pa.array(["pdf"], pa.string()),
+            "page_no": pa.array([0], pa.int32()),
+            "n_pages": pa.array([1], pa.int32()),
+            "dpi": pa.array([72], pa.int32()),
+            "image": pa.array([encode_png(img)], pa.binary()),
+            "page_text": pa.array([None], pa.string()),
+            "error": pa.array([None], pa.string()),
+        }
+    )
+
+
+def test_ocr_timeout_marks_error():
+    from pdf2pdfocr_ray.config import PipelineConfig
+    from pdf2pdfocr_ray.stages.ocr import OcrStage
+
+    stage = OcrStage(PipelineConfig(ocr_timeout_s=1e-9))
+    out = stage(_page_batch(["page 410"]))
+    assert out.column("error").to_pylist() == ["ocr_timeout"]
+
+
+def test_template_retry_recovers_distorted_page():
+    from pdf2pdfocr_ray.config import PipelineConfig
+    from pdf2pdfocr_ray.stages.ocr import OcrStage
+
+    batch = _page_batch(["the lazy dog"], distort=True)
+    plain = OcrStage(PipelineConfig(autorotate=False, deskew=False))(batch)
+    retry = OcrStage(
+        PipelineConfig(autorotate=False, deskew=False, ocr_engine="template_retry")
+    )(batch)
+    plain_text = plain.column("page_text").to_pylist()[0]
+    assert "�" in plain_text or plain_text == ""  # sheared: garbage/empty
+    assert retry.column("page_text").to_pylist()[0] == "the lazy dog\n"
+
+
+def test_unknown_engine_rejected():
+    from pdf2pdfocr_ray.config import PipelineConfig
+    from pdf2pdfocr_ray.stages.ocr import OcrStage
+
+    with pytest.raises(ValueError):
+        OcrStage(PipelineConfig(ocr_engine="tesseract5000"))
