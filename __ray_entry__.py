@@ -219,6 +219,22 @@ def _q_token_stats(sf_dir: str):
     return add_token_stats(ds).select_columns(["doc_id", "n_tokens", "n_punct"])
 
 
+def _q_bpe_tokens(sf_dir: str):
+    from pdf2pdfocr_ray.ops.relational import read
+    from pdf2pdfocr_ray.ops.text_analysis import add_bpe_tokens
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    return add_bpe_tokens(ds).select_columns(["doc_id", "n_bpe_tokens"])
+
+
+def _q_winnow_fingerprint(sf_dir: str):
+    from pdf2pdfocr_ray.ops.relational import read
+    from pdf2pdfocr_ray.ops.text_analysis import add_winnow_fingerprint
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    return add_winnow_fingerprint(ds).select_columns(["doc_id", "winnow_fp"])
+
+
 def _q_fingerprint(sf_dir: str):
     from pdf2pdfocr_ray.ops.relational import read
     from pdf2pdfocr_ray.ops.text_analysis import add_fingerprint
@@ -487,6 +503,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "smart_preset": _q_smart_preset,
         "page_zip_merge": _q_page_zip_merge,
         "token_stats": _q_token_stats,
+        "bpe_tokens": _q_bpe_tokens,
+        "winnow_fingerprint": _q_winnow_fingerprint,
         "fingerprint": _q_fingerprint,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash": _q_dedup_minhash,
@@ -575,6 +593,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, "
             "len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens, "
             "length(regexp_replace(text, '[\\w\\s]', '', 'g')) AS n_punct "
+            "FROM documents"
+        ),
+        "bpe_tokens": (
+            "SELECT doc_id, len(regexp_extract_all(text, "
+            r"'[A-Za-zÀ-ɏ]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens "
             "FROM documents"
         ),
         "fingerprint": (

@@ -15,6 +15,12 @@ class PipelineConfig:
     max_pages: int = 0  # F2: skip docs with more pages (0 = off)
     skip_native_text: bool = False  # F3: skip PDFs that already have fonts
     # F4: encrypted PDFs always yield error rows (content unreadable)
+    # S6 inverse: when True, PDFs with a native text layer short-circuit to
+    # direct text extraction (no rasterize, no OCR) — the engine addition
+    # the reference lacks; default False = rasterize+OCR everything, i.e.
+    # the reference's --ignore-existing-text posture where the raster is
+    # the source of truth (pdf2pdfocr.py:1104-1111).
+    prefer_native_text: bool = False
 
     # preprocessing (reference -d deskew, -u autorotate; pdf2pdfocr.py:94-101,
     # 1018-1083)

@@ -66,13 +66,17 @@ def rolling_fingerprints(text: str, window: int = 8, base: int = 257,
                          mod: int = (1 << 61) - 1) -> list[int]:
     """Rabin-Karp rolling hashes over the token stream (winnowing-style doc
     fingerprinting; not SQL-expressible)."""
+    import zlib
+
     toks = _TOKEN_RE.findall(text.lower())
     hs = [0] * max(0, len(toks) - window + 1)
     if not hs:
         return []
     pw = pow(base, window - 1, mod)
     h = 0
-    th = [hash(t) & 0xFFFFFFFF for t in toks]
+    # crc32, NOT hash(): Python's str hash is salted per process, which
+    # would make fingerprints differ across Ray workers.
+    th = [zlib.crc32(t.encode("utf-8")) for t in toks]
     for i, v in enumerate(th[:window]):
         h = (h * base + v) % mod
     hs[0] = h
@@ -161,6 +165,30 @@ def add_fingerprint(ds: "ray.data.Dataset", text_col: str = "text") -> "ray.data
     return ds.map_batches(
         functools.partial(fingerprint_md5, text_col=text_col), batch_format="pandas"
     )
+
+
+def add_bpe_tokens(ds: "ray.data.Dataset", text_col: str = "text") -> "ray.data.Dataset":
+    import functools
+
+    return ds.map_batches(
+        functools.partial(bpe_token_count, text_col=text_col), batch_format="pandas"
+    )
+
+
+def add_winnow_fingerprint(
+    ds: "ray.data.Dataset", window: int = 8
+) -> "ray.data.Dataset":
+    """Min rolling hash per doc (winnowing representative; deterministic)."""
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["winnow_fp"] = [
+            int(min(h)) if (h := rolling_fingerprints(t, window)) else 0
+            for t in batch["text"]
+        ]
+        return batch
+
+    return ds.map_batches(fn, batch_format="pandas")
 
 
 def add_quality(ds: "ray.data.Dataset") -> "ray.data.Dataset":

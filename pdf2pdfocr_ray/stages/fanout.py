@@ -126,6 +126,21 @@ class FanOut:
             if cfg.skip_native_text and doc.has_native_text:
                 emit(url, ts, route, 0, doc.n_pages, 0, None, None, "has_native_text")
                 continue
+            if cfg.prefer_native_text and doc.has_native_text:
+                # S6 fast path: trust the existing text layer; pages become
+                # already-final rows (no raster, no OCR).  Ligature
+                # normalization (M6) applies so output matches the OCR path
+                # byte-for-byte (reference HocrTransform 356-366).
+                from ..functions.hocr import normalize_ligatures
+
+                for i, spec in enumerate(doc.pages):
+                    text = (
+                        ""
+                        if spec.blank
+                        else normalize_ligatures("\n".join(spec.lines)) + "\n"
+                    )
+                    emit(url, ts, route, i, doc.n_pages, 0, None, text, None)
+                continue
             for i, spec in enumerate(doc.pages):
                 try:
                     png = _rasterize_scan(spec)

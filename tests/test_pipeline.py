@@ -70,6 +70,16 @@ def test_error_rows_isolated(ray_session, corpus):
     assert ok["extracted_text"].notna().all()
 
 
+def test_prefer_native_text_byte_identical(ray_session, corpus):
+    """S6 fast path: native-text PDFs short-circuit OCR yet produce the
+    same bytes as the OCR path (golden)."""
+    pages, golden = corpus
+    res = _run(pages, prefer_native_text=True)
+    for i in range(len(golden)):
+        a, b = res["extracted_text"][i], golden["extracted_text"][i]
+        assert (a == b) or (pd.isna(a) and pd.isna(b)), golden["url"][i]
+
+
 def test_no_ocr_engine_skips_ocr(ray_session, corpus):
     """Reference -c no_ocr analog: OCR-routed rows produce no text."""
     pages, golden = corpus
