@@ -136,6 +136,29 @@ def _q_tpch_q1(sf_dir: str):
     return tpch_q1(sf_dir)
 
 
+def _q_tpch_q3(sf_dir: str):
+    from pdf2pdfocr_ray.ops.relational import tpch_q3
+
+    return tpch_q3(sf_dir)
+
+
+def _q_ann_ivf(sf_dir: str):
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from pdf2pdfocr_ray.ops.relational import read
+    from pdf2pdfocr_ray.ops.similarity import topk_ivf
+
+    emb = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q0 = (
+        emb.map_batches(
+            lambda t: t.filter(pc.equal(t["vec_id"], 0)), batch_format="pyarrow"
+        )
+        .to_pandas()["embedding"][0]
+    )
+    return topk_ivf(emb, np.asarray(q0), k=10)[["vec_id", "query_id"]]
+
+
 def _q_top_orders(sf_dir: str):
     from pdf2pdfocr_ray.ops.relational import top_orders
 
@@ -490,7 +513,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_stats": _q_doc_stats,
         "group_concat_events": _q_group_concat,
         "tpch_q1": _q_tpch_q1,
+        "tpch_q3": _q_tpch_q3,
         "top_orders": _q_top_orders,
+        "ann_ivf": _q_ann_ivf,
         "building_orders": _q_building_orders,
         "orders_by_nation": _q_orders_by_nation,
         "events_hourly": _q_events_hourly,
@@ -551,6 +576,16 @@ def oracle_sql() -> dict[str, str]:
         "top_orders": (
             "SELECT o_orderkey, o_totalprice FROM orders "
             "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
+        ),
+        "tpch_q3": (
+            "SELECT l_orderkey, o_orderdate, o_orderpriority, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "WHERE c_mktsegment = 'BUILDING' AND o_orderdate < '1997-01-01' "
+            "AND l_shipdate >= '1997-01-01' "
+            "GROUP BY l_orderkey, o_orderdate, o_orderpriority "
+            "ORDER BY revenue DESC, l_orderkey LIMIT 10"
         ),
         "building_orders": (
             "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "

@@ -32,8 +32,9 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 PAGE_COLS = ["url", "warc_ts", "html", "text", "lang"]
 
-# sf-proportional flagship corpus size: sf0.1 -> 2000 docs.
-DOCS_PER_SF = 20_000
+# sf-proportional flagship corpus size: sf0.1 -> 10000 docs (small enough
+# for a per-round suite, large enough that pool spinup doesn't dominate).
+DOCS_PER_SF = 100_000
 
 
 def _sf_of(sf_dir: str) -> float:
@@ -95,8 +96,12 @@ def _run_flagship(n_docs: int, warmup: bool, repeats: int = 1) -> tuple[float, i
         # dispatch never gates the pool (1200 blocks ran the 28-actor pool
         # at 30% utilization; 300 blocks reach ~90%), yet fine enough that
         # the straggler tail stays ~1 task ≈ 1 s.
+        # ...capped at 400 blocks: past that, dispatch count itself becomes
+        # the floor (1200 blocks at 120k docs cost +6s vs 400).
         ds = ray.data.read_parquet(
-            path, columns=PAGE_COLS, override_num_blocks=max(32, n_docs // 100)
+            path,
+            columns=PAGE_COLS,
+            override_num_blocks=min(400, max(32, n_docs // 100)),
         )
         res = extract(ds)
         res.write_parquet(out_dir)
@@ -209,13 +214,13 @@ def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
     """Same job, two parallelism levels, fresh processes; efficiency =
     (tput_hi / tput_lo) / (hi / lo).
 
-    Uses 60x the suite corpus so fixed per-job overhead (actor spawn, the
-    one shuffle's task floor) is amortized — the regime the criterion is
-    about: at 100 TB, per-job overhead is ~0 of wall time.  (The engine
-    extracts ~1.5k docs/s at 32 CPUs; anything smaller finishes before the
-    pool is fully ramped.)"""
+    Uses 12x the suite corpus (120k docs at sf0.1) so fixed per-job
+    overhead (actor spawn, the one shuffle's task floor) is amortized —
+    the regime the criterion is about: at 100 TB, per-job overhead is ~0
+    of wall time.  (The engine extracts ~2.5k docs/s at 32 CPUs; anything
+    smaller finishes before the pool is fully ramped.)"""
     sf = _sf_of(sf_dir)
-    n_docs = 60 * max(200, int(DOCS_PER_SF * sf))
+    n_docs = 12 * max(200, int(DOCS_PER_SF * sf))
     # Pre-generate the corpus so neither timed process pays generation.
     _init(lo)
     _corpus(n_docs)

@@ -136,6 +136,66 @@ def tpch_q1(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+# --------------------------------------- composed pipeline (TPC-H Q3 shape)
+def tpch_q3(sf_dir: str, k: int = 10) -> "ray.data.Dataset":
+    """Shipping-priority query: broadcast semi-join (customer segment) →
+    date-filtered orders ⋈ lineitem via sort-merge join → grouped revenue →
+    global top-k.  Composes the engine's join, groupby, and sort/limit
+    primitives in one lineage."""
+    import ray
+
+    from .grouped import sorted_groupby
+
+    cutoff = pa.scalar(datetime.datetime(1997, 1, 1), pa.timestamp("us"))
+
+    cust = read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    keys = pa.array(
+        sorted(cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"]), pa.int64()
+    )
+    keys_ref = ray.put(keys)
+
+    def orders_prep(t: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref)
+        t = t.filter(
+            pc.and_(
+                pc.is_in(t["o_custkey"], value_set=ks),
+                pc.less(pc.cast(t["o_orderdate"], pa.timestamp("us")), cutoff),
+            )
+        )
+        return t.select(["o_orderkey", "o_orderdate", "o_orderpriority"]).rename_columns(
+            ["l_orderkey", "o_orderdate", "o_orderpriority"]
+        )
+
+    orders = read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"]
+    ).map_batches(orders_prep, batch_format="pyarrow")
+
+    def line_prep(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.greater_equal(pc.cast(t["l_shipdate"], pa.timestamp("us")), cutoff)
+        )
+        rev = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        return pa.table({"l_orderkey": t["l_orderkey"], "rev": rev})
+
+    line = read(
+        sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]
+    ).map_batches(line_prep, batch_format="pyarrow")
+
+    joined = sort_merge_join(line, orders, ["l_orderkey"], how="inner")
+
+    def agg_block(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(
+            ["l_orderkey", "o_orderdate", "o_orderpriority"], as_index=False
+        ).agg(revenue=("rev", "sum"))
+        g["revenue"] = g["revenue"].round(2)
+        return g
+
+    grouped = sorted_groupby(joined, ["l_orderkey"], agg_block)
+    return grouped.sort(["revenue", "l_orderkey"], descending=[True, False]).limit(k)
+
+
 # ------------------------------------------------------------------ top-k
 def top_orders(sf_dir: str, k: int = 10) -> "ray.data.Dataset":
     """Top-k orders by total price (global sort + limit; stored values, so

@@ -66,6 +66,83 @@ def topk_bruteforce(
     return candidates.groupby("query_id", sort=True).head(k).reset_index(drop=True)
 
 
+def _kmeans_lite(sample: np.ndarray, n_centroids: int, iters: int,
+                 seed: int) -> np.ndarray:
+    """Few-iteration spherical k-means on a driver-side sample (the IVF
+    coarse quantizer).  Deterministic: seeded init, argmin ties -> lowest
+    index."""
+    rng = np.random.default_rng(seed)
+    n = len(sample)
+    cent = sample[rng.choice(n, size=min(n_centroids, n), replace=False)]
+    cent = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+    for _ in range(iters):
+        assign = np.argmax(sample @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = sample[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                cent[c] = v / max(np.linalg.norm(v), 1e-12)
+    return cent
+
+
+def topk_ivf(
+    ds: "ray.data.Dataset",
+    queries: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 32,
+    n_probe: int = 4,
+    sample_rows: int = 4096,
+    seed: int = 3,
+) -> pd.DataFrame:
+    """IVF approximate top-k (the other 10^12-row scale path besides LSH):
+
+    1. a driver-side SAMPLE trains a spherical-kmeans coarse quantizer
+       (at cluster scale: train once, persist, broadcast);
+    2. centroids broadcast via ray.put;
+    3. each batch assigns its vectors to nearest centroid and scores only
+       vectors whose centroid is in the query's ``n_probe`` nearest lists;
+    4. tiny candidate reduce keeps the global top-k.
+
+    Scanned fraction ≈ n_probe / n_centroids.  Recall < 1 by construction;
+    ``topk_bruteforce`` is the correctness baseline."""
+    import ray
+
+    q = np.atleast_2d(np.asarray(queries, dtype=np.float64))
+    q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+
+    sample_df = ds.limit(sample_rows).to_pandas()
+    cent = _kmeans_lite(_to_matrix(sample_df[vec_col]), n_centroids, 5, seed)
+    probe = np.argsort(-(q @ cent.T), axis=1)[:, :n_probe]  # (Q, n_probe)
+    ref = ray.put((q, cent, probe))
+
+    def local_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        qm, cm, pr = ray.get(ref)
+        mat = _to_matrix(batch[vec_col])
+        ids = batch[id_col].to_numpy()
+        assign = np.argmax(mat @ cm.T, axis=1)
+        rows = {"query_id": [], id_col: [], "cosine": []}
+        for qi in range(qm.shape[0]):
+            mask = np.isin(assign, pr[qi])
+            if not mask.any():
+                continue
+            sims = mat[mask] @ qm[qi]
+            sel_ids = ids[mask]
+            kk = min(k, sims.shape[0])
+            part = np.argpartition(-sims, kk - 1)[:kk]
+            rows["query_id"].extend([qi] * kk)
+            rows[id_col].extend(sel_ids[part])
+            rows["cosine"].extend(sims[part])
+        return pd.DataFrame(rows)
+
+    candidates = ds.map_batches(local_topk, batch_format="pandas").to_pandas()
+    candidates = candidates.sort_values(
+        ["query_id", "cosine", id_col], ascending=[True, False, True]
+    )
+    return candidates.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+
+
 class _HyperplaneSigner:
     def __init__(self, dim: int, n_bits: int = 12, seed: int = 11):
         rng = np.random.default_rng(seed)

@@ -111,6 +111,23 @@ def test_ann_bruteforce_exact(ray_session):
     assert got["vec_id"].iloc[0] == 17  # self is nearest
 
 
+def test_ann_ivf_recall(ray_session):
+    import ray.data
+
+    from pdf2pdfocr_ray.ops.similarity import topk_bruteforce, topk_ivf
+
+    rng = np.random.default_rng(6)
+    mat = rng.standard_normal((400, 16))
+    df = pd.DataFrame({"vec_id": range(400), "embedding": list(mat)})
+    ds = ray.data.from_pandas(df).repartition(4)
+    q = mat[42]
+    exact = set(topk_bruteforce(ds, q, k=10)["vec_id"])
+    approx = topk_ivf(ds, q, k=10, n_centroids=16, n_probe=4)
+    got = set(approx["vec_id"])
+    assert 42 in got  # query's own vector always lands in a probed list
+    assert len(got & exact) >= 5  # recall >= 0.5 at 1/4 scan fraction
+
+
 def test_token_stats_oracle(ray_session):
     import ray.data
 
