@@ -27,7 +27,9 @@ def sniff_route(batch: pa.Table) -> pa.Table:
     is_img = pc.starts_with(col, pattern=_IMAGE_MAGICS[0])
     for magic in _IMAGE_MAGICS[1:]:
         is_img = pc.or_(is_img, pc.starts_with(col, pattern=magic))
-    is_html = pc.starts_with(col, pattern=b"<")
+    # html: first non-whitespace (or post-BOM) byte is '<' — crawl payloads
+    # frequently lead with whitespace or a UTF-8 BOM.
+    is_html = pc.match_substring_regex(col, r"^[\s\xef\xbb\xbf]*<")
     route = pc.if_else(
         is_pdf,
         ROUTE_PDF,

@@ -1,0 +1,71 @@
+"""S2 content-type sniff unit tests (reference `file -b --mime-type`
+routing, pdf2pdfocr.py:1229-1236): magic-byte routing of PDF / image /
+HTML / junk payloads."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from pdf2pdfocr_ray.stages.sniff import (
+    ROUTE_ERROR,
+    ROUTE_HTML,
+    ROUTE_IMAGE,
+    ROUTE_PDF,
+    sniff_route,
+)
+
+
+def _route_of(payload: bytes) -> str:
+    t = pa.table(
+        {
+            "url": pa.array(["u"], pa.string()),
+            "warc_ts": pa.array([0], pa.timestamp("us")),
+            "html": pa.array([payload], pa.binary()),
+            "text": pa.array([""], pa.string()),
+            "lang": pa.array(["eng"], pa.string()),
+        }
+    )
+    return sniff_route(t).column("route").to_pylist()[0]
+
+
+def test_pdf_magic():
+    assert _route_of(b"%PDF-1.4\nrest") == ROUTE_PDF
+
+
+def test_png_magic():
+    assert _route_of(b"\x89PNG\r\n\x1a\nrest") == ROUTE_IMAGE
+
+
+def test_jpeg_magic():
+    assert _route_of(b"\xff\xd8\xff\xe0JFIF") == ROUTE_IMAGE
+
+
+def test_tiff_magics():
+    assert _route_of(b"II*\x00data") == ROUTE_IMAGE
+    assert _route_of(b"MM\x00*data") == ROUTE_IMAGE
+
+
+def test_html_fallback():
+    assert _route_of(b"<html><body>x</body></html>") == ROUTE_HTML
+    assert _route_of(b"  <!DOCTYPE html><p>y</p>") == ROUTE_HTML
+
+
+def test_junk_routed_error():
+    assert _route_of(b"\x00\x01\x02\x03 binary junk") == ROUTE_ERROR
+    assert _route_of(b"") == ROUTE_ERROR
+
+
+def test_sniff_preserves_columns_and_rows():
+    t = pa.table(
+        {
+            "url": pa.array(["a", "b"], pa.string()),
+            "warc_ts": pa.array([0, 1], pa.timestamp("us")),
+            "html": pa.array([b"%PDF-x", b"<p>hi</p>"], pa.binary()),
+            "text": pa.array(["", ""], pa.string()),
+            "lang": pa.array(["eng", "por"], pa.string()),
+        }
+    )
+    out = sniff_route(t)
+    assert out.num_rows == 2
+    assert set(t.column_names) <= set(out.column_names)
+    assert out.column("route").to_pylist() == [ROUTE_PDF, ROUTE_HTML]
