@@ -225,18 +225,32 @@ def dedup_minhash_lsh(
     def dedup_pairs_block(df: pd.DataFrame) -> pd.DataFrame:
         return df.drop_duplicates(["id_a", "id_b"])
 
-    return sorted_groupby(pairs, ["id_a", "id_b"], dedup_pairs_block)
+    # Candidate pairs are orders of magnitude fewer than band rows; a small
+    # fixed partition count keeps the dedup shuffle's task floor low.
+    return sorted_groupby(pairs, ["id_a", "id_b"], dedup_pairs_block, partitions=8)
 
 
 # ------------------------------------------------------------------- simhash
 def simhash64(text: str) -> int:
+    """64-bit SimHash over tokens.  Token hash = crc32 avalanched to 64
+    bits by a splitmix-style mix (crc alone only fills 32 bits)."""
+    import zlib
+
     toks = _TOKEN_RE.findall(text.lower())
     if not toks:
         return 0
-    hs = np.array(
-        [int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "little") for t in toks],
+    hs = np.fromiter(
+        (zlib.crc32(t.encode("utf-8")) for t in toks),
         dtype=np.uint64,
+        count=len(toks),
     )
+    # splitmix64 finalizer: spreads 32-bit crc values over all 64 bits
+    hs = (hs + np.uint64(0x9E3779B97F4A7C15))
+    hs ^= hs >> np.uint64(30)
+    hs *= np.uint64(0xBF58476D1CE4E5B9)
+    hs ^= hs >> np.uint64(27)
+    hs *= np.uint64(0x94D049BB133111EB)
+    hs ^= hs >> np.uint64(31)
     bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
         np.int64
     )
@@ -266,17 +280,17 @@ def dedup_simhash(
     with_hash = add_simhash(ds, text_col)
 
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
-        ids, chunk_ids, chunk_vals, hashes = [], [], [], []
-        for _, row in batch.iterrows():
-            h = int(row["simhash"])
-            for c in range(4):
-                ids.append(row[id_col])
-                chunk_ids.append(c)
-                chunk_vals.append((h >> (16 * c)) & 0xFFFF)
-                hashes.append(h)
+        n = len(batch)
+        hs = batch["simhash"].to_numpy(dtype=np.uint64)
+        chunk = np.arange(4, dtype=np.uint64)
+        vals = (hs[:, None] >> (np.uint64(16) * chunk[None, :])) & np.uint64(0xFFFF)
         return pd.DataFrame(
-            {id_col: ids, "chunk_id": chunk_ids, "chunk_val": chunk_vals,
-             "simhash": hashes}
+            {
+                id_col: np.repeat(batch[id_col].to_numpy(), 4),
+                "chunk_id": np.tile(np.arange(4, dtype=np.int64), n),
+                "chunk_val": vals.reshape(-1).astype(np.int64),
+                "simhash": np.repeat(hs, 4),
+            }
         )
 
     from .grouped import sorted_groupby
