@@ -183,6 +183,18 @@ def _q_events_hourly(sf_dir: str):
     return events_hourly(sf_dir)
 
 
+def _q_sessionize(sf_dir: str):
+    from pdf2pdfocr_ray.ops.relational import sessionize
+
+    return sessionize(sf_dir)
+
+
+def _q_events_by_type(sf_dir: str):
+    from pdf2pdfocr_ray.ops.relational import events_by_type
+
+    return events_by_type(sf_dir)
+
+
 def _q_events_running_sum(sf_dir: str):
     from pdf2pdfocr_ray.ops.relational import events_running_sum
 
@@ -520,6 +532,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_nation": _q_orders_by_nation,
         "events_hourly": _q_events_hourly,
         "events_running_sum": _q_events_running_sum,
+        "sessionize": _q_sessionize,
+        "events_by_type": _q_events_by_type,
         "user_event_types": _q_user_event_types,
         "customers_without_orders": _q_customers_without_orders,
         "orders_sample": _q_orders_sample,
@@ -608,6 +622,22 @@ def oracle_sql() -> dict[str, str]:
             "round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id "
             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) "
             "AS running_value FROM events"
+        ),
+        "sessionize": (
+            "WITH s AS (SELECT user_id, ts, event_id, "
+            "CASE WHEN lag(ts) OVER w IS NULL OR "
+            "epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 "
+            "THEN 1 ELSE 0 END AS is_new FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+            "t AS (SELECT user_id, sum(is_new) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS session_id FROM s) "
+            "SELECT user_id, CAST(session_id AS BIGINT) AS session_id, "
+            "count(*) AS n_events FROM t GROUP BY 1, 2"
+        ),
+        "events_by_type": (
+            "SELECT event_type, count(*) AS n_events, "
+            "round(sum(value), 2) AS sum_value FROM events GROUP BY event_type"
         ),
         "user_event_types": (
             "SELECT user_id, count(DISTINCT event_type) AS n_types "

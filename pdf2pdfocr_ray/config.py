@@ -59,6 +59,11 @@ class PipelineConfig:
     # sit in one actor task's heap.
     page_rebalance: bool = False
     shuffle_partitions: int = 0  # 0 = cluster CPU count (assemble shuffle)
+    # Two-level re-assembly: pages concat per (url, page_no // chunk) then
+    # chunks merge per url — spreads a hot url's concat work over
+    # ~n_pages/chunk reducers (range salt preserves byte order).  0 = off
+    # (single-level); enable (e.g. 256) when docs can exceed ~10k pages.
+    assembly_chunk_pages: int = 0
 
     def resolve_ocr_concurrency(self) -> int | tuple[int, int]:
         if self.ocr_concurrency is not None:

@@ -39,6 +39,44 @@ def _default_partitions() -> int:
     return int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
 
 
+def combined_groupby_agg(
+    ds: "ray.data.Dataset",
+    keys: list[str] | str,
+    aggs: dict[str, tuple[str, str]],
+    partitions: int = 0,
+) -> "ray.data.Dataset":
+    """Skew-proof algebraic aggregation: map-side combine + tiny merge.
+
+    Phase 1 aggregates INSIDE each batch (so a hot key contributes at most
+    one partial row per batch — the shuffle never concentrates a hot key's
+    raw rows on one reducer; this is what key-salting achieves for
+    algebraic aggregates, without the extra column); phase 2 merges the
+    per-batch partials with ``sorted_groupby``.  Only ALGEBRAIC aggregates
+    compose: sum, count (re-summed), min, max.
+
+    ``aggs``: out_col -> (in_col, fn) with fn in {sum, count, min, max}.
+    """
+    if isinstance(keys, str):
+        keys = [keys]
+    _MERGE = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
+    for out, (_, fn) in aggs.items():
+        if fn not in _MERGE:
+            raise ValueError(f"non-algebraic aggregate {fn!r} cannot be combined")
+
+    def phase1(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(keys, as_index=False).agg(
+            **{out: spec for out, spec in aggs.items()}
+        )
+
+    def phase2(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(keys, as_index=False).agg(
+            **{out: (out, _MERGE[aggs[out][1]]) for out in aggs}
+        )
+
+    partials = ds.map_batches(phase1, batch_format="pandas")
+    return sorted_groupby(partials, keys, phase2, partitions=partitions)
+
+
 def sorted_groupby(
     ds: "ray.data.Dataset",
     keys: list[str] | str,

@@ -385,6 +385,68 @@ def events_running_sum(sf_dir: str) -> "ray.data.Dataset":
     return sorted_groupby(ds, "user_id", run_block)
 
 
+# ------------------------------------------------- session (gap) windows
+def sessionize(sf_dir: str, gap_minutes: int = 30) -> "ray.data.Dataset":
+    """Gap-based session windows per user (the streaming-session shape in
+    batch form): a new session starts when the gap since the previous
+    event exceeds ``gap_minutes``.  One sorted_groupby on user_id; gap
+    detection and session numbering are vectorized per block."""
+    from .grouped import sorted_groupby
+
+    gap_us = gap_minutes * 60_000_000
+
+    ds = read(sf_dir, "events", ["event_id", "ts", "user_id"])
+
+    def session_block(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        us = df["ts"].astype("int64").to_numpy()
+        users = df["user_id"].to_numpy()
+        new_user = np.empty(len(df), dtype=bool)
+        new_user[0] = True
+        new_user[1:] = users[1:] != users[:-1]
+        gap = np.empty(len(df), dtype=np.int64)
+        gap[0] = gap_us + 1
+        gap[1:] = us[1:] - us[:-1]
+        is_new = new_user | (gap > gap_us)
+        sid = np.cumsum(is_new)
+        # renumber per user: subtract the global session count before each
+        # user's first row (vectorized via running user-start index)
+        start_idx = np.maximum.accumulate(
+            np.where(new_user, np.arange(len(df)), 0)
+        )
+        session_id = sid - (sid[start_idx] - 1)
+        out = pd.DataFrame(
+            {"user_id": users, "session_id": session_id}
+        )
+        return out.groupby(["user_id", "session_id"], as_index=False).agg(
+            n_events=("session_id", "size")
+        )
+
+    return sorted_groupby(ds, "user_id", session_block)
+
+
+def events_by_type(sf_dir: str) -> "ray.data.Dataset":
+    """sum/count per event_type — deliberately HOT keys (few types over
+    all rows); executed with map-side combine (combined_groupby_agg) so
+    no reducer ever sees a hot key's raw rows."""
+    from .grouped import combined_groupby_agg
+
+    ds = read(sf_dir, "events", ["event_type", "value"])
+    agg = combined_groupby_agg(
+        ds,
+        "event_type",
+        {"n_events": ("value", "count"), "sum_value": ("value", "sum")},
+        partitions=8,
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["sum_value"] = df["sum_value"].round(2)
+        return df
+
+    return agg.map_batches(finalize, batch_format="pandas")
+
+
 # --------------------------------------------------------- distinct count
 def user_event_types(sf_dir: str) -> "ray.data.Dataset":
     """count(DISTINCT event_type) per user.  Exact distinct via the same

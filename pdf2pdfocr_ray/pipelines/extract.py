@@ -19,7 +19,7 @@ from __future__ import annotations
 from typing import TYPE_CHECKING
 
 from ..config import PipelineConfig
-from ..stages.assemble import reassemble
+from ..stages.assemble import reassemble, reassemble_two_level
 from ..stages.fanout import FanOut
 from ..stages.ocr import OcrStage
 from ..stages.sniff import sniff_route
@@ -55,6 +55,12 @@ def extract(
         concurrency=cfg.resolve_ocr_concurrency(),
         num_cpus=1,
     )
+    if cfg.assembly_chunk_pages > 0:
+        return reassemble_two_level(
+            ocred,
+            chunk_pages=cfg.assembly_chunk_pages,
+            shuffle_partitions=cfg.shuffle_partitions,
+        )
     return reassemble(ocred, shuffle_partitions=cfg.shuffle_partitions)
 
 

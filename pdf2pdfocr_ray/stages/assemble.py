@@ -87,6 +87,78 @@ def _assemble_group(group: pd.DataFrame) -> pd.DataFrame:
     return _assemble_block(group)
 
 
+def reassemble_two_level(
+    page_ds: "ray.data.Dataset",
+    chunk_pages: int = 256,
+    shuffle_partitions: int = 0,
+) -> "ray.data.Dataset":
+    """Range-salted re-assembly for HOT urls (a 10k-page doc whose text
+    exceeds one reducer's comfort): level 1 groups by
+    ``(url, page_no // chunk_pages)`` — contiguous page ranges, so a giant
+    doc's concat work spreads over ~n_pages/chunk_pages reducers — and
+    level 2 merges the per-chunk partial strings in chunk order.  Because
+    the salt is a RANGE of the ordering key, partial concats merge back
+    byte-identically (an arbitrary hash salt could not preserve order).
+    Output is byte-identical to :func:`reassemble`.
+    """
+    from ..ops.grouped import sorted_groupby
+
+    def add_chunk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__chunk"] = (df["page_no"] // chunk_pages).astype("int64")
+        return df
+
+    def partial_block(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["url", "__chunk", "page_no"], kind="stable")
+        g = df.groupby(["url", "__chunk"], sort=True)
+        firsts = g.agg(
+            warc_ts=("warc_ts", "first"),
+            route=("route", "first"),
+            n_pages=("n_pages", "first"),
+            error=("error", "first"),
+        )
+        texts = g["page_text"].agg(
+            lambda s: "".join(t for t in s if isinstance(t, str))
+        )
+        out = firsts.reset_index()
+        out["partial_text"] = texts.to_numpy(dtype=object)
+        return out
+
+    def final_block(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["url", "__chunk"], kind="stable")
+        g = df.groupby("url", sort=True)
+        firsts = g.agg(
+            warc_ts=("warc_ts", "first"),
+            route=("route", "first"),
+            n_pages=("n_pages", "first"),
+            error=("error", "first"),
+        )
+        texts = g["partial_text"].agg(
+            lambda s: "".join(t for t in s if isinstance(t, str))
+        )
+        err = firsts["error"].to_numpy(dtype=object)
+        has_err = np.array([isinstance(e, str) for e in err])
+        text_vals = texts.to_numpy(dtype=object)
+        text_vals[has_err] = None
+        err[~has_err] = None
+        return pd.DataFrame(
+            {
+                "url": firsts.index.to_numpy(dtype=object),
+                "warc_ts": firsts["warc_ts"].to_numpy(),
+                "route": firsts["route"].to_numpy(dtype=object),
+                "extracted_text": text_vals,
+                "n_pages": firsts["n_pages"].to_numpy(dtype="int32"),
+                "error": err,
+            }
+        )
+
+    chunked = page_ds.map_batches(add_chunk, batch_format="pandas")
+    partials = sorted_groupby(
+        chunked, ["url", "__chunk"], partial_block, partitions=shuffle_partitions
+    )
+    return sorted_groupby(partials, "url", final_block, partitions=shuffle_partitions)
+
+
 def reassemble(
     page_ds: "ray.data.Dataset", shuffle_partitions: int = 0
 ) -> "ray.data.Dataset":

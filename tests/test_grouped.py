@@ -61,6 +61,54 @@ def test_no_group_split_across_blocks(ray_session):
     assert out["k"].is_unique
 
 
+def test_combined_agg_matches_pandas_on_hot_keys(ray_session):
+    import ray.data
+
+    from pdf2pdfocr_ray.ops.grouped import combined_groupby_agg
+
+    rng = np.random.default_rng(8)
+    n = 30_000
+    df = pd.DataFrame(
+        {
+            # 3 keys over 30k rows: every key is hot
+            "k": rng.integers(0, 3, n),
+            "v": rng.integers(-100, 100, n).astype(np.int64),
+        }
+    )
+    expected = (
+        df.groupby("k", as_index=False)
+        .agg(n=("v", "count"), s=("v", "sum"), mn=("v", "min"), mx=("v", "max"))
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    got = (
+        combined_groupby_agg(
+            ray.data.from_pandas(df).repartition(16),
+            "k",
+            {"n": ("v", "count"), "s": ("v", "sum"),
+             "mn": ("v", "min"), "mx": ("v", "max")},
+            partitions=4,
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, expected, check_dtype=False)
+
+
+def test_combined_agg_rejects_non_algebraic(ray_session):
+    import ray.data
+
+    from pdf2pdfocr_ray.ops.grouped import combined_groupby_agg
+
+    with pytest.raises(ValueError):
+        combined_groupby_agg(
+            ray.data.from_pandas(pd.DataFrame({"k": [1], "v": [1.0]})),
+            "k",
+            {"m": ("v", "median")},
+        )
+
+
 def test_string_keys_and_multi_key(ray_session):
     import ray.data
 

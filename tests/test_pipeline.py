@@ -70,6 +70,18 @@ def test_error_rows_isolated(ray_session, corpus):
     assert ok["extracted_text"].notna().all()
 
 
+def test_two_level_assembly_byte_identical(ray_session, corpus):
+    """Range-salted (chunked) re-assembly must produce the same bytes as
+    single-level, including for the giant skewed docs, on shuffled input."""
+    pages, golden = corpus
+    rng = np.random.default_rng(3)
+    shuffled = pages.take(pa.array(rng.permutation(pages.num_rows)))
+    res = _run(shuffled, assembly_chunk_pages=16)
+    for i in range(len(golden)):
+        a, b = res["extracted_text"][i], golden["extracted_text"][i]
+        assert (a == b) or (pd.isna(a) and pd.isna(b)), golden["url"][i]
+
+
 def test_prefer_native_text_byte_identical(ray_session, corpus):
     """S6 fast path: native-text PDFs short-circuit OCR yet produce the
     same bytes as the OCR path (golden)."""
