@@ -71,4 +71,6 @@ class PipelineConfig:
         import ray
 
         cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-        return max(2, cpus - max(2, cpus // 8))
+        # Never the full cluster: a pool of width == CPUs starves the read
+        # stage (observed deadlock); floor of 1 actor for tiny clusters.
+        return max(1, min(cpus - 1, cpus - max(2, cpus // 8)))

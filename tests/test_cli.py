@@ -1,0 +1,59 @@
+"""CLI surface test: python -m pdf2pdfocr_ray end-to-end in a fresh
+process (own Ray session), including resume on second invocation."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import subprocess
+import sys
+
+import pyarrow.parquet as pq
+import pytest
+
+from pdf2pdfocr_ray.sources.corpus import generate_corpus
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.mark.slow
+def test_cli_end_to_end_and_resume(tmp_path):
+    pages, golden = generate_corpus(40, seed=42)
+    src = str(tmp_path / "pages.parquet")
+    pq.write_table(pages, src)
+    out = str(tmp_path / "out")
+
+    def run():
+        return subprocess.run(
+            [sys.executable, "-m", "pdf2pdfocr_ray", "-i", src, "-o", out,
+             "--shards", "2", "--num-cpus", "2"],
+            capture_output=True, text=True, cwd=REPO, timeout=300,
+        )
+
+    r1 = run()
+    assert r1.returncode == 1, r1.stderr[-2000:]  # corpus has error rows
+    s1 = json.loads(r1.stdout.strip().splitlines()[-1])
+    assert s1["rows"] == 40
+    assert all(v == "done" for v in s1["shards"].values())
+    assert len(glob.glob(os.path.join(out, "shard=*", "_MANIFEST.json"))) == 2
+
+    r2 = run()
+    s2 = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert all(v == "skipped" for v in s2["shards"].values())
+
+    import pandas as pd
+
+    res = (
+        pd.concat(
+            pd.read_parquet(f)
+            for f in glob.glob(os.path.join(out, "shard=*", "*.parquet"))
+        )
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    g = golden.to_pandas().sort_values("url").reset_index(drop=True)
+    assert len(res) == len(g)
+    for i in range(len(g)):
+        a, b = res["extracted_text"][i], g["extracted_text"][i]
+        assert (a == b) or (pd.isna(a) and pd.isna(b))
