@@ -55,6 +55,26 @@ def test_junk_routed_error():
     assert _route_of(b"") == ROUTE_ERROR
 
 
+def test_non_utf8_html_isolated_as_error_row():
+    """A payload that sniffs as HTML but isn't valid UTF-8 must become an
+    error row, not an exception (row-level fault isolation)."""
+    from pdf2pdfocr_ray.stages.fanout import FanOut
+
+    t = pa.table(
+        {
+            "url": pa.array(["u"], pa.string()),
+            "warc_ts": pa.array([0], pa.timestamp("us")),
+            "html": pa.array([b"<html>\xff\xfe\xfa broken bytes</html>"], pa.binary()),
+            "text": pa.array([""], pa.string()),
+            "lang": pa.array(["eng"], pa.string()),
+        }
+    )
+    out = FanOut()(sniff_route(t))
+    assert out.num_rows == 1
+    err = out.column("error").to_pylist()[0]
+    assert err is not None and err.startswith("html_parse")
+
+
 def test_sniff_preserves_columns_and_rows():
     t = pa.table(
         {
