@@ -69,6 +69,29 @@ def _q_flagship_match(sf_dir: str):
     return pd.DataFrame({"n_docs": [len(g)], "n_byte_identical": [eq]})
 
 
+def _q_flagship_spans(sf_dir: str):
+    """Flagship with doc-level span aggregation: url -> n_spans + first
+    span bbox (span payloads themselves stay engine-side)."""
+    import numpy as np
+    import pandas as pd
+
+    from pdf2pdfocr_ray.pipelines.extract import extract
+
+    ds, _ = _corpus_ds(120)
+    res = extract(ds, keep_spans=True).to_pandas()
+    spans = res["spans"]
+    return pd.DataFrame(
+        {
+            "url": res["url"],
+            "n_spans": [len(s) if isinstance(s, (list, np.ndarray)) else 0 for s in spans],
+            "first_x1": [
+                int(s[0]["x1"]) if isinstance(s, (list, np.ndarray)) and len(s) else -1
+                for s in spans
+            ],
+        }
+    ).sort_values("url").reset_index(drop=True)
+
+
 def _q_page_spans(sf_dir: str):
     """Per-page word spans (M8/M9 path) for the PDF/image rows of a small
     corpus slice; returns url, page_no, n_spans, first span bbox."""
@@ -318,6 +341,20 @@ def _q_embedding_near_dup(sf_dir: str):
     return embedding_near_dup(ds, threshold=0.45).select_columns(["id_a", "id_b"])
 
 
+def _q_embedding_near_dup_lsh(sf_dir: str):
+    """LSH-bucketed near-dup (the scale path; recall<1 so rows-only)."""
+    from pdf2pdfocr_ray.ops.dedup import embedding_near_dup_lsh
+    from pdf2pdfocr_ray.ops.relational import read
+
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    # 6 bits x 8 tables: recall ~0.5 at cos 0.45 (hyperplane LSH is built
+    # for high thresholds; at 0.9+ recall approaches 1).  Exact verification
+    # within buckets keeps precision at 1.0.
+    return embedding_near_dup_lsh(
+        ds, threshold=0.45, n_bits=6, n_tables=8
+    ).select_columns(["id_a", "id_b"])
+
+
 def _q_ann_topk(sf_dir: str):
     """Exact cosine top-10 for the query vector = embedding of vec_id 0."""
     import numpy as np
@@ -521,6 +558,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "flagship_extract": _q_flagship,
         "flagship_match_rate": _q_flagship_match,
         "page_spans": _q_page_spans,
+        "flagship_spans": _q_flagship_spans,
         "doc_filter": _q_doc_filter,
         "doc_stats": _q_doc_stats,
         "group_concat_events": _q_group_concat,
@@ -549,6 +587,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
         "embedding_near_dup": _q_embedding_near_dup,
+        "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
         "ann_topk": _q_ann_topk,
         "ann_lsh": _q_ann_lsh,
         "lang_id": _q_lang_id,

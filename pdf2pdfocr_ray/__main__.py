@@ -52,6 +52,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="OCR actor pool size (0 = auto from cluster CPUs)")
     p.add_argument("--shards", type=int, default=8,
                    help="checkpoint shards (resume unit)")
+    p.add_argument("--concurrent-shards", type=int, default=1,
+                   help="shards driven concurrently (set -j explicitly "
+                        "so pools share the cluster)")
     p.add_argument("--chunk-pages", type=int, default=0,
                    help="two-level assembly chunk size (0 = single level)")
     p.add_argument("--num-cpus", type=int, default=0,
@@ -92,7 +95,8 @@ def main(argv: list[str] | None = None) -> int:
             return ray.data.read_parquet(args.input)
 
         summary = run_checkpointed(
-            factory, args.output, config=cfg, num_shards=args.shards
+            factory, args.output, config=cfg, num_shards=args.shards,
+            concurrent_shards=args.concurrent_shards,
         )
         print(json.dumps(summary))
         return 0 if summary["errors"] == 0 else 1

@@ -339,6 +339,86 @@ def ngram_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
     return len(a & b) / max(1, len(a | b))
 
 
+# ------------------------------- embedding near-dup, LSH-bucketed (scale path)
+def embedding_near_dup_lsh(
+    ds: "ray.data.Dataset",
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = 8,
+    n_tables: int = 4,
+    max_bucket: int = 512,
+    seed: int = 13,
+) -> "ray.data.Dataset":
+    """Near-dup pairs at 10^12-row scale: random-hyperplane signatures
+    bucket the vectors (``n_tables`` independent tables — recall knob);
+    exact cosine verification runs only WITHIN buckets, and the shuffle
+    carries (id, bucket, vector) rows — never the full N x N comparison.
+    Output: (id_a, id_b, cosine) with id_a < id_b, deduplicated across
+    tables.  Recall < 1 by construction; ``embedding_near_dup`` (broadcast
+    matrix) is the exact small-N baseline."""
+    from .grouped import sorted_groupby
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        mat = np.asarray([np.asarray(v, dtype=np.float64) for v in df[vec_col]])
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        dim = mat.shape[1]
+        out_id, out_tab, out_sig, out_vec = [], [], [], []
+        for t in range(n_tables):
+            p_rng = np.random.default_rng([seed, t, dim])
+            planes_t = p_rng.standard_normal((n_bits, dim))
+            sig = ((mat @ planes_t.T) > 0) @ (1 << np.arange(n_bits))
+            out_id.extend(df[id_col].to_numpy())
+            out_tab.extend([t] * len(df))
+            out_sig.extend(sig.astype(np.int64))
+            out_vec.extend([v.tobytes() for v in mat])
+        return pd.DataFrame(
+            {
+                id_col: pd.Series(out_id, dtype="int64"),
+                "table_id": pd.Series(out_tab, dtype="int64"),
+                "bucket": pd.Series(out_sig, dtype="int64"),
+                "vec": pd.Series(out_vec, dtype="object"),
+            }
+        )
+
+    def bucket_pairs_block(df: pd.DataFrame) -> pd.DataFrame:
+        sizes = df.groupby(["table_id", "bucket"])[id_col].transform("size")
+        df = df[sizes >= 2]
+        out_a: list = []
+        out_b: list = []
+        out_c: list = []
+        for _, g in df.groupby(["table_id", "bucket"], sort=False):
+            g = g.sort_values(id_col).head(max_bucket)
+            ids = g[id_col].to_numpy()
+            mat = np.frombuffer(b"".join(g["vec"]), dtype=np.float64).reshape(
+                len(g), -1
+            )
+            sims = mat @ mat.T
+            a, b = np.triu_indices(len(ids), k=1)
+            keep = sims[a, b] >= threshold
+            out_a.extend(ids[a][keep])
+            out_b.extend(ids[b][keep])
+            out_c.extend(sims[a, b][keep])
+        return pd.DataFrame(
+            {
+                "id_a": pd.Series(out_a, dtype="int64"),
+                "id_b": pd.Series(out_b, dtype="int64"),
+                "cosine": pd.Series(out_c, dtype="float64"),
+            }
+        )
+
+    pairs = sorted_groupby(
+        ds.map_batches(explode, batch_format="pandas"),
+        ["table_id", "bucket"],
+        bucket_pairs_block,
+    )
+    return sorted_groupby(
+        pairs, ["id_a", "id_b"],
+        lambda df: df.drop_duplicates(["id_a", "id_b"]),
+        partitions=8,
+    )
+
+
 # ------------------------------------------------- embedding cosine near-dup
 def embedding_near_dup(
     ds: "ray.data.Dataset",

@@ -29,9 +29,14 @@ if TYPE_CHECKING:
 
 
 def extract(
-    pages_ds: "ray.data.Dataset", config: PipelineConfig | None = None
+    pages_ds: "ray.data.Dataset",
+    config: PipelineConfig | None = None,
+    keep_spans: bool = False,
 ) -> "ray.data.Dataset":
-    """pages Dataset -> extracted Dataset (lazy; caller consumes/writes)."""
+    """pages Dataset -> extracted Dataset (lazy; caller consumes/writes).
+    ``keep_spans`` adds a doc-level ``spans`` list<struct> column (word
+    bboxes concatenated in page order) — off by default: spans multiply
+    the shuffle payload."""
     cfg = config or PipelineConfig()
     sniffed = pages_ds.map_batches(
         sniff_route, batch_format="pyarrow", batch_size=cfg.doc_batch_size
@@ -49,7 +54,7 @@ def extract(
         )
     ocred = page_rows.map_batches(
         OcrStage,
-        fn_constructor_kwargs={"config": cfg},
+        fn_constructor_kwargs={"config": cfg, "keep_spans": keep_spans},
         batch_format="pyarrow",
         batch_size=cfg.page_batch_size,
         concurrency=cfg.resolve_ocr_concurrency(),

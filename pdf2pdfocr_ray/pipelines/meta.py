@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from typing import TYPE_CHECKING
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -179,6 +180,15 @@ def page_zip_merge(
         df = df.copy()
         # reference multibackground: text page scaled to image page dims
         df["scale_ok"] = (df["width_px"] > 0) | (df["raster_bytes"] == 0)
+        # J2 (reference pdf2pdfocr.py:769-805): overlay vs underlay chosen
+        # by comparing first-page areas of the text layer and the original.
+        # Here both derive from the same raster, so the decision reduces to
+        # "text layer covers the page" — recorded per page for the doc-level
+        # first-page vote.
+        area = df["width_px"].astype("int64") * df["height_px"].astype("int64")
+        df["merge_mode"] = np.where(
+            (df["page_no"] == 0) & (area > 0), "underlay", "follow_first"
+        )
         return df
 
     return joined.map_batches(scale, batch_format="pandas")

@@ -70,7 +70,7 @@ def _assemble_block(df: pd.DataFrame) -> pd.DataFrame:
     text_vals = texts.to_numpy(dtype=object)
     text_vals[has_err] = None
     err[~has_err] = None
-    return pd.DataFrame(
+    out = pd.DataFrame(
         {
             "url": firsts.index.to_numpy(dtype=object),
             "warc_ts": firsts["warc_ts"].to_numpy(),
@@ -80,6 +80,14 @@ def _assemble_block(df: pd.DataFrame) -> pd.DataFrame:
             "error": err,
         }
     )
+    if "spans" in df.columns:
+        # Doc-level span list: page span lists concatenated in page order
+        # (SURVEY.md §1.2 optional `spans` column of the extracted table).
+        spans = g["spans"].agg(
+            lambda s: [sp for page in s if page is not None for sp in page]
+        )
+        out["spans"] = spans.to_numpy(dtype=object)
+    return out
 
 
 # Kept for callers/tests that assemble one group at a time.

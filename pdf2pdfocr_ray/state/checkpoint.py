@@ -93,90 +93,129 @@ def completed_shards(out_dir: str, num_shards: int, cfg_hash: str) -> set[int]:
     return done
 
 
+def _run_one_shard(
+    pages_factory: Callable[[], "ray.data.Dataset"],  # noqa: F821
+    out_dir: str,
+    shard: int,
+    num_shards: int,
+    cfg: PipelineConfig,
+    chash: str,
+) -> dict:
+    """Execute one shard end-to-end and publish its manifest atomically."""
+    from ..pipelines.extract import extract
+
+    sdir = _shard_dir(out_dir, shard)
+    shutil.rmtree(sdir, ignore_errors=True)  # wipe a crashed partial
+    t0 = time.time()
+
+    def keep_shard(t: pa.Table, _shard: int = shard) -> pa.Table:
+        mask = url_shard(t.column("url").to_pylist(), num_shards) == _shard
+        return t.filter(pa.array(mask))
+
+    ds = pages_factory().map_batches(keep_shard, batch_format="pyarrow")
+    res = extract(ds, cfg)
+    res.write_parquet(sdir)
+
+    # Lineage metrics from the written output (what actually landed).
+    import ray.data
+
+    out_ds = ray.data.read_parquet(sdir)
+    rows_out = out_ds.count()
+
+    def route_counts(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        routes = t.column("route")
+        errs = pc.sum(pc.cast(pc.is_valid(t.column("error")), pa.int64())).as_py()
+        vals, counts = np.unique(
+            np.asarray(routes.to_pylist(), dtype=object), return_counts=True
+        )
+        return pa.table(
+            {
+                "route": pa.array([str(v) for v in vals]),
+                "n": pa.array(counts, pa.int64()),
+                "errs": pa.array([errs] * len(vals), pa.int64()),
+            }
+        )
+
+    rc = out_ds.map_batches(route_counts, batch_format="pyarrow").to_pandas()
+    per_route = rc.groupby("route")["n"].sum().to_dict()
+    n_errors = int(rc.groupby("route")["errs"].first().sum()) if len(rc) else 0
+    wall = time.time() - t0
+
+    manifest = {
+        "shard": shard,
+        "num_shards": num_shards,
+        "config_hash": chash,
+        "engine_version": ENGINE_VERSION,
+        # extraction is 1 row per input doc, so rows_in == rows_out;
+        # recorded separately for sinks where that stops being true
+        "rows_in": rows_out,
+        "rows_out": rows_out,
+        "per_route": {str(k): int(v) for k, v in per_route.items()},
+        "n_errors": n_errors,
+        "wall_sec": round(wall, 3),
+    }
+    _write_manifest(sdir, manifest)
+    return manifest
+
+
 def run_checkpointed(
     pages_factory: Callable[[], "ray.data.Dataset"],  # noqa: F821
     out_dir: str,
     config: PipelineConfig | None = None,
     num_shards: int = 8,
+    concurrent_shards: int = 1,
 ) -> dict:
     """Extract the corpus shard-by-shard with exact resume.
 
     ``pages_factory`` returns a fresh lazy pages Dataset per call (a read,
     not a materialized object — each shard execution re-reads and filters,
-    keeping per-shard memory bounded).  Returns a summary dict with
-    per-shard status ('done'|'resumed'|'skipped') and aggregate metrics.
+    keeping per-shard memory bounded).  ``concurrent_shards`` > 1 drives
+    that many shard Datasets concurrently from driver threads (Ray Data
+    executions are independent; atomicity is untouched — each shard still
+    publishes its own manifest after its own write).  When running shards
+    concurrently, set ``config.ocr_concurrency`` explicitly so the pools
+    share the cluster (auto-sizing would demand ~full width per shard and
+    the pools would pend against each other).  Returns a summary
+    dict with per-shard status ('done'|'skipped') and aggregate metrics.
     """
-    from ..pipelines.extract import extract
-
     cfg = config or PipelineConfig()
     chash = config_hash(cfg)
     os.makedirs(out_dir, exist_ok=True)
     done = completed_shards(out_dir, num_shards, chash)
 
     summary: dict = {"shards": {}, "rows": 0, "errors": 0, "wall_sec": 0.0}
+    todo = []
     for shard in range(num_shards):
         if shard in done:
             m = read_manifest(out_dir, shard)
             summary["shards"][shard] = "skipped"
             summary["rows"] += m["rows_out"]
             summary["errors"] += m["n_errors"]
-            continue
+        else:
+            todo.append(shard)
 
-        sdir = _shard_dir(out_dir, shard)
-        shutil.rmtree(sdir, ignore_errors=True)  # wipe a crashed partial
-        t0 = time.time()
+    if concurrent_shards <= 1:
+        results = [
+            _run_one_shard(pages_factory, out_dir, s, num_shards, cfg, chash)
+            for s in todo
+        ]
+    else:
+        from concurrent.futures import ThreadPoolExecutor
 
-        def keep_shard(t: pa.Table, _shard: int = shard) -> pa.Table:
-            mask = url_shard(t.column("url").to_pylist(), num_shards) == _shard
-            return t.filter(pa.array(mask))
-
-        ds = pages_factory().map_batches(keep_shard, batch_format="pyarrow")
-        res = extract(ds, cfg)
-        res.write_parquet(sdir)
-
-        # Lineage metrics from the written output (what actually landed).
-        import ray.data
-
-        out_ds = ray.data.read_parquet(sdir)
-        rows_out = out_ds.count()
-
-        def route_counts(t: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
-
-            routes = t.column("route")
-            errs = pc.sum(pc.cast(pc.is_valid(t.column("error")), pa.int64())).as_py()
-            vals, counts = np.unique(np.asarray(routes.to_pylist(), dtype=object), return_counts=True)
-            return pa.table(
-                {
-                    "route": pa.array([str(v) for v in vals]),
-                    "n": pa.array(counts, pa.int64()),
-                    "errs": pa.array([errs] * len(vals), pa.int64()),
-                }
+        with ThreadPoolExecutor(max_workers=concurrent_shards) as pool:
+            results = list(
+                pool.map(
+                    lambda s: _run_one_shard(
+                        pages_factory, out_dir, s, num_shards, cfg, chash
+                    ),
+                    todo,
+                )
             )
-
-        rc = out_ds.map_batches(route_counts, batch_format="pyarrow").to_pandas()
-        per_route = rc.groupby("route")["n"].sum().to_dict()
-        n_errors = int(rc.groupby("route")["errs"].first().sum()) if len(rc) else 0
-        wall = time.time() - t0
-
-        _write_manifest(
-            sdir,
-            {
-                "shard": shard,
-                "num_shards": num_shards,
-                "config_hash": chash,
-                "engine_version": ENGINE_VERSION,
-                # extraction is 1 row per input doc, so rows_in == rows_out;
-                # recorded separately for sinks where that stops being true
-                "rows_in": rows_out,
-                "rows_out": rows_out,
-                "per_route": {str(k): int(v) for k, v in per_route.items()},
-                "n_errors": n_errors,
-                "wall_sec": round(wall, 3),
-            },
-        )
-        summary["shards"][shard] = "done"
-        summary["rows"] += rows_out
-        summary["errors"] += n_errors
-        summary["wall_sec"] += wall
+    for m in results:
+        summary["shards"][m["shard"]] = "done"
+        summary["rows"] += m["rows_out"]
+        summary["errors"] += m["n_errors"]
+        summary["wall_sec"] += m["wall_sec"]
     return summary

@@ -115,6 +115,25 @@ def test_config_change_invalidates(ray_session, corpus_dir, tmp_path):
     assert all(v == "done" for v in summary["shards"].values())
 
 
+def test_concurrent_shards_same_output(ray_session, corpus_dir, tmp_path):
+    """concurrent_shards=2 must produce byte-identical output and the same
+    manifests as the serial path (explicit small pools so they share)."""
+    path, _ = corpus_dir
+    serial, conc = str(tmp_path / "s"), str(tmp_path / "c")
+    cfg = PipelineConfig(ocr_concurrency=1)
+    run_checkpointed(_factory(path), serial, config=cfg, num_shards=N_SHARDS)
+    summary = run_checkpointed(
+        _factory(path), conc, config=cfg, num_shards=N_SHARDS,
+        concurrent_shards=2,
+    )
+    assert all(v == "done" for v in summary["shards"].values())
+    a = _read_all(serial)
+    b = _read_all(conc)
+    pd.testing.assert_frame_equal(
+        a.fillna("∅"), b.fillna("∅"), check_like=True
+    )
+
+
 def test_url_shard_stable_and_total():
     urls = [f"https://example.org/x/{i}" for i in range(200)]
     a = url_shard(urls, 8)

@@ -92,6 +92,22 @@ def test_embedding_near_dup_planted(ray_session):
     assert (0, 50) in set(zip(pairs["id_a"], pairs["id_b"]))
 
 
+def test_embedding_near_dup_lsh_finds_planted(ray_session):
+    import ray.data
+
+    from pdf2pdfocr_ray.ops.dedup import embedding_near_dup_lsh
+
+    rng = np.random.default_rng(4)
+    mat = rng.standard_normal((120, 32))
+    mat[50] = mat[0] + 0.01 * rng.standard_normal(32)  # near-identical pair
+    df = pd.DataFrame({"vec_id": range(120), "embedding": list(mat)})
+    ds = ray.data.from_pandas(df).repartition(3)
+    pairs = embedding_near_dup_lsh(ds, threshold=0.99, n_tables=4).to_pandas()
+    assert (0, 50) in set(zip(pairs["id_a"], pairs["id_b"]))
+    # exact verification inside buckets: no false positives at 0.99
+    assert (pairs["cosine"] >= 0.99).all()
+
+
 def test_ann_bruteforce_exact(ray_session):
     import ray.data
 
