@@ -398,6 +398,14 @@ def sessionize(sf_dir: str, gap_minutes: int = 30) -> "ray.data.Dataset":
     ds = read(sf_dir, "events", ["event_id", "ts", "user_id"])
 
     def session_block(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:  # empty sort partition (partitions > key ranges)
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype="int64"),
+                    "session_id": pd.Series([], dtype="int64"),
+                    "n_events": pd.Series([], dtype="int64"),
+                }
+            )
         df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
         us = df["ts"].astype("int64").to_numpy()
         users = df["user_id"].to_numpy()

@@ -44,6 +44,25 @@ def test_matches_pandas(ray_session, partitions):
     pd.testing.assert_frame_equal(got, expected, check_dtype=False)
 
 
+def test_partitions_exceed_groups(ray_session):
+    """More sort partitions than distinct keys -> some blocks are empty;
+    block fns must tolerate them and results stay exact."""
+    import ray.data
+
+    df = pd.DataFrame({"k": [1, 1, 2, 2, 2], "v": [10, 20, 1, 2, 3]})
+
+    def agg(block):
+        return block.groupby("k", as_index=False).agg(s=("v", "sum"))
+
+    got = (
+        sorted_groupby(ray.data.from_pandas(df), "k", agg, partitions=8)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert got["s"].tolist() == [30, 6]
+
+
 def test_no_group_split_across_blocks(ray_session):
     """Each key must appear in exactly one output block — the contract the
     vectorized per-block aggregation depends on."""
