@@ -325,6 +325,17 @@ def _q_dedup_minhash(sf_dir: str):
     return dedup_minhash_lsh(ds, threshold=0.5).select_columns(["id_a", "id_b"])
 
 
+def _q_dedup_clusters(sf_dir: str):
+    """Near-dup pairs -> connected components -> (node, cluster_id):
+    the doc-level drop verdict (keep iff node == cluster_id)."""
+    from pdf2pdfocr_ray.ops.dedup import connected_components, dedup_minhash_lsh
+    from pdf2pdfocr_ray.ops.relational import read
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = dedup_minhash_lsh(ds, threshold=0.5)
+    return connected_components(pairs).select_columns(["node", "cluster_id"])
+
+
 def _q_dedup_simhash(sf_dir: str):
     from pdf2pdfocr_ray.ops.dedup import dedup_simhash
     from pdf2pdfocr_ray.ops.relational import read
@@ -586,6 +597,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
+        "dedup_clusters": _q_dedup_clusters,
         "embedding_near_dup": _q_embedding_near_dup,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
         "ann_topk": _q_ann_topk,

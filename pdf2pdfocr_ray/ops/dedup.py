@@ -330,6 +330,71 @@ def dedup_simhash(
     )
 
 
+# ------------------------------------------- near-dup clusters (connected
+# components over candidate pairs, iterative min-label propagation)
+def connected_components(
+    pairs_ds: "ray.data.Dataset", max_iters: int = 15
+) -> "ray.data.Dataset":
+    """(id_a, id_b) pair Dataset -> (node, cluster_id) with cluster_id =
+    min node id in the component.  Iterative distributed min-label
+    propagation: each round joins labels across edges and takes the
+    per-node min; labels only decrease, so convergence is detected by the
+    (cheap) global label sum going stationary.  Rounds needed = component
+    diameter — tiny for LSH candidate cliques (~2).
+
+    Docs not in any pair are their own singleton cluster by definition;
+    callers map missing ids to themselves.  Scale: the node set is the
+    DUPLICATED subset of the corpus (bounded by the pair stages' bucket
+    caps), orders of magnitude smaller than the corpus itself."""
+    from .grouped import sorted_groupby
+
+    def bidir(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "src": pd.concat([df["id_a"], df["id_b"]], ignore_index=True).astype("int64"),
+                "dst": pd.concat([df["id_b"], df["id_a"]], ignore_index=True).astype("int64"),
+            }
+        )
+
+    edges = pairs_ds.map_batches(bidir, batch_format="pandas").materialize()
+
+    def init_labels(df: pd.DataFrame) -> pd.DataFrame:
+        nodes = df["src"].unique()
+        return pd.DataFrame({"node": nodes, "label": nodes})
+
+    labels = sorted_groupby(edges, "src", init_labels).materialize()
+    prev_sum = labels.sum("label")
+
+    from .relational import sort_merge_join
+
+    for _ in range(max_iters):
+        lab_as_dst = labels.map_batches(
+            lambda df: df.rename(columns={"node": "dst"}), batch_format="pandas"
+        )
+        neighbor = sort_merge_join(edges, lab_as_dst, ["dst"], how="inner")
+        cand = neighbor.map_batches(
+            lambda df: pd.DataFrame(
+                {"node": df["src"].astype("int64"), "label": df["label"].astype("int64")}
+            ),
+            batch_format="pandas",
+        )
+        both = cand.union(labels)
+        labels = sorted_groupby(
+            both,
+            "node",
+            lambda df: df.groupby("node", as_index=False).agg(label=("label", "min")),
+            partitions=8,
+        ).materialize()
+        cur_sum = labels.sum("label")
+        if cur_sum == prev_sum:  # labels only decrease -> fixpoint
+            break
+        prev_sum = cur_sum
+
+    return labels.map_batches(
+        lambda df: df.rename(columns={"label": "cluster_id"}), batch_format="pandas"
+    )
+
+
 # ---------------------------------------------------------- n-gram Jaccard
 def ngram_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
     """Exact word-k-gram Jaccard (verification kernel for LSH candidates)."""

@@ -204,6 +204,31 @@ def run_checkpointed(
     else:
         from concurrent.futures import ThreadPoolExecutor
 
+        # Ray's path resolution tries `from fsspec.implementations.http
+        # import HTTPFileSystem` on every write and catches only
+        # ModuleNotFoundError (missing aiohttp).  The failed module is
+        # evicted from sys.modules each time, so two driver threads can
+        # race the re-import: one sees the partially-initialized module
+        # and dies with a plain ImportError that escapes Ray's fallback.
+        # Fix: if the import can never succeed here, register a sentinel
+        # module once so later imports are deterministic no-ops (the
+        # sentinel class matches no real filesystem instance).
+        try:
+            from fsspec.implementations.http import HTTPFileSystem  # noqa: F401
+        except ModuleNotFoundError:
+            import sys as _sys
+            import types as _types
+
+            _stub = _types.ModuleType("fsspec.implementations.http")
+
+            class _SentinelHTTPFileSystem:  # pragma: no cover — never built
+                pass
+
+            _stub.HTTPFileSystem = _SentinelHTTPFileSystem
+            _sys.modules["fsspec.implementations.http"] = _stub
+        except ImportError:
+            pass  # partially-imported by another thread; already resolved
+
         with ThreadPoolExecutor(max_workers=concurrent_shards) as pool:
             results = list(
                 pool.map(

@@ -78,6 +78,42 @@ def test_ngram_jaccard_kernel():
     assert 0.0 < mid < 1.0
 
 
+def test_connected_components_chain_and_clique(ray_session):
+    """Transitive closure: chain 1-2-3 collapses to cluster 1 even though
+    (1,3) was never a pair; separate clique keeps its own min label."""
+    import ray.data
+
+    from pdf2pdfocr_ray.ops.dedup import connected_components
+
+    pairs = pd.DataFrame(
+        {"id_a": [1, 2, 10, 10, 11, 20], "id_b": [2, 3, 11, 12, 12, 21]}
+    )
+    out = (
+        connected_components(ray.data.from_pandas(pairs).repartition(3))
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    got = dict(zip(out["node"], out["cluster_id"]))
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_dedup_cluster_end_to_end(doc_ds):
+    """minhash pairs -> components -> keep-verdict: planted exact+near
+    dups of base docs 0-4 all collapse into clusters labeled 0-4."""
+    import ray.data
+
+    from pdf2pdfocr_ray.ops.dedup import connected_components, dedup_minhash_lsh
+
+    ds, df = doc_ds
+    pairs = dedup_minhash_lsh(ds, threshold=0.5)
+    labels = connected_components(pairs).to_pandas()
+    got = dict(zip(labels["node"], labels["cluster_id"]))
+    for j in range(5):
+        assert got.get(100 + j) == j  # exact dup joins base doc's cluster
+        assert got.get(110 + j) == j  # near dup too
+
+
 def test_embedding_near_dup_planted(ray_session):
     import ray.data
 
