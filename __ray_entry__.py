@@ -206,6 +206,12 @@ def _q_events_hourly(sf_dir: str):
     return events_hourly(sf_dir)
 
 
+def _q_prev_event_value(sf_dir: str):
+    from pdf2pdfocr_ray.ops.relational import prev_event_value
+
+    return prev_event_value(sf_dir)
+
+
 def _q_sessionize(sf_dir: str):
     from pdf2pdfocr_ray.ops.relational import sessionize
 
@@ -581,6 +587,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_nation": _q_orders_by_nation,
         "events_hourly": _q_events_hourly,
         "events_running_sum": _q_events_running_sum,
+        "prev_event_value": _q_prev_event_value,
         "sessionize": _q_sessionize,
         "events_by_type": _q_events_by_type,
         "user_event_types": _q_user_event_types,
@@ -673,6 +680,11 @@ def oracle_sql() -> dict[str, str]:
             "round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id "
             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) "
             "AS running_value FROM events"
+        ),
+        "prev_event_value": (
+            "SELECT a.event_id, a.user_id, round(b.value, 2) AS prev_value "
+            "FROM events a ASOF JOIN events b "
+            "ON a.user_id = b.user_id AND a.ts > b.ts"
         ),
         "sessionize": (
             "WITH s AS (SELECT user_id, ts, event_id, "

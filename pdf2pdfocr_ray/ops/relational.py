@@ -385,6 +385,97 @@ def events_running_sum(sf_dir: str) -> "ray.data.Dataset":
     return sorted_groupby(ds, "user_id", run_block)
 
 
+# ------------------------------------------------------------ as-of join
+def asof_join(
+    a: "ray.data.Dataset",
+    b: "ray.data.Dataset",
+    by: str,
+    on: str,
+    direction: str = "backward",
+    allow_exact_matches: bool = False,
+) -> "ray.data.Dataset":
+    """Distributed as-of join: for each left row, the closest right row by
+    ``on`` within the same ``by`` key (backward = latest earlier row).
+
+    Plan: pad both sides to a common schema + side tag, union, range-
+    shuffle on ``by`` (co-locating each key's rows from both sides), then
+    one vectorized ``pandas.merge_asof`` per block.  Non-key columns must
+    be disjoint between the two sides (rename before joining).
+    """
+    from .grouped import sorted_groupby
+
+    sa, sb = a.schema(), b.schema()
+    shared = (set(sa.names) & set(sb.names)) - {by, on}
+    if shared:
+        raise ValueError(f"rename shared columns before asof_join: {shared}")
+    only_a = [(n, t) for n, t in zip(sa.names, sa.types) if n not in (by, on)]
+    only_b = [(n, t) for n, t in zip(sb.names, sb.types) if n not in (by, on)]
+
+    def pad(side: str, other):
+        def fn(t: pa.Table) -> pa.Table:
+            n = len(t)
+            for name, typ in other:
+                t = t.append_column(name, pa.nulls(n, typ))
+            return t.append_column("__side", pa.array([side] * n, pa.string()))
+
+        return fn
+
+    order = [by, on] + sorted(
+        [n for n, _ in only_a] + [n for n, _ in only_b]
+    ) + ["__side"]
+    a_p = a.map_batches(pad("a", only_b), batch_format="pyarrow").select_columns(order)
+    b_p = b.map_batches(pad("b", only_a), batch_format="pyarrow").select_columns(order)
+    both = a_p.union(b_p)
+
+    a_cols = [by, on] + [n for n, _ in only_a]
+    b_cols = [by, on] + [n for n, _ in only_b]
+    # Typed-null padding floats integer columns in pandas; restore them
+    # (left-side ints have no nulls after an as-of; right-side ints may).
+    int_cols = {
+        n
+        for n, t in list(zip(sa.names, sa.types)) + list(zip(sb.names, sb.types))
+        if pa.types.is_integer(t)
+    }
+
+    def join_block(df: pd.DataFrame) -> pd.DataFrame:
+        left = df[df["__side"] == "a"][a_cols].sort_values(on, kind="stable")
+        right = df[df["__side"] == "b"][b_cols].sort_values(on, kind="stable")
+        merged = pd.merge_asof(
+            left,
+            right,
+            by=by,
+            on=on,
+            direction=direction,
+            allow_exact_matches=allow_exact_matches,
+        )
+        for c in int_cols & set(merged.columns):
+            merged[c] = merged[c].astype("Int64")
+        return merged
+
+    return sorted_groupby(both, by, join_block)
+
+
+def prev_event_value(sf_dir: str) -> "ray.data.Dataset":
+    """As-of self-join on events: each event paired with the value of the
+    same user's latest EARLIER event (events without a predecessor drop —
+    inner as-of, matching DuckDB's ASOF JOIN)."""
+    left = read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    right = read(sf_dir, "events", ["ts", "user_id", "value"]).map_batches(
+        lambda t: t.rename_columns(
+            ["ts", "user_id", "prev_value"]
+        ),
+        batch_format="pyarrow",
+    )
+    joined = asof_join(left, right, by="user_id", on="ts")
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["prev_value"].notna()].copy()
+        df["prev_value"] = df["prev_value"].round(2)
+        return df[["event_id", "user_id", "prev_value"]]
+
+    return joined.map_batches(finalize, batch_format="pandas")
+
+
 # ------------------------------------------------- session (gap) windows
 def sessionize(sf_dir: str, gap_minutes: int = 30) -> "ray.data.Dataset":
     """Gap-based session windows per user (the streaming-session shape in
