@@ -206,6 +206,12 @@ def _q_events_hourly(sf_dir: str):
     return events_hourly(sf_dir)
 
 
+def _q_range_join_count(sf_dir: str):
+    from pdf2pdfocr_ray.ops.relational import range_join_count
+
+    return range_join_count(sf_dir)
+
+
 def _q_prev_event_value(sf_dir: str):
     from pdf2pdfocr_ray.ops.relational import prev_event_value
 
@@ -588,6 +594,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": _q_events_hourly,
         "events_running_sum": _q_events_running_sum,
         "prev_event_value": _q_prev_event_value,
+        "range_join_count": _q_range_join_count,
         "sessionize": _q_sessionize,
         "events_by_type": _q_events_by_type,
         "user_event_types": _q_user_event_types,
@@ -680,6 +687,12 @@ def oracle_sql() -> dict[str, str]:
             "round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id "
             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) "
             "AS running_value FROM events"
+        ),
+        "range_join_count": (
+            "SELECT o_orderkey, count(*) AS n_shipped FROM orders "
+            "JOIN lineitem ON l_shipdate >= o_orderdate "
+            "AND l_shipdate < o_orderdate + INTERVAL 30 DAY "
+            "GROUP BY o_orderkey"
         ),
         "prev_event_value": (
             "SELECT a.event_id, a.user_id, round(b.value, 2) AS prev_value "

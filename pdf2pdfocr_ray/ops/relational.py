@@ -385,6 +385,94 @@ def events_running_sum(sf_dir: str) -> "ray.data.Dataset":
     return sorted_groupby(ds, "user_id", run_block)
 
 
+# ------------------------------------------------------------ range join
+def range_join_count(
+    sf_dir: str, window_days: int = 30
+) -> "ray.data.Dataset":
+    """Non-equi range join: per order, the number of lineitems (ANY order's)
+    whose l_shipdate falls in [o_orderdate, o_orderdate + window).
+
+    Bucketed plan (the standard distributed range-join): the time axis is
+    cut into window-sized buckets; each interval is replicated to the ≤2
+    buckets it overlaps, each point lands in exactly 1, so every matching
+    (interval, point) pair co-occurs in exactly one bucket — no global
+    cross join.  Within a bucket the match is a vectorized searchsorted
+    over sorted points; partial counts merge with map-side combine.
+    """
+    from .grouped import combined_groupby_agg, sorted_groupby
+
+    w_us = window_days * 86_400_000_000
+
+    orders = read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+    line = read(sf_dir, "lineitem", ["l_shipdate"])
+
+    def intervals(t: pa.Table) -> pd.DataFrame:
+        lo = pc.cast(t["o_orderdate"], pa.int64()).to_numpy()
+        keys = t["o_orderkey"].to_numpy()
+        b0 = lo // w_us
+        b1 = (lo + w_us - 1) // w_us
+        two = b1 != b0
+        return pd.DataFrame(
+            {
+                "bucket": np.concatenate([b0, b1[two]]),
+                "o_orderkey": np.concatenate([keys, keys[two]]),
+                "lo": np.concatenate([lo, lo[two]]),
+                "kind": "i",
+                "pt": np.int64(0),
+            }
+        )
+
+    def points(t: pa.Table) -> pd.DataFrame:
+        ts = pc.cast(t["l_shipdate"], pa.int64()).to_numpy()
+        return pd.DataFrame(
+            {
+                "bucket": ts // w_us,
+                "o_orderkey": np.int64(0),
+                "lo": np.int64(0),
+                "kind": "p",
+                "pt": ts,
+            }
+        )
+
+    both = orders.map_batches(intervals, batch_format="pyarrow").union(
+        line.map_batches(points, batch_format="pyarrow")
+    )
+
+    def match_block(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, g in df.groupby("bucket", sort=False):
+            iv = g[g["kind"] == "i"]
+            pts = np.sort(g.loc[g["kind"] == "p", "pt"].to_numpy())
+            if len(iv) == 0 or len(pts) == 0:
+                continue
+            lo = iv["lo"].to_numpy()
+            # count points in [lo, lo + w) restricted to THIS bucket so a
+            # 2-bucket interval never double counts
+            b = g["bucket"].iloc[0]
+            blo = np.maximum(lo, b * w_us)
+            bhi = np.minimum(lo + w_us, (b + 1) * w_us)
+            n = np.searchsorted(pts, bhi, side="left") - np.searchsorted(
+                pts, blo, side="left"
+            )
+            keep = n > 0
+            out.append(
+                pd.DataFrame(
+                    {"o_orderkey": iv["o_orderkey"].to_numpy()[keep], "pn": n[keep]}
+                )
+            )
+        if not out:
+            return pd.DataFrame(
+                {"o_orderkey": pd.Series([], dtype="int64"),
+                 "pn": pd.Series([], dtype="int64")}
+            )
+        return pd.concat(out, ignore_index=True)
+
+    partial = sorted_groupby(both, "bucket", match_block)
+    return combined_groupby_agg(
+        partial, "o_orderkey", {"n_shipped": ("pn", "sum")}, partitions=8
+    )
+
+
 # ------------------------------------------------------------ as-of join
 def asof_join(
     a: "ray.data.Dataset",
