@@ -78,6 +78,31 @@ def test_ngram_jaccard_kernel():
     assert 0.0 < mid < 1.0
 
 
+def test_hll_distinct_accuracy(ray_session):
+    import ray.data
+
+    from pdf2pdfocr_ray.ops.sketches import hll_distinct
+
+    rng = np.random.default_rng(12)
+    vals = rng.integers(0, 40_000, 100_000)  # ~36.8k distinct expected
+    exact = len(np.unique(vals))
+    ds = ray.data.from_pandas(pd.DataFrame({"x": vals})).repartition(8)
+    est, n_parts = hll_distinct(ds, "x", p=12)
+    assert n_parts >= 8
+    assert abs(est - exact) / exact < 0.05  # ~1.6% typical at p=12
+
+
+def test_hll_merge_order_free():
+    """Register merge is max — estimate independent of batch split."""
+    from pdf2pdfocr_ray.ops.sketches import _batch_registers, hll_estimate
+
+    vals = [f"v{i}" for i in range(5000)]
+    one = _batch_registers(vals, 10)
+    a = _batch_registers(vals[:2000], 10)
+    b = _batch_registers(vals[2000:], 10)
+    assert hll_estimate(np.maximum(a, b)) == hll_estimate(one)
+
+
 def test_connected_components_chain_and_clique(ray_session):
     """Transitive closure: chain 1-2-3 collapses to cluster 1 even though
     (1,3) was never a pair; separate clique keeps its own min label."""
