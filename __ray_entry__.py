@@ -252,6 +252,12 @@ def _q_events_running_sum(sf_dir: str):
     return events_running_sum(sf_dir)
 
 
+def _q_user_value_median(sf_dir: str):
+    from pdf2pdfocr_ray.ops.relational import user_value_median
+
+    return user_value_median(sf_dir)
+
+
 def _q_user_event_types(sf_dir: str):
     from pdf2pdfocr_ray.ops.relational import user_event_types
 
@@ -615,6 +621,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": _q_sessionize,
         "events_by_type": _q_events_by_type,
         "user_event_types": _q_user_event_types,
+        "user_value_median": _q_user_value_median,
         "customers_without_orders": _q_customers_without_orders,
         "orders_sample": _q_orders_sample,
         "orders_customer_join": _q_orders_customer_join,
@@ -734,6 +741,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "user_event_types": (
             "SELECT user_id, count(DISTINCT event_type) AS n_types "
+            "FROM events GROUP BY user_id"
+        ),
+        "user_value_median": (
+            "SELECT user_id, round(median(value), 4) AS median_value "
             "FROM events GROUP BY user_id"
         ),
         "customers_without_orders": (

@@ -634,6 +634,27 @@ def events_by_type(sf_dir: str) -> "ray.data.Dataset":
     return agg.map_batches(finalize, batch_format="pandas")
 
 
+# ------------------------------------------------ exact per-group median
+def user_value_median(sf_dir: str) -> "ray.data.Dataset":
+    """Exact median(value) per user — a NON-algebraic aggregate (no
+    partial combine exists): sorted_groupby co-locates each user's rows so
+    the exact quantile is computed vectorized per block.  At scale this is
+    the holistic-aggregate pattern; approximate sketches (ops/sketches)
+    are the alternative when a key's rows exceed one block."""
+    from .grouped import sorted_groupby
+
+    ds = read(sf_dir, "events", ["user_id", "value"])
+
+    def med_block(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("user_id", as_index=False).agg(
+            median_value=("value", "median")
+        )
+        g["median_value"] = g["median_value"].round(4)
+        return g
+
+    return sorted_groupby(ds, "user_id", med_block)
+
+
 # --------------------------------------------------------- distinct count
 def user_event_types(sf_dir: str) -> "ray.data.Dataset":
     """count(DISTINCT event_type) per user.  Exact distinct via the same
