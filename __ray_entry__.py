@@ -206,6 +206,22 @@ def _q_events_hourly(sf_dir: str):
     return events_hourly(sf_dir)
 
 
+def _q_price_quantiles(sf_dir: str):
+    """Distributed EXACT quantiles of l_extendedprice (histogram-refine,
+    no global sort) — quantile_cont semantics."""
+    import pandas as pd
+
+    from pdf2pdfocr_ray.ops.relational import read
+    from pdf2pdfocr_ray.ops.sketches import exact_quantiles
+
+    ds = read(sf_dir, "lineitem", ["l_extendedprice"])
+    qs = [0.25, 0.5, 0.75, 0.9]
+    got = exact_quantiles(ds, "l_extendedprice", qs)
+    return pd.DataFrame(
+        {"q": qs, "value": [round(got[q], 4) for q in qs]}
+    )
+
+
 def _q_hll_distinct(sf_dir: str):
     """Mergeable-sketch distinct count (HLL, p=12) of order custkeys —
     estimate + sketch count in one summary row (rows-only check; ~1.6%
@@ -618,6 +634,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prev_event_value": _q_prev_event_value,
         "range_join_count": _q_range_join_count,
         "hll_distinct": _q_hll_distinct,
+        "price_quantiles": _q_price_quantiles,
         "sessionize": _q_sessionize,
         "events_by_type": _q_events_by_type,
         "user_event_types": _q_user_event_types,
@@ -711,6 +728,16 @@ def oracle_sql() -> dict[str, str]:
             "round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id "
             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) "
             "AS running_value FROM events"
+        ),
+        "price_quantiles": (
+            "SELECT 0.25 AS q, round(quantile_cont(l_extendedprice, 0.25), 4) "
+            "AS value FROM lineitem UNION ALL "
+            "SELECT 0.5, round(quantile_cont(l_extendedprice, 0.5), 4) "
+            "FROM lineitem UNION ALL "
+            "SELECT 0.75, round(quantile_cont(l_extendedprice, 0.75), 4) "
+            "FROM lineitem UNION ALL "
+            "SELECT 0.9, round(quantile_cont(l_extendedprice, 0.9), 4) "
+            "FROM lineitem"
         ),
         "range_join_count": (
             "SELECT o_orderkey, count(*) AS n_shipped FROM orders "

@@ -74,6 +74,92 @@ def hll_estimate(regs: np.ndarray) -> float:
     return float(est)
 
 
+def exact_quantiles(
+    ds: "ray.data.Dataset",
+    col: str,
+    qs: list[float],
+    n_bins: int = 8192,
+) -> dict[float, float]:
+    """EXACT linear-interpolated quantiles (quantile_cont semantics) of a
+    numeric column, distributed, without a global sort:
+
+    1. pass 1 — per-batch (count, min, max) partials, merged on driver;
+    2. pass 2 — per-batch histogram over shared bin edges, summed;
+    3. pass 3 — only the bins containing the needed order statistics are
+       pulled to the driver (≈ n/n_bins values each) and the exact order
+       stats + interpolation computed there.
+
+    Three streaming passes; driver memory is O(n_bins + n/n_bins).
+    """
+
+    def stats_partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[col].to_numpy()
+        if len(v) == 0:
+            return pd.DataFrame({"n": [0], "lo": [np.inf], "hi": [-np.inf]})
+        return pd.DataFrame({"n": [len(v)], "lo": [v.min()], "hi": [v.max()]})
+
+    st = ds.map_batches(stats_partial, batch_format="pandas").to_pandas()
+    n = int(st["n"].sum())
+    lo, hi = float(st["lo"].min()), float(st["hi"].max())
+    if n == 0:
+        return {q: float("nan") for q in qs}
+    if lo == hi:
+        return {q: lo for q in qs}
+    edges = np.linspace(lo, hi, n_bins + 1)
+
+    def hist_partial(df: pd.DataFrame) -> pd.DataFrame:
+        counts, _ = np.histogram(df[col].to_numpy(), bins=edges)
+        return pd.DataFrame({"h": [counts.astype(np.int64).tobytes()]})
+
+    hp = ds.map_batches(hist_partial, batch_format="pandas").to_pandas()
+    counts = np.zeros(n_bins, dtype=np.int64)
+    for b in hp["h"]:
+        counts += np.frombuffer(b, dtype=np.int64)
+    cum = np.concatenate([[0], np.cumsum(counts)])
+
+    # ranks needed: floor(k) and floor(k)+1 for k = (n-1) q
+    need_ranks = sorted(
+        {int(np.floor((n - 1) * q)) for q in qs}
+        | {min(n - 1, int(np.floor((n - 1) * q)) + 1) for q in qs}
+    )
+    need_bins = sorted({int(np.searchsorted(cum, r, side="right") - 1) for r in need_ranks})
+
+    sel_lo = edges[need_bins]
+    sel_hi = edges[[b + 1 for b in need_bins]]
+    is_last = np.array([b == n_bins - 1 for b in need_bins])
+
+    def collect(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[col].to_numpy()
+        mask = np.zeros(len(v), dtype=bool)
+        for blo, bhi, last in zip(sel_lo, sel_hi, is_last):
+            m = (v >= blo) & ((v <= bhi) if last else (v < bhi))
+            mask |= m
+        return pd.DataFrame({col: v[mask]})
+
+    vals = np.sort(
+        ds.map_batches(collect, batch_format="pandas").to_pandas()[col].to_numpy()
+    )
+
+    def order_stat(r: int) -> float:
+        b = int(np.searchsorted(cum, r, side="right") - 1)
+        below = int(cum[b])
+        # values < this bin's range were not collected; index within the
+        # collected+sorted array = (rank - ranks below collected bins)
+        below_collected = sum(
+            int(counts[bb]) for bb in need_bins if bb < b
+        )
+        return float(vals[r - below + below_collected])
+
+    out = {}
+    for q in qs:
+        k = (n - 1) * q
+        f = int(np.floor(k))
+        c = min(n - 1, f + 1)
+        xf, xc = order_stat(f), order_stat(c)
+        out[q] = xf + (k - f) * (xc - xf)
+    return out
+
+
 def hll_distinct(
     ds: "ray.data.Dataset", col: str, p: int = 12
 ) -> tuple[float, int]:

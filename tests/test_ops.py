@@ -78,6 +78,21 @@ def test_ngram_jaccard_kernel():
     assert 0.0 < mid < 1.0
 
 
+def test_exact_quantiles_match_numpy(ray_session):
+    import ray.data
+
+    from pdf2pdfocr_ray.ops.sketches import exact_quantiles
+
+    rng = np.random.default_rng(15)
+    vals = np.concatenate(
+        [rng.standard_normal(50_000) * 100, rng.integers(0, 5, 2_000).astype(float)]
+    )  # continuous + heavy duplicates
+    ds = ray.data.from_pandas(pd.DataFrame({"x": vals})).repartition(8)
+    got = exact_quantiles(ds, "x", [0.0, 0.25, 0.5, 0.75, 0.9, 1.0])
+    for q, v in got.items():
+        assert abs(v - np.quantile(vals, q)) < 1e-9, (q, v, np.quantile(vals, q))
+
+
 def test_hll_distinct_accuracy(ray_session):
     import ray.data
 
