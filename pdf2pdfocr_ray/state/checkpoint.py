@@ -9,26 +9,35 @@ Layout::
 
     out_dir/
       shard=00000/           <- one url-hash shard of the corpus
-        *.parquet            <- extracted rows for that shard
+        part-*.parquet       <- extracted rows for that shard
         _MANIFEST.json       <- written atomically AFTER the shard's data
       shard=00001/...
 
-A shard is the unit of atomicity: its manifest is written (tmp + rename)
-only after ``write_parquet`` for the shard returns, so a crash mid-shard
-leaves a manifest-less directory that the next run wipes and redoes.
+Execution model (round 2, replacing the round-1 shard-serial loop): ONE
+streaming pass over the input executes the whole pipeline once and fans
+rows out to their shard directory inside the final ``map_batches`` sink
+stage (unique part filenames per task; shard dirs are append-only during
+the pass).  Per-shard manifests are published atomically (tmp + rename)
+only after the pass completes, so a crash mid-pass leaves manifest-less
+directories that the next run wipes and redoes.  This deletes the
+round-1 design's num_shards× input re-read (each shard used to re-scan
+and filter the full corpus) — checkpointed wall time is now ≈ flagship
+wall time, and at cluster scale the input is read exactly once.
+
 Resume = skip every shard whose manifest exists AND whose ``config_hash``
-matches (a config change invalidates everything it would alter).
+matches (a config change invalidates everything it would alter); the
+resumed pass filters completed shards' rows out at the read (cheap
+per-batch mask), so only remaining shards flow through the pipeline.
 
 Sharding key: ``crc32(url) % num_shards`` — stable across processes and
 runs (unlike Python's salted ``hash``), cheap, and the SAME key the
 re-assembly groupby uses, so one partitioning scheme serves both
-(SURVEY.md "pick ONE partitioning key").  At cluster scale the input
-corpus would be laid out pre-partitioned by this key so each shard read
-touches one input slice; here each shard filters at the read
-(predicate-inside-map_batches, zero-copy).
+(SURVEY.md "pick ONE partitioning key").
 
 The manifest records lineage + metrics: config hash, engine version, input
-row count, output rows, per-route counts, error count, wall seconds.
+row count, output rows, per-route counts, error count (counted once per
+row as non-null ``error`` values — never replicated across routes), and
+the pass wall time.
 """
 
 from __future__ import annotations
@@ -39,6 +48,7 @@ import json
 import os
 import shutil
 import time
+import uuid
 import zlib
 from typing import Callable
 
@@ -47,7 +57,7 @@ import pyarrow as pa
 
 from ..config import PipelineConfig
 
-ENGINE_VERSION = "pdf2pdfocr_ray-r1"
+ENGINE_VERSION = "pdf2pdfocr_ray-r2"
 MANIFEST = "_MANIFEST.json"
 
 
@@ -93,71 +103,52 @@ def completed_shards(out_dir: str, num_shards: int, cfg_hash: str) -> set[int]:
     return done
 
 
-def _run_one_shard(
-    pages_factory: Callable[[], "ray.data.Dataset"],  # noqa: F821
-    out_dir: str,
-    shard: int,
-    num_shards: int,
-    cfg: PipelineConfig,
-    chash: str,
-) -> dict:
-    """Execute one shard end-to-end and publish its manifest atomically."""
-    from ..pipelines.extract import extract
+class _ShardSink:
+    """Final map_batches stage: write each batch's rows into per-shard
+    parquet files and return small (shard, route, n, errs) metric rows.
 
-    sdir = _shard_dir(out_dir, shard)
-    shutil.rmtree(sdir, ignore_errors=True)  # wipe a crashed partial
-    t0 = time.time()
+    Errors are counted per (shard, route) with an Arrow group-by over the
+    actual rows of that slice — one count per row, summed plainly by the
+    driver — fixing the round-1 bug where a batch-level error total was
+    replicated onto every route row and then first()-summed.
+    """
 
-    def keep_shard(t: pa.Table, _shard: int = shard) -> pa.Table:
-        mask = url_shard(t.column("url").to_pylist(), num_shards) == _shard
-        return t.filter(pa.array(mask))
+    def __init__(self, out_dir: str, num_shards: int):
+        self.out_dir = out_dir
+        self.num_shards = num_shards
 
-    ds = pages_factory().map_batches(keep_shard, batch_format="pyarrow")
-    res = extract(ds, cfg)
-    res.write_parquet(sdir)
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
 
-    # Lineage metrics from the written output (what actually landed).
-    import ray.data
-
-    out_ds = ray.data.read_parquet(sdir)
-    rows_out = out_ds.count()
-
-    def route_counts(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        routes = t.column("route")
-        errs = pc.sum(pc.cast(pc.is_valid(t.column("error")), pa.int64())).as_py()
-        vals, counts = np.unique(
-            np.asarray(routes.to_pylist(), dtype=object), return_counts=True
-        )
+        out_shards: list[int] = []
+        out_routes: list[str] = []
+        out_n: list[int] = []
+        out_errs: list[int] = []
+        if t.num_rows:
+            shards = url_shard(t.column("url").to_pylist(), self.num_shards)
+            for s in np.unique(shards):
+                sub = t.filter(pa.array(shards == s))
+                sdir = _shard_dir(self.out_dir, int(s))
+                os.makedirs(sdir, exist_ok=True)
+                pq.write_table(
+                    sub, os.path.join(sdir, f"part-{uuid.uuid4().hex}.parquet")
+                )
+                agg = pa.TableGroupBy(
+                    sub.select(["route", "error"]), "route"
+                ).aggregate([([], "count_all"), ("error", "count")])
+                for row in agg.to_pylist():
+                    out_shards.append(int(s))
+                    out_routes.append(str(row["route"]))
+                    out_n.append(int(row["count_all"]))
+                    out_errs.append(int(row["error_count"]))
         return pa.table(
             {
-                "route": pa.array([str(v) for v in vals]),
-                "n": pa.array(counts, pa.int64()),
-                "errs": pa.array([errs] * len(vals), pa.int64()),
+                "shard": pa.array(out_shards, pa.int64()),
+                "route": pa.array(out_routes, pa.string()),
+                "n": pa.array(out_n, pa.int64()),
+                "errs": pa.array(out_errs, pa.int64()),
             }
         )
-
-    rc = out_ds.map_batches(route_counts, batch_format="pyarrow").to_pandas()
-    per_route = rc.groupby("route")["n"].sum().to_dict()
-    n_errors = int(rc.groupby("route")["errs"].first().sum()) if len(rc) else 0
-    wall = time.time() - t0
-
-    manifest = {
-        "shard": shard,
-        "num_shards": num_shards,
-        "config_hash": chash,
-        "engine_version": ENGINE_VERSION,
-        # extraction is 1 row per input doc, so rows_in == rows_out;
-        # recorded separately for sinks where that stops being true
-        "rows_in": rows_out,
-        "rows_out": rows_out,
-        "per_route": {str(k): int(v) for k, v in per_route.items()},
-        "n_errors": n_errors,
-        "wall_sec": round(wall, 3),
-    }
-    _write_manifest(sdir, manifest)
-    return manifest
 
 
 def run_checkpointed(
@@ -165,82 +156,88 @@ def run_checkpointed(
     out_dir: str,
     config: PipelineConfig | None = None,
     num_shards: int = 8,
-    concurrent_shards: int = 1,
+    concurrent_shards: int | None = None,  # accepted for API compat; unused
 ) -> dict:
-    """Extract the corpus shard-by-shard with exact resume.
+    """Extract the corpus in ONE streaming pass, sharded, with exact resume.
 
-    ``pages_factory`` returns a fresh lazy pages Dataset per call (a read,
-    not a materialized object — each shard execution re-reads and filters,
-    keeping per-shard memory bounded).  ``concurrent_shards`` > 1 drives
-    that many shard Datasets concurrently from driver threads (Ray Data
-    executions are independent; atomicity is untouched — each shard still
-    publishes its own manifest after its own write).  When running shards
-    concurrently, set ``config.ocr_concurrency`` explicitly so the pools
-    share the cluster (auto-sizing would demand ~full width per shard and
-    the pools would pend against each other).  Returns a summary
-    dict with per-shard status ('done'|'skipped') and aggregate metrics.
+    ``pages_factory`` returns a fresh lazy pages Dataset (a read, not a
+    materialized object).  All shards execute concurrently by construction
+    — the single pipeline execution writes every shard's files as blocks
+    stream through the sink stage (``concurrent_shards`` is retained for
+    backwards compatibility and ignored).  Returns a summary dict with
+    per-shard status ('done'|'skipped') and aggregate metrics.
     """
     cfg = config or PipelineConfig()
     chash = config_hash(cfg)
     os.makedirs(out_dir, exist_ok=True)
     done = completed_shards(out_dir, num_shards, chash)
+    todo = sorted(set(range(num_shards)) - done)
 
     summary: dict = {"shards": {}, "rows": 0, "errors": 0, "wall_sec": 0.0}
-    todo = []
-    for shard in range(num_shards):
-        if shard in done:
-            m = read_manifest(out_dir, shard)
-            summary["shards"][shard] = "skipped"
-            summary["rows"] += m["rows_out"]
-            summary["errors"] += m["n_errors"]
-        else:
-            todo.append(shard)
-
-    if concurrent_shards <= 1:
-        results = [
-            _run_one_shard(pages_factory, out_dir, s, num_shards, cfg, chash)
-            for s in todo
-        ]
-    else:
-        from concurrent.futures import ThreadPoolExecutor
-
-        # Ray's path resolution tries `from fsspec.implementations.http
-        # import HTTPFileSystem` on every write and catches only
-        # ModuleNotFoundError (missing aiohttp).  The failed module is
-        # evicted from sys.modules each time, so two driver threads can
-        # race the re-import: one sees the partially-initialized module
-        # and dies with a plain ImportError that escapes Ray's fallback.
-        # Fix: if the import can never succeed here, register a sentinel
-        # module once so later imports are deterministic no-ops (the
-        # sentinel class matches no real filesystem instance).
-        try:
-            from fsspec.implementations.http import HTTPFileSystem  # noqa: F401
-        except ModuleNotFoundError:
-            import sys as _sys
-            import types as _types
-
-            _stub = _types.ModuleType("fsspec.implementations.http")
-
-            class _SentinelHTTPFileSystem:  # pragma: no cover — never built
-                pass
-
-            _stub.HTTPFileSystem = _SentinelHTTPFileSystem
-            _sys.modules["fsspec.implementations.http"] = _stub
-        except ImportError:
-            pass  # partially-imported by another thread; already resolved
-
-        with ThreadPoolExecutor(max_workers=concurrent_shards) as pool:
-            results = list(
-                pool.map(
-                    lambda s: _run_one_shard(
-                        pages_factory, out_dir, s, num_shards, cfg, chash
-                    ),
-                    todo,
-                )
-            )
-    for m in results:
-        summary["shards"][m["shard"]] = "done"
+    for shard in done:
+        m = read_manifest(out_dir, shard)
+        summary["shards"][shard] = "skipped"
         summary["rows"] += m["rows_out"]
         summary["errors"] += m["n_errors"]
-        summary["wall_sec"] += m["wall_sec"]
+    if not todo:
+        return summary
+
+    # Wipe crashed partials / stale-config data for every shard we'll redo.
+    for shard in todo:
+        shutil.rmtree(_shard_dir(out_dir, shard), ignore_errors=True)
+
+    from ..pipelines.extract import extract
+
+    t0 = time.time()
+    ds = pages_factory()
+    if done:
+        done_ids = np.array(sorted(done), dtype=np.int64)
+        nsh = num_shards
+
+        def drop_done(t: pa.Table) -> pa.Table:
+            mask = ~np.isin(url_shard(t.column("url").to_pylist(), nsh), done_ids)
+            return t.filter(pa.array(mask))
+
+        ds = ds.map_batches(drop_done, batch_format="pyarrow")
+
+    metrics = (
+        extract(ds, cfg)
+        .map_batches(_ShardSink(out_dir, num_shards), batch_format="pyarrow")
+        .to_pandas()  # small: O(shards × routes × tasks) rows
+    )
+    wall = time.time() - t0
+
+    per_shard_route = (
+        metrics.groupby(["shard", "route"])[["n", "errs"]].sum()
+        if len(metrics)
+        else None
+    )
+    for shard in todo:
+        if per_shard_route is not None and shard in per_shard_route.index.get_level_values(0):
+            sl = per_shard_route.loc[shard]
+            per_route = {str(r): int(v) for r, v in sl["n"].items()}
+            rows_out = int(sl["n"].sum())
+            n_errors = int(sl["errs"].sum())
+        else:
+            per_route, rows_out, n_errors = {}, 0, 0
+        sdir = _shard_dir(out_dir, shard)
+        os.makedirs(sdir, exist_ok=True)
+        manifest = {
+            "shard": shard,
+            "num_shards": num_shards,
+            "config_hash": chash,
+            "engine_version": ENGINE_VERSION,
+            # extraction is 1 row per input doc, so rows_in == rows_out;
+            # recorded separately for sinks where that stops being true
+            "rows_in": rows_out,
+            "rows_out": rows_out,
+            "per_route": per_route,
+            "n_errors": n_errors,
+            "wall_sec": round(wall, 3),  # wall of the whole pass
+        }
+        _write_manifest(sdir, manifest)
+        summary["shards"][shard] = "done"
+        summary["rows"] += rows_out
+        summary["errors"] += n_errors
+    summary["wall_sec"] = round(wall, 3)
     return summary

@@ -73,6 +73,22 @@ def test_full_run_writes_manifests_and_matches_golden(ray_session, corpus_dir, t
         a, b = res["extracted_text"][i], g["extracted_text"][i]
         assert (a == b) or (pd.isna(a) and pd.isna(b))
 
+    # Manifest metrics vs ground truth (round-1 bug: n_errors was
+    # replicated per route and first()-summed).  Check per shard, across
+    # multi-batch multi-route shards: n_errors == true non-null error
+    # count of that shard's rows; per_route sums to rows_out.
+    shards = url_shard(res["url"].tolist(), N_SHARDS)
+    total_errs = 0
+    for s in range(N_SHARDS):
+        m = json.load(open(os.path.join(out, f"shard={s:05d}", MANIFEST)))
+        sub = res[shards == s]
+        assert m["rows_out"] == len(sub)
+        assert m["n_errors"] == int(sub["error"].notna().sum())
+        assert sum(m["per_route"].values()) == m["rows_out"]
+        total_errs += m["n_errors"]
+    assert total_errs == int(res["error"].notna().sum())
+    assert summary["errors"] == total_errs
+
 
 def test_resume_skips_completed_shards(ray_session, corpus_dir, tmp_path):
     path, _ = corpus_dir
