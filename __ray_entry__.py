@@ -787,7 +787,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "token_stats": (
             "SELECT doc_id, "
-            "len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens, "
+            # \S+ match count (0 for empty/whitespace-only text) — matches
+            # the engine's semantics exactly; regexp_split_to_array would
+            # return 1 for empty strings (ADVICE r1)
+            "len(regexp_extract_all(text, '\\S+')) AS n_tokens, "
             "length(regexp_replace(text, '[\\w\\s]', '', 'g')) AS n_punct "
             "FROM documents"
         ),

@@ -21,6 +21,7 @@ templates.
 
 from __future__ import annotations
 
+import time
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -32,6 +33,31 @@ from .font5x7 import (
     classify_tight,
 )
 from .image_ops import ink_mask
+
+
+class OcrDeadlineExceeded(Exception):
+    """Raised inside the engine's scan loops when the per-page deadline set
+    via :func:`set_deadline` has passed.  This is the PREEMPTIVE analog of
+    the reference's ``--timeout`` future wrapper
+    (/root/reference/pdf2pdfocr.py:1511-1528): the reference interrupts a
+    hung document; here the engine's own loops yield, so a pathological
+    page stops occupying its actor at ~the deadline instead of running to
+    completion and being marked late."""
+
+
+# One deadline per worker process; actors process one batch at a time, so a
+# module global is race-free and costs one monotonic() read per check site.
+_deadline: float | None = None
+
+
+def set_deadline(t: float | None) -> None:
+    global _deadline
+    _deadline = t
+
+
+def check_deadline() -> None:
+    if _deadline is not None and time.monotonic() > _deadline:
+        raise OcrDeadlineExceeded()
 
 
 @dataclass
@@ -93,7 +119,9 @@ def recognize_page(img: np.ndarray, scale: int) -> list[LineBox]:
     """Segment and classify a clean (upright, deskewed) page image."""
     mask = ink_mask(img)
     lines: list[LineBox] = []
+    n_glyphs = 0
     for y1, y2 in _runs(mask.any(axis=1), LINE_SPLIT_UNITS * scale):
+        check_deadline()
         band = mask[y1:y2]
         line = LineBox()
         word_chars: list[str] = []
@@ -107,6 +135,9 @@ def recognize_page(img: np.ndarray, scale: int) -> list[LineBox]:
 
         prev_end = None
         for x1, x2 in _runs(band.any(axis=0), 1):
+            n_glyphs += 1
+            if not n_glyphs % 256:  # cheap amortized check in the hot loop
+                check_deadline()
             glyph = band[:, x1:x2]
             rows = np.flatnonzero(glyph.any(axis=1))
             gy1, gy2 = int(rows[0]), int(rows[-1]) + 1
@@ -248,6 +279,7 @@ def normalize_page(img: np.ndarray, scale: int) -> tuple[np.ndarray, int, float]
             continue
         y1, y2 = row_runs[-1]
         for slope in scan_order:
+            check_deadline()
             band = _unshear_band(mask, y1, y2, slope)
             score = _band_glyph_score(band, scale)
             if score <= 0.0:
@@ -266,6 +298,7 @@ def normalize_page(img: np.ndarray, scale: int) -> tuple[np.ndarray, int, float]
     candidates.sort(key=lambda c: (c[1], grid_idx[c[2]]))  # original order
     best: tuple[float, int, float, np.ndarray] | None = None
     for score, k, slope in candidates:
+        check_deadline()
         if score < best_band:
             continue
         if (k, slope) in fulls:

@@ -18,8 +18,12 @@ Scale shapes (the part that matters at 10^12 rows):
                 signatures bucket the vectors first.
 
 Buckets are capped (``max_bucket``) so a degenerate hot bucket (all-identical
-spam pages) cannot produce O(n²) pairs — the cap is logged per SURVEY's
-no-silent-caps rule via the ``truncated_buckets`` counter column.
+spam pages) cannot produce O(n²) pairs.  Per SURVEY's no-silent-caps rule the
+cap is surfaced, not silent: every emitted pair carries a
+``bucket_truncated`` bool column — true when the pair came from a bucket
+that exceeded ``max_bucket`` (i.e. recall in that bucket is incomplete).
+Downstream consumers can count/flag them; a truncated bucket that emits no
+surviving pairs leaves no row, so the flag is a lower bound on truncation.
 """
 
 from __future__ import annotations
@@ -200,7 +204,9 @@ def dedup_minhash_lsh(
         out_a: list = []
         out_b: list = []
         out_est: list = []
+        out_tr: list = []
         for _, g in df.groupby(["band_id", "band_hash"], sort=False):
+            truncated = len(g) > max_bucket  # no-silent-caps: flag the rows
             g = g.sort_values(id_col).head(max_bucket)  # hot-bucket cap
             ids = g[id_col].to_numpy()
             sig_mat = np.frombuffer(
@@ -212,11 +218,13 @@ def dedup_minhash_lsh(
             out_a.extend(ids[a_idx][keep])
             out_b.extend(ids[b_idx][keep])
             out_est.extend(est[keep])
+            out_tr.extend([truncated] * int(keep.sum()))
         return pd.DataFrame(
             {
                 "id_a": pd.Series(out_a, dtype="int64"),
                 "id_b": pd.Series(out_b, dtype="int64"),
                 "est_jaccard": pd.Series(out_est, dtype="float64"),
+                "bucket_truncated": pd.Series(out_tr, dtype="bool"),
             }
         )
 
@@ -301,7 +309,9 @@ def dedup_simhash(
         out_a: list = []
         out_b: list = []
         out_h: list = []
+        out_tr: list = []
         for _, g in df.groupby(["chunk_id", "chunk_val"], sort=False):
+            truncated = len(g) > max_bucket  # no-silent-caps: flag the rows
             g = g.sort_values(id_col).head(max_bucket)
             ids = g[id_col].to_numpy()
             hs = g["simhash"].to_numpy(dtype=np.uint64)
@@ -312,11 +322,13 @@ def dedup_simhash(
             out_a.extend(ids[a][keep])
             out_b.extend(ids[b][keep])
             out_h.extend(ham[keep])
+            out_tr.extend([truncated] * int(keep.sum()))
         return pd.DataFrame(
             {
                 "id_a": pd.Series(out_a, dtype="int64"),
                 "id_b": pd.Series(out_b, dtype="int64"),
                 "hamming": pd.Series(out_h, dtype="int64"),
+                "bucket_truncated": pd.Series(out_tr, dtype="bool"),
             }
         )
 
@@ -452,7 +464,9 @@ def embedding_near_dup_lsh(
         out_a: list = []
         out_b: list = []
         out_c: list = []
+        out_tr: list = []
         for _, g in df.groupby(["table_id", "bucket"], sort=False):
+            truncated = len(g) > max_bucket  # no-silent-caps: flag the rows
             g = g.sort_values(id_col).head(max_bucket)
             ids = g[id_col].to_numpy()
             mat = np.frombuffer(b"".join(g["vec"]), dtype=np.float64).reshape(
@@ -464,11 +478,13 @@ def embedding_near_dup_lsh(
             out_a.extend(ids[a][keep])
             out_b.extend(ids[b][keep])
             out_c.extend(sims[a, b][keep])
+            out_tr.extend([truncated] * int(keep.sum()))
         return pd.DataFrame(
             {
                 "id_a": pd.Series(out_a, dtype="int64"),
                 "id_b": pd.Series(out_b, dtype="int64"),
                 "cosine": pd.Series(out_c, dtype="float64"),
+                "bucket_truncated": pd.Series(out_tr, dtype="bool"),
             }
         )
 
@@ -490,40 +506,57 @@ def embedding_near_dup(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_broadcast_rows: int = 2_000_000,
 ) -> "ray.data.Dataset":
-    """Cosine-similarity >= threshold pairs (id_a < id_b).
+    """Cosine-similarity >= threshold pairs (id_a < id_b), EXACT.
 
-    Broadcast pattern: the full (normalized) matrix is ``ray.put`` once and
-    read inside each batch task; each batch matmuls against it.  O(N²/B) per
-    task; the LSH-bucketed variant in similarity.py is the 10^12-row path.
+    Broadcast pattern with no driver materialization: the (id, normalized
+    vector) reference matrix is assembled by a Ray TASK from the dataset's
+    Arrow block refs (the driver only passes object refs around), stored
+    once in the object store, and read zero-copy inside each batch task,
+    which matmuls its block against it.  O(N²/B) compute per task.
+
+    The reference side is still O(N·d) object-store bytes on the node
+    running each task — inherent to exact all-pairs.  ``max_broadcast_rows``
+    guards the pattern: above it the task raises with a pointer to
+    ``embedding_near_dup_lsh``, the bucketed 10^12-row path.
     """
     import ray
 
-    all_df = ds.select_columns([id_col, vec_col]).to_pandas()
-    ids = all_df[id_col].to_numpy()
-    mat = np.asarray([np.asarray(v, dtype=np.float64) for v in all_df[vec_col]])
-    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-    ref = ray.put((ids, mat))
+    proj = ds.select_columns([id_col, vec_col])
+
+    @ray.remote
+    def build_ref(*blocks: pa.Table):
+        t = pa.concat_tables(blocks)
+        if t.num_rows > max_broadcast_rows:
+            raise ValueError(
+                f"embedding_near_dup: {t.num_rows} rows exceeds "
+                f"max_broadcast_rows={max_broadcast_rows}; use "
+                "embedding_near_dup_lsh (bucketed) for corpora this size"
+            )
+        ids = np.asarray(t.column(id_col).to_pylist())
+        mat = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in t.column(vec_col).to_pylist()]
+        )
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        return ids, mat
+
+    # to_arrow_refs() yields the blocks as object refs; the driver never
+    # holds the table.  The build task runs where Ray schedules it.
+    ref = build_ref.remote(*proj.to_arrow_refs())
 
     def fn(batch: pd.DataFrame) -> pd.DataFrame:
-        bids, bmat = ray.get(ref)
+        bids, bmat = ray.get(ref)  # zero-copy numpy view from object store
         q = np.asarray([np.asarray(v, dtype=np.float64) for v in batch[vec_col]])
         q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
-        sims = q @ bmat.T
-        rows_a, rows_b, vals = [], [], []
         qids = batch[id_col].to_numpy()
-        for i in range(len(qids)):
-            hit = np.flatnonzero(sims[i] >= threshold)
-            for j in hit:
-                if qids[i] < bids[j]:
-                    rows_a.append(qids[i])
-                    rows_b.append(bids[j])
-                    vals.append(sims[i, j])
+        sims = q @ bmat.T
+        ii, jj = np.nonzero((sims >= threshold) & (qids[:, None] < bids[None, :]))
         return pd.DataFrame(
             {
-                "id_a": pd.Series(rows_a, dtype=batch[id_col].dtype),
-                "id_b": pd.Series(rows_b, dtype=batch[id_col].dtype),
-                "cosine": pd.Series(vals, dtype="float64"),
+                "id_a": pd.Series(qids[ii], dtype=batch[id_col].dtype),
+                "id_b": pd.Series(bids[jj], dtype=batch[id_col].dtype),
+                "cosine": pd.Series(sims[ii, jj], dtype="float64"),
             }
         )
 

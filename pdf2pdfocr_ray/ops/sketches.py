@@ -3,14 +3,16 @@ per-batch state is a small serialized summary and the combine step is a
 cheap merge (the scale pattern for distinct counts / quantiles at 10^12
 rows — the shuffle moves kilobyte sketches, never values).
 
-HyperLogLog here; the same emit-partial/merge shape fits KLL/theta.
-Deterministic end-to-end: value hashing is crc32+splitmix64 (salted
-``hash()`` would differ per worker), register merges are max (order-free).
+HyperLogLog, a KLL-style mergeable quantile sketch, and theta (KMV) set
+sketches.  Deterministic end-to-end: value hashing is blake2b-8 (salted
+``hash()`` would differ per worker; a crc32-derived 64-bit value would
+carry only 32 bits of real entropy because CRC is linear, so distinct
+counts would saturate toward 2^32), register merges are max (order-free).
 """
 
 from __future__ import annotations
 
-import zlib
+from hashlib import blake2b
 from typing import TYPE_CHECKING
 
 import numpy as np
@@ -21,19 +23,21 @@ if TYPE_CHECKING:
 
 
 def _hash64(values) -> np.ndarray:
-    """Stable 64-bit hashes for a sequence of arbitrary scalar values."""
-    hs = np.fromiter(
-        (zlib.crc32(repr(v).encode("utf-8")) for v in values),
+    """Stable 64-bit hashes for a sequence of arbitrary scalar values.
+
+    Full 64 bits of entropy (blake2b, digest_size=8): required for HLL /
+    theta correctness at the 10^9+ distinct scale this module targets.
+    """
+    return np.fromiter(
+        (
+            int.from_bytes(
+                blake2b(repr(v).encode("utf-8"), digest_size=8).digest(), "big"
+            )
+            for v in values
+        ),
         dtype=np.uint64,
         count=len(values),
     )
-    hs = hs + np.uint64(0x9E3779B97F4A7C15)
-    hs ^= hs >> np.uint64(30)
-    hs *= np.uint64(0xBF58476D1CE4E5B9)
-    hs ^= hs >> np.uint64(27)
-    hs *= np.uint64(0x94D049BB133111EB)
-    hs ^= hs >> np.uint64(31)
-    return hs
 
 
 def _batch_registers(values, p: int) -> np.ndarray:
@@ -90,10 +94,15 @@ def exact_quantiles(
        stats + interpolation computed there.
 
     Three streaming passes; driver memory is O(n_bins + n/n_bins).
+    Null/NaN rows are dropped (SQL ``quantile_cont`` semantics); ``n``
+    counts non-NaN values only so ranks stay aligned with the histogram.
     """
 
+    def _clean(df: pd.DataFrame) -> np.ndarray:
+        return df[col].dropna().to_numpy()
+
     def stats_partial(df: pd.DataFrame) -> pd.DataFrame:
-        v = df[col].to_numpy()
+        v = _clean(df)
         if len(v) == 0:
             return pd.DataFrame({"n": [0], "lo": [np.inf], "hi": [-np.inf]})
         return pd.DataFrame({"n": [len(v)], "lo": [v.min()], "hi": [v.max()]})
@@ -108,7 +117,7 @@ def exact_quantiles(
     edges = np.linspace(lo, hi, n_bins + 1)
 
     def hist_partial(df: pd.DataFrame) -> pd.DataFrame:
-        counts, _ = np.histogram(df[col].to_numpy(), bins=edges)
+        counts, _ = np.histogram(_clean(df), bins=edges)
         return pd.DataFrame({"h": [counts.astype(np.int64).tobytes()]})
 
     hp = ds.map_batches(hist_partial, batch_format="pandas").to_pandas()
@@ -129,7 +138,7 @@ def exact_quantiles(
     is_last = np.array([b == n_bins - 1 for b in need_bins])
 
     def collect(df: pd.DataFrame) -> pd.DataFrame:
-        v = df[col].to_numpy()
+        v = _clean(df)
         mask = np.zeros(len(v), dtype=bool)
         for blo, bhi, last in zip(sel_lo, sel_hi, is_last):
             m = (v >= blo) & ((v <= bhi) if last else (v < bhi))
@@ -177,3 +186,223 @@ def hll_distinct(
     for b in parts["sketch"]:
         np.maximum(merged, np.frombuffer(b, dtype=np.uint8), out=merged)
     return hll_estimate(merged), len(parts)
+
+
+# --------------------------------------------------------------------------
+# KLL-style mergeable quantile sketch (single-pass alternative to
+# exact_quantiles' 3 synchronous passes: partials merge associatively, so
+# at cluster scale the combine is a tree reduce over kilobyte blobs).
+# --------------------------------------------------------------------------
+
+
+class QuantileSketch:
+    """Mergeable quantile sketch: a compactor hierarchy in the KLL/MRL
+    family.  Level ``i`` holds values of weight ``2^i``; when a level
+    exceeds its capacity ``k`` it is sorted and every other element
+    (alternating offset — deterministic, from the compaction counter, so
+    results are reproducible across runs without an RNG) is promoted to
+    level ``i+1``.  Merge = levelwise concat + recompaction.
+
+    Rank error is O(log(n/k)/k) (deterministic-compaction/MRL bound, not
+    the tighter randomized-KLL bound — the price of determinism); at
+    k=256 and n=10^9 that is ~0.09% of rank.  Space per sketch is
+    O(k log(n/k)) float64s — kilobytes, safe to ship as Arrow binary rows.
+    """
+
+    __slots__ = ("k", "levels", "n", "compactions")
+
+    def __init__(self, k: int = 256):
+        self.k = int(k)
+        self.levels: list[np.ndarray] = [np.empty(0, np.float64)]
+        self.n = 0
+        self.compactions = 0
+
+    def add_many(self, vals) -> None:
+        v = np.asarray(vals, np.float64)
+        v = v[~np.isnan(v)]
+        if not len(v):
+            return
+        self.n += len(v)
+        self.levels[0] = np.concatenate([self.levels[0], v])
+        self._restore()
+
+    def _restore(self) -> None:
+        i = 0
+        while i < len(self.levels):
+            if len(self.levels[i]) > self.k:
+                self._compact(i)
+            i += 1
+
+    def _compact(self, i: int) -> None:
+        arr = np.sort(self.levels[i])
+        off = self.compactions & 1
+        self.compactions += 1
+        self.levels[i] = np.empty(0, np.float64)
+        if i + 1 == len(self.levels):
+            self.levels.append(np.empty(0, np.float64))
+        self.levels[i + 1] = np.concatenate([self.levels[i + 1], arr[off::2]])
+
+    def merge(self, other: "QuantileSketch") -> "QuantileSketch":
+        while len(self.levels) < len(other.levels):
+            self.levels.append(np.empty(0, np.float64))
+        for i, arr in enumerate(other.levels):
+            if len(arr):
+                self.levels[i] = np.concatenate([self.levels[i], arr])
+        self.n += other.n
+        self.compactions += other.compactions
+        self._restore()
+        return self
+
+    def quantiles(self, qs: list[float]) -> dict[float, float]:
+        """Weighted-CDF interpolated quantile estimates."""
+        if self.n == 0:
+            return {q: float("nan") for q in qs}
+        vals = np.concatenate(self.levels)
+        w = np.concatenate(
+            [
+                np.full(len(arr), float(1 << i))
+                for i, arr in enumerate(self.levels)
+            ]
+        )
+        order = np.argsort(vals, kind="stable")
+        v, w = vals[order], w[order]
+        cw = np.cumsum(w)
+        total = cw[-1]
+        pos = cw - w / 2.0  # midpoint rule for the weighted empirical CDF
+        return {q: float(np.interp(q * total, pos, v)) for q in qs}
+
+    def to_bytes(self) -> bytes:
+        head = np.array(
+            [self.k, self.n, self.compactions, len(self.levels)]
+            + [len(a) for a in self.levels],
+            dtype=np.int64,
+        )
+        return head.tobytes() + b"".join(
+            a.astype(np.float64).tobytes() for a in self.levels
+        )
+
+    @classmethod
+    def from_bytes(cls, b: bytes) -> "QuantileSketch":
+        k, n, comp, n_levels = np.frombuffer(b, np.int64, 4)
+        lens = np.frombuffer(b, np.int64, int(n_levels), offset=32)
+        sk = cls(int(k))
+        sk.n, sk.compactions = int(n), int(comp)
+        off = 32 + 8 * int(n_levels)
+        sk.levels = []
+        for ln in lens:
+            sk.levels.append(np.frombuffer(b, np.float64, int(ln), offset=off).copy())
+            off += 8 * int(ln)
+        if not sk.levels:
+            sk.levels = [np.empty(0, np.float64)]
+        return sk
+
+
+def quantile_sketch(
+    ds: "ray.data.Dataset", col: str, qs: list[float], k: int = 256
+) -> dict[float, float]:
+    """Single-pass approximate quantiles via mergeable QuantileSketch
+    partials (one kilobyte-scale blob per batch; driver tree-merges)."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        sk = QuantileSketch(k)
+        sk.add_many(df[col].dropna().to_numpy())
+        return pd.DataFrame({"sketch": [sk.to_bytes()]})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    merged = QuantileSketch(k)
+    for b in parts["sketch"]:
+        merged.merge(QuantileSketch.from_bytes(b))
+    return merged.quantiles(qs)
+
+
+# --------------------------------------------------------------------------
+# Theta (KMV) sketch: mergeable distinct-count sketch supporting set
+# operations (union / intersection / difference) — fully deterministic
+# (k smallest unique hashes; no RNG), so merges are order-free EXACTLY.
+# --------------------------------------------------------------------------
+
+
+class ThetaSketch:
+    """K-minimum-values sketch over 64-bit value hashes.
+
+    Keeps the ``k`` smallest unique hashes.  While fewer than ``k`` values
+    have been seen the sketch is EXACT.  Beyond that, theta = (k-th
+    smallest hash)/2^64 and the retained hashes below theta form a
+    uniform sample of the distinct universe: |sample|/theta estimates the
+    distinct count with relative error ~1/sqrt(k-2).
+
+    Set ops follow the standard theta-sketch framework: pick
+    theta = min(theta_a, theta_b), restrict both samples below it, apply
+    the set operation to the samples, scale by 1/theta.
+    """
+
+    __slots__ = ("k", "hashes")
+
+    def __init__(self, k: int = 4096, hashes=None):
+        self.k = int(k)
+        h = np.asarray(hashes if hashes is not None else [], dtype=np.uint64)
+        h = np.unique(h)  # unique() sorts
+        self.hashes = h[: self.k]
+
+    @classmethod
+    def from_values(cls, values, k: int = 4096) -> "ThetaSketch":
+        return cls(k, _hash64(values) if len(values) else None)
+
+    @property
+    def theta(self) -> float:
+        if len(self.hashes) < self.k:
+            return 1.0
+        return float(self.hashes[self.k - 1]) / 2.0**64
+
+    def _sample(self, theta: float) -> np.ndarray:
+        """Retained hashes strictly below a theta threshold."""
+        cut = np.uint64(min(theta, 1.0) * 2.0**64) if theta < 1.0 else None
+        return self.hashes if cut is None else self.hashes[self.hashes < cut]
+
+    def merge(self, other: "ThetaSketch") -> "ThetaSketch":
+        return ThetaSketch(
+            min(self.k, other.k), np.concatenate([self.hashes, other.hashes])
+        )
+
+    def estimate(self) -> float:
+        if len(self.hashes) < self.k:
+            return float(len(self.hashes))
+        return (self.k - 1) / self.theta
+
+    def to_bytes(self) -> bytes:
+        return np.int64(self.k).tobytes() + self.hashes.tobytes()
+
+    @classmethod
+    def from_bytes(cls, b: bytes) -> "ThetaSketch":
+        k = int(np.frombuffer(b, np.int64, 1)[0])
+        return cls(k, np.frombuffer(b, np.uint64, offset=8))
+
+
+def theta_intersection_estimate(a: ThetaSketch, b: ThetaSketch) -> float:
+    th = min(a.theta, b.theta)
+    common = np.intersect1d(a._sample(th), b._sample(th))
+    return len(common) / th
+
+
+def theta_difference_estimate(a: ThetaSketch, b: ThetaSketch) -> float:
+    """Estimated |distinct(a) - distinct(b)| (set difference, a minus b)."""
+    th = min(a.theta, b.theta)
+    sa, sb = a._sample(th), b._sample(th)
+    only = np.setdiff1d(sa, sb)
+    return len(only) / th
+
+
+def theta_sketch_column(
+    ds: "ray.data.Dataset", col: str, k: int = 4096
+) -> ThetaSketch:
+    """One streaming pass -> ThetaSketch of a column's distinct values."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        sk = ThetaSketch.from_values(df[col].dropna().tolist(), k)
+        return pd.DataFrame({"sketch": [sk.to_bytes()]})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    merged = ThetaSketch(k)
+    for b in parts["sketch"]:
+        merged = merged.merge(ThetaSketch.from_bytes(b))
+    return merged

@@ -131,39 +131,43 @@ def page_zip_merge(
     pages_ds: "ray.data.Dataset", config: PipelineConfig | None = None
 ) -> "ray.data.Dataset":
     """J1: zip the rasterized page stream with the OCR page stream on
-    (url, page_no); emit per-page scale factor + text length."""
-    from ..ops.relational import sort_merge_join
+    (url, page_no); emit per-page scale factor + text length.
 
+    FUSED single pass (SURVEY §2.4 J1: both streams flow from the same
+    fan-out, so no physical join is needed): ``raster_bytes`` is attached
+    right after fan-out and carried through the OCR stage, replacing the
+    round-1 two-branch design that executed the fan-out lineage (including
+    rasterization) twice and joined the results back."""
     cfg = config or PipelineConfig()
     fanned = pages_ds.map_batches(
         sniff_route, batch_format="pyarrow", batch_size=cfg.doc_batch_size
     ).map_batches(FanOut(cfg), batch_format="pyarrow", batch_size=cfg.doc_batch_size)
 
-    raster_side = fanned.map_batches(
-        lambda t: pa.table(
-            {
-                "url": t["url"],
-                "page_no": t["page_no"],
-                "raster_bytes": pa.array(
-                    [len(b) if b is not None else 0 for b in t["image"].to_pylist()],
-                    pa.int64(),
-                ),
-            }
-        ),
-        batch_format="pyarrow",
-    )
-    ocr_side = fanned.map_batches(
+    def add_raster_bytes(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "raster_bytes",
+            pa.array(
+                [len(b) if b is not None else 0 for b in t["image"].to_pylist()],
+                pa.int64(),
+            ),
+        )
+
+    ocred = fanned.map_batches(
+        add_raster_bytes, batch_format="pyarrow"
+    ).map_batches(
         OcrStage,
         fn_constructor_kwargs={"config": cfg},
         batch_format="pyarrow",
         batch_size=cfg.page_batch_size,
         concurrency=cfg.resolve_ocr_concurrency(),
         num_cpus=1,
-    ).map_batches(
+    )
+    joined = ocred.map_batches(
         lambda t: pa.table(
             {
                 "url": t["url"],
                 "page_no": t["page_no"],
+                "raster_bytes": t["raster_bytes"],
                 "width_px": t["width_px"],
                 "height_px": t["height_px"],
                 "text_len": pa.array(
@@ -174,7 +178,6 @@ def page_zip_merge(
         ),
         batch_format="pyarrow",
     )
-    joined = sort_merge_join(raster_side, ocr_side, ["url", "page_no"], how="inner")
 
     def scale(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()

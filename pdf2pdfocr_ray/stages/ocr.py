@@ -29,7 +29,8 @@ import pyarrow as pa
 from ..config import PipelineConfig
 from ..functions.hocr import A4_STUB_BBOX, emit_hocr, parse_hocr
 from ..functions.image_ops import is_blank, is_greyscale
-from ..functions.ocr_core import normalize_page, recognize_page
+from ..functions import ocr_core
+from ..functions.ocr_core import OcrDeadlineExceeded, normalize_page, recognize_page
 from ..functions.pagerender import BASE_DPI
 from ..functions.pngcodec import decode_png
 
@@ -114,6 +115,8 @@ class OcrStage:
             ]
             return (page.text, spans, False, grey, k * 90, slope,
                     page.width_px, page.height_px, None)
+        except OcrDeadlineExceeded:
+            raise  # handled by the per-page deadline wrapper in __call__
         except Exception:  # noqa: BLE001 — M11 stub, row-level isolation
             return ("", [], False, True, 0, 0.0,
                     A4_STUB_BBOX[2], A4_STUB_BBOX[3], None)
@@ -151,28 +154,46 @@ class OcrStage:
                 import time as _time
 
                 t0 = _time.monotonic()
-                t, spans, blank, grey, rot, skew, w, h, e = self._ocr_one(png, dpi)
-                bad = (not t) or (
-                    t.count("�") / max(1, len(t.replace(" ", "").replace("\n", "")))
-                    > 0.3
-                )
-                if (
-                    self.config.ocr_engine == "template_retry"
-                    and bad
-                    and not blank
-                    and e is None
-                    and not (self.config.autorotate and self.config.deskew)
-                ):
-                    # T2 retry (low-confidence page: empty or mostly
-                    # unrecognized glyphs): re-run with normalization on.
+                # Preemptive per-page budget: the engine's scan loops check
+                # this deadline and bail mid-page, so a pathological page
+                # stops at ~timeout instead of holding the actor (reference
+                # --timeout actually interrupts, pdf2pdfocr.py:1511-1528).
+                # The budget spans the retry too (it is a PAGE budget).
+                if self.config.ocr_timeout_s:
+                    ocr_core.set_deadline(t0 + self.config.ocr_timeout_s)
+                try:
                     t, spans, blank, grey, rot, skew, w, h, e = self._ocr_one(
-                        png, dpi, force_normalize=True
+                        png, dpi
                     )
-                if (
-                    self.config.ocr_timeout_s
-                    and (_time.monotonic() - t0) > self.config.ocr_timeout_s
-                ):
+                    bad = (not t) or (
+                        t.count("�")
+                        / max(1, len(t.replace(" ", "").replace("\n", "")))
+                        > 0.3
+                    )
+                    if (
+                        self.config.ocr_engine == "template_retry"
+                        and bad
+                        and not blank
+                        and e is None
+                        and not (self.config.autorotate and self.config.deskew)
+                    ):
+                        # T2 retry (low-confidence page: empty or mostly
+                        # unrecognized glyphs): re-run with normalization on.
+                        t, spans, blank, grey, rot, skew, w, h, e = self._ocr_one(
+                            png, dpi, force_normalize=True
+                        )
+                    if (
+                        self.config.ocr_timeout_s
+                        and (_time.monotonic() - t0) > self.config.ocr_timeout_s
+                    ):
+                        # post-hoc fallback for time sunk in uninstrumented
+                        # code (e.g. decoding a giant image)
+                        t, spans, e = None, [], "ocr_timeout"
+                except OcrDeadlineExceeded:
                     t, spans, e = None, [], "ocr_timeout"
+                    blank, grey, rot, skew, w, h = False, True, 0, 0.0, 0, 0
+                finally:
+                    ocr_core.set_deadline(None)
             out_text.append(t)
             out_err.append(err if err is not None else e)
             blanks.append(blank)
@@ -203,4 +224,13 @@ class OcrStage:
         if self.keep_spans:
             names.append("spans")
             arrays.append(pa.array(spans_col, SPAN_TYPE))
+        # Carry through any extra input columns (e.g. raster_bytes attached
+        # between fan-out and OCR): lets downstream zips stay FUSED in this
+        # single pass instead of branching the fan-out lineage into a join
+        # (SURVEY §2.4 J1 — "no physical join needed").  `image`/`dpi` are
+        # consumed and intentionally dropped (the shuffle carries text only).
+        for n in batch.schema.names:
+            if n not in names and n not in ("image", "dpi"):
+                names.append(n)
+                arrays.append(batch.column(n))
         return pa.table(dict(zip(names, arrays)))

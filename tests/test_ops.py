@@ -255,3 +255,102 @@ def test_lang_id_separates(ray_session):
     out = add_lang_id(ray.data.from_pandas(df)).to_pandas().sort_values("doc_id")
     assert out["lang_pred"].tolist()[0] == "en"
     assert out["lang_pred"].tolist()[1] != "en"
+
+
+def test_exact_quantiles_ignores_nan(ray_session):
+    import ray.data
+
+    from pdf2pdfocr_ray.ops.sketches import exact_quantiles
+
+    rng = np.random.default_rng(7)
+    clean = rng.standard_normal(20_000) * 50
+    dirty = np.concatenate([clean, np.full(3_000, np.nan)])
+    rng.shuffle(dirty)
+    ds = ray.data.from_pandas(pd.DataFrame({"x": dirty})).repartition(6)
+    got = exact_quantiles(ds, "x", [0.1, 0.5, 0.9])
+    for q, v in got.items():
+        assert abs(v - np.quantile(clean, q)) < 1e-9, (q, v)
+
+
+def test_quantile_sketch_accuracy_and_merge_order(ray_session):
+    """One-pass mergeable sketch: rank error within bound for any merge
+    order of the partials."""
+    import ray.data
+
+    from pdf2pdfocr_ray.ops.sketches import QuantileSketch, quantile_sketch
+
+    rng = np.random.default_rng(21)
+    vals = np.concatenate(
+        [rng.lognormal(3, 1, 60_000), rng.integers(0, 4, 5_000).astype(float)]
+    )
+    srt = np.sort(vals)
+    n = len(vals)
+
+    def rank_of(v):
+        return np.searchsorted(srt, v) / n
+
+    ds = ray.data.from_pandas(pd.DataFrame({"x": vals})).repartition(8)
+    got = quantile_sketch(ds, "x", [0.1, 0.25, 0.5, 0.75, 0.9, 0.99], k=256)
+    for q, v in got.items():
+        assert abs(rank_of(v) - q) < 0.02, (q, v, rank_of(v))
+
+    # merge-order robustness: two different orders, both within bound
+    chunks = np.array_split(vals, 7)
+    def build(order):
+        sk = QuantileSketch(256)
+        for i in order:
+            part = QuantileSketch(256)
+            part.add_many(chunks[i])
+            sk.merge(part)
+        return sk
+    for order in (range(7), reversed(range(7))):
+        est = build(list(order)).quantiles([0.5, 0.9])
+        for q, v in est.items():
+            assert abs(rank_of(v) - q) < 0.02
+
+
+def test_theta_sketch_set_ops_and_merge_order_free(ray_session):
+    import ray.data
+
+    from pdf2pdfocr_ray.ops.sketches import (
+        ThetaSketch,
+        theta_difference_estimate,
+        theta_intersection_estimate,
+        theta_sketch_column,
+    )
+
+    # A = 0..59999, B = 40000..99999 -> |A|=60k |B|=60k |A∩B|=20k |A∪B|=100k
+    a_vals = [f"k{i}" for i in range(60_000)]
+    b_vals = [f"k{i}" for i in range(40_000, 100_000)]
+    ds_a = ray.data.from_pandas(pd.DataFrame({"x": a_vals})).repartition(6)
+    ds_b = ray.data.from_pandas(pd.DataFrame({"x": b_vals})).repartition(6)
+    sa = theta_sketch_column(ds_a, "x", k=4096)
+    sb = theta_sketch_column(ds_b, "x", k=4096)
+    assert abs(sa.estimate() - 60_000) / 60_000 < 0.06
+    assert abs(sa.merge(sb).estimate() - 100_000) / 100_000 < 0.06
+    inter = theta_intersection_estimate(sa, sb)
+    assert abs(inter - 20_000) / 20_000 < 0.12  # smaller set -> looser rel err
+    diff = theta_difference_estimate(sa, sb)
+    assert abs(diff - 40_000) / 40_000 < 0.1
+
+    # deterministic merge-order-free: sketch contents identical either way
+    chunks = np.array_split(np.array(a_vals, dtype=object), 5)
+    fwd = ThetaSketch(1024)
+    for c in chunks:
+        fwd = fwd.merge(ThetaSketch.from_values(list(c), 1024))
+    rev = ThetaSketch(1024)
+    for c in reversed(chunks):
+        rev = rev.merge(ThetaSketch.from_values(list(c), 1024))
+    assert (fwd.hashes == rev.hashes).all()
+    assert fwd.estimate() == rev.estimate()
+
+
+def test_quantile_sketch_serialization_roundtrip():
+    from pdf2pdfocr_ray.ops.sketches import QuantileSketch
+
+    rng = np.random.default_rng(3)
+    sk = QuantileSketch(64)
+    sk.add_many(rng.standard_normal(10_000))
+    rt = QuantileSketch.from_bytes(sk.to_bytes())
+    assert rt.n == sk.n and rt.k == sk.k
+    assert rt.quantiles([0.3, 0.7]) == sk.quantiles([0.3, 0.7])
