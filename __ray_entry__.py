@@ -501,7 +501,9 @@ def _q_checkpointed_extract(sf_dir: str):
 
 
 def _q_multimodal_decode(sf_dir: str):
-    """Image rows of the corpus through the (real-PNG) decode actor stage."""
+    """Image rows of the corpus (PNG + JPEG single-frame payloads; TIFF
+    frames arrive PNG-encoded from the S5 fan-out) through the real decode
+    actor stage — zero stub_decode rows."""
     import pyarrow.compute as pc
 
     from pdf2pdfocr_ray.ops.multimodal import decode_images

@@ -1,0 +1,53 @@
+"""Format-dispatching image decode over the engine's pure-numpy codecs.
+
+One entry point for every stage that consumes an opaque image ``binary``
+column (OCR, multimodal decode/resize/re-encode): magic-byte dispatch to
+the PNG (pngcodec), baseline JPEG (jpegcodec) or baseline TIFF (tiffcodec)
+decoder.  Mirrors the reference's reliance on `file -b --mime-type` +
+ImageMagick's own dispatch (/root/reference/pdf2pdfocr.py:1229-1236,
+1133-1141) without external binaries.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .jpegcodec import decode_jpeg
+from .pngcodec import decode_png
+from .tiffcodec import decode_tiff
+
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+JPEG_MAGIC = b"\xff\xd8\xff"
+TIFF_MAGICS = (b"II*\x00", b"MM\x00*")
+
+
+def sniff_image_format(payload: bytes) -> str | None:
+    if payload.startswith(PNG_MAGIC):
+        return "png"
+    if payload.startswith(JPEG_MAGIC):
+        return "jpeg"
+    if payload.startswith(TIFF_MAGICS[0]) or payload.startswith(TIFF_MAGICS[1]):
+        return "tiff"
+    return None
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Image bytes -> (H,W,3) uint8 RGB.  Multi-frame TIFF -> first frame
+    (use :func:`decode_image_frames` to get all frames)."""
+    fmt = sniff_image_format(payload)
+    if fmt == "png":
+        return decode_png(payload)
+    if fmt == "jpeg":
+        return decode_jpeg(payload)
+    if fmt == "tiff":
+        return decode_tiff(payload)[0]
+    raise ValueError("unknown image format (not PNG/JPEG/TIFF)")
+
+
+def decode_image_frames(payload: bytes) -> list[np.ndarray]:
+    """Image bytes -> list of (H,W,3) uint8 frames (len > 1 only for
+    multi-frame TIFF — the S5 fan-out case)."""
+    fmt = sniff_image_format(payload)
+    if fmt == "tiff":
+        return decode_tiff(payload)
+    return [decode_image(payload)]

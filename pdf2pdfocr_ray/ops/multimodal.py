@@ -2,12 +2,14 @@
 columns with typed metadata.
 
 The Ray-side plumbing — schemas, actor-pool stages, batch sizing for wide
-binary rows, error columns — is real and tested.  Codec internals that need
-native libraries absent from this container (JPEG/TIFF decode, audio
-resample, video demux) are STUBBED: they either raise NotImplementedError
-(``strict=True``) or produce a clearly-marked deterministic fake derived
-from the payload hash (``strict=False``), so pipelines exercise the full
-distributed path end-to-end.  PNG decode/resize is REAL (pngcodec).
+binary rows, error columns — is real and tested.  Image codecs are REAL
+and in-process: PNG (pngcodec), baseline JPEG (jpegcodec, decode+encode),
+baseline multi-frame TIFF (tiffcodec).  Codec internals that still need
+native libraries absent from this container (audio resample, video demux)
+remain STUBBED: they either raise NotImplementedError (``strict=True``) or
+produce a clearly-marked deterministic fake derived from the payload hash
+(``strict=False``), so those pipelines exercise the full distributed path
+end-to-end.
 
 Batch-size guidance baked into the helpers: image rows are MBs wide —
 ``batch_size`` small (8-32) and ``batch_format="pyarrow"`` so binary columns
@@ -22,7 +24,9 @@ from typing import TYPE_CHECKING
 import numpy as np
 import pyarrow as pa
 
-from ..functions.pngcodec import decode_png, encode_png
+from ..functions.imagecodec import decode_image, sniff_image_format
+from ..functions.jpegcodec import encode_jpeg
+from ..functions.pngcodec import encode_png
 
 if TYPE_CHECKING:
     import ray.data
@@ -44,8 +48,10 @@ def _fake_dims(payload: bytes) -> tuple[int, int]:
 class ImageDecodeStage:
     """Actor stage: binary image column -> decoded metadata + luma stats.
 
-    PNG: real decode.  JPEG/TIFF: stub (strict -> NotImplementedError noted
-    in decode_error; else deterministic fake dims)."""
+    PNG, baseline JPEG, and baseline TIFF decode for REAL (pure-numpy
+    codecs).  Unknown formats (webp/avif/...): stub — ``strict=True``
+    raises NotImplementedError, else deterministic fake dims marked
+    ``stub_decode`` in ``decode_error``."""
 
     def __init__(self, image_col: str = "image", strict: bool = False):
         self.image_col = image_col
@@ -58,19 +64,20 @@ class ImageDecodeStage:
                 widths.append(0); heights.append(0); chans.append(0)
                 lumas.append(0.0); errs.append("null_payload")
                 continue
-            if payload.startswith(b"\x89PNG"):
+            fmt = sniff_image_format(payload)
+            if fmt is not None:
                 try:
-                    img = decode_png(payload)
+                    img = decode_image(payload)
                     widths.append(img.shape[1]); heights.append(img.shape[0])
                     chans.append(img.shape[2])
                     lumas.append(float(img.mean())); errs.append(None)
                 except Exception as e:  # noqa: BLE001
                     widths.append(0); heights.append(0); chans.append(0)
-                    lumas.append(0.0); errs.append(f"png: {e}")
+                    lumas.append(0.0); errs.append(f"{fmt}: {e}")
             elif self.strict:
                 raise NotImplementedError(
-                    "non-PNG image decode requires an image library not in "
-                    "this container (drop a real decoder into this stage)"
+                    "unknown image format decode requires an image library "
+                    "not in this container (drop a real decoder here)"
                 )
             else:
                 w, h = _fake_dims(payload)
@@ -88,7 +95,8 @@ class ImageDecodeStage:
 
 
 class ImageResizeStage:
-    """Actor stage: real nearest-neighbor resize for PNG payloads."""
+    """Actor stage: real nearest-neighbor resize for PNG/JPEG/TIFF payloads
+    (output re-encoded PNG — the engine's lossless interchange format)."""
 
     def __init__(self, out_w: int, out_h: int, image_col: str = "image"):
         self.out_w, self.out_h = out_w, out_h
@@ -103,11 +111,11 @@ class ImageResizeStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = []
         for payload in batch.column(self.image_col).to_pylist():
-            if payload is None or not payload.startswith(b"\x89PNG"):
+            if payload is None or sniff_image_format(payload) is None:
                 out.append(None)
                 continue
             try:
-                out.append(encode_png(self._resize(decode_png(payload))))
+                out.append(encode_png(self._resize(decode_image(payload))))
             except Exception:  # noqa: BLE001
                 out.append(None)
         return batch.append_column("image_resized", pa.array(out, pa.binary()))
@@ -172,14 +180,17 @@ class VideoFrameSampleStage:
 
 # Reference M12 presets (/root/reference/pdf2pdfocr.py:834-838): named
 # parameter sets for the per-page rebuild encoding ("-g fast/best/graynoise
-# .../jpeg" dispatching convert argv at 858-872).  Here each preset is a
-# pure-array transform re-encoded as PNG (the container's only real codec);
-# a JPEG encoder drops into the 'jpeg' branch when available.
+# .../jpeg" dispatching convert argv at 858-872).  Each preset is a pure-
+# array transform + a target codec: 'jpeg' presets emit REAL baseline JPEG
+# (jpegcodec), the rest PNG — matching the reference's jpg-vs-lossless
+# preset split.
 REENCODE_PRESETS: dict[str, dict] = {
     "best": {"downscale": 1, "grayscale": False},
     "grayscale": {"downscale": 1, "grayscale": True},
     "fast": {"downscale": 2, "grayscale": True},
-    "jpeg": {"downscale": 2, "grayscale": False},
+    "jpeg": {"downscale": 1, "grayscale": False, "codec": "jpeg", "quality": 85},
+    "jpeg_fast": {"downscale": 2, "grayscale": False, "codec": "jpeg",
+                  "quality": 60, "subsample": True},
 }
 
 
@@ -204,15 +215,24 @@ class PageReencodeStage:
             img = np.repeat(luma[:, :, None], 3, axis=2)
         return np.ascontiguousarray(img)
 
+    def _encode(self, img: np.ndarray) -> bytes:
+        if self.params.get("codec") == "jpeg":
+            return encode_jpeg(
+                img,
+                quality=int(self.params.get("quality", 85)),
+                subsample=bool(self.params.get("subsample", False)),
+            )
+        return encode_png(img)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         out, sizes = [], []
         for payload in batch.column(self.image_col).to_pylist():
-            if payload is None or not payload.startswith(b"\x89PNG"):
+            if payload is None or sniff_image_format(payload) is None:
                 out.append(None)
                 sizes.append(0)
                 continue
             try:
-                enc = encode_png(self._transform(decode_png(payload)))
+                enc = self._encode(self._transform(decode_image(payload)))
                 out.append(enc)
                 sizes.append(len(enc))
             except Exception:  # noqa: BLE001

@@ -14,7 +14,8 @@ path — the *specification* of each route's output, not the engine code:
 * pdf   → per page "\\n".join(lines) + "\\n" with ligatures normalized
   (reference pdf2pdfocr.py:356-366), blank pages contribute "", pages
   concatenated in page order with no separator bytes (reference 928-940);
-* image → single-page pdf formula;
+* image → per-frame pdf formula (PNG/JPEG: one page; multi-frame TIFF:
+  frames concatenated in frame order — the S5 fan-out path);
 * error rows → null text + error code.
 
 Everything is seeded; no wall clock, no external data.
@@ -112,14 +113,38 @@ def _make_pdf_doc(
     return data, "".join(golden_parts)
 
 
-def _make_image_doc(rng: np.random.Generator) -> tuple[bytes, str]:
+def _render_scan(rng: np.random.Generator) -> tuple[np.ndarray, str]:
     lines = [_pdf_line(rng) for _ in range(int(rng.integers(1, 4)))]
     img = render_page(lines, dpi=72, ink=COLOR_INK if rng.random() < 0.2 else (0, 0, 0))
     if rng.random() < 0.3:
         img = apply_shear(img, float(DESKEW_SLOPES[rng.integers(0, len(DESKEW_SLOPES))]))
     if rng.random() < 0.3:
         img = apply_rot90(img, int(rng.integers(0, 4)))
-    return encode_png(img), normalize_ligatures("\n".join(lines)) + "\n"
+    return img, normalize_ligatures("\n".join(lines)) + "\n"
+
+
+def _make_image_doc(rng: np.random.Generator) -> tuple[bytes, str, int]:
+    """One image document: PNG (~50%), baseline JPEG (~30%), or multi-frame
+    TIFF (~20%, 2-3 frames -> the S5 fan-out path).  Returns
+    (payload, golden_text, n_pages).  JPEG at quality 95 — lossy but
+    verified above the OCR engine's binarization robustness margin."""
+    fmt = rng.random()
+    if fmt < 0.2:
+        from ..functions.tiffcodec import encode_tiff
+
+        n_frames = int(rng.integers(2, 4))
+        frames, texts = [], []
+        for _ in range(n_frames):
+            img, text = _render_scan(rng)
+            frames.append(img)
+            texts.append(text)
+        return encode_tiff(frames), "".join(texts), n_frames
+    img, text = _render_scan(rng)
+    if fmt < 0.5:
+        from ..functions.jpegcodec import encode_jpeg
+
+        return encode_jpeg(img, quality=95), text, 1
+    return encode_png(img), text, 1
 
 
 def _html_paragraph(rng: np.random.Generator) -> str:
@@ -185,8 +210,8 @@ def _gen_doc(i: int, seed: int):
         payload, golden = _make_pdf_doc(rng, int(rng.integers(40, 81)), distort=False)
         route, n_pages, error = "pdf", payload_pages(payload), None
     elif kind == "image":
-        payload, golden = _make_image_doc(rng)
-        route, n_pages, error = "image", 1, None
+        payload, golden, n_pages = _make_image_doc(rng)
+        route, error = "image", None
     elif kind == "encrypted":
         payload, _ = _make_pdf_doc(rng, int(rng.integers(1, 4)), encrypted=True)
         route, golden, n_pages, error = "pdf", None, payload_pages(payload), "encrypted"

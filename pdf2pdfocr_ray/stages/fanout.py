@@ -9,8 +9,10 @@ Reference mapping:
   pdffonts has-text 1215-1227 (F3), encrypted 1196-1198 (F4);
 * rasterize: pdftoppm page JPEGs at 56-75/1100-1141 (S4) → in-process render
   of each page's text + stored scan-distortion profile, PNG-encoded;
-* image inputs: convert-to-page-images at 1133-1138 (S5) → payload is already
-  the single page image;
+* image inputs: convert-to-page-images at 1133-1138 (S5) → single-frame
+  payloads pass through as one page row; multi-frame TIFFs are split into
+  numbered page rows (the reference's `convert -scene 1` numbering becomes
+  the explicit ``page_no`` column), each frame PNG-encoded;
 * HTML rows (north-rule M13) are extracted here directly — they fan out to a
   single already-final row, so the downstream OCR stage never sees them.
 
@@ -109,6 +111,23 @@ class FanOut:
                     emit(url, ts, route, 0, 1, 0, None, None, f"html_parse: {e}")
                 continue
             if route == ROUTE_IMAGE:
+                # S5: multi-frame containers (TIFF IFD chain) fan out to
+                # numbered page rows (reference pdf2pdfocr.py:1133-1138);
+                # single-frame payloads pass through undecoded (the OCR
+                # stage owns the decode).
+                if payload[:4] in (b"II*\x00", b"MM\x00*"):
+                    try:
+                        from ..functions.tiffcodec import decode_tiff
+
+                        frames = decode_tiff(payload)
+                    except ValueError as e:
+                        emit(url, ts, route, 0, 1, 0, None, None,
+                             f"image_decode: {e}")
+                        continue
+                    for i, frame in enumerate(frames):
+                        emit(url, ts, route, i, len(frames), 72,
+                             encode_png(frame), None, None)
+                    continue
                 emit(url, ts, route, 0, 1, 72, payload, None, None)
                 continue
             # PDF route

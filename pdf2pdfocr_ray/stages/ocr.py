@@ -31,8 +31,8 @@ from ..functions.hocr import A4_STUB_BBOX, emit_hocr, parse_hocr
 from ..functions.image_ops import is_blank, is_greyscale
 from ..functions import ocr_core
 from ..functions.ocr_core import OcrDeadlineExceeded, normalize_page, recognize_page
+from ..functions.imagecodec import decode_image
 from ..functions.pagerender import BASE_DPI
-from ..functions.pngcodec import decode_png
 
 OCR_OUT_SCHEMA = pa.schema(
     [
@@ -93,9 +93,10 @@ class OcrStage:
             raise ValueError(f"unknown ocr_engine {self.config.ocr_engine!r}")
 
     def _ocr_one(self, png: bytes, dpi: int, force_normalize: bool = False):
-        """One page image -> (text, spans, stats...). Never raises."""
+        """One page image (PNG/JPEG/TIFF) -> (text, spans, stats...).
+        Never raises (except the cooperative deadline)."""
         try:
-            img = decode_png(png)
+            img = decode_image(png)
             h, w = img.shape[:2]
             if is_blank(img):
                 return "", [], True, True, 0, 0.0, w, h, None

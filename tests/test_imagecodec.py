@@ -1,0 +1,109 @@
+"""JPEG/TIFF codec unit tests (pure-numpy baseline codecs)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pdf2pdfocr_ray.functions.imagecodec import (
+    decode_image,
+    decode_image_frames,
+    sniff_image_format,
+)
+from pdf2pdfocr_ray.functions.jpegcodec import decode_jpeg, encode_jpeg
+from pdf2pdfocr_ray.functions.tiffcodec import decode_tiff, encode_tiff
+
+
+def _test_img(h=48, w=64):
+    x = np.linspace(0, 255, w)
+    img = np.zeros((h, w, 3), dtype=np.uint8)
+    img[..., 0] = x[None, :].astype(np.uint8)
+    img[..., 1] = np.linspace(0, 255, h)[:, None].astype(np.uint8)
+    img[..., 2] = 128
+    img[10:20, 5:60] = 0  # hard edges
+    return img
+
+
+@pytest.mark.parametrize("quality,tol", [(95, 3.0), (75, 6.0)])
+@pytest.mark.parametrize("subsample", [False, True])
+def test_jpeg_roundtrip_tolerance(quality, tol, subsample):
+    img = _test_img()
+    dec = decode_jpeg(encode_jpeg(img, quality=quality, subsample=subsample))
+    assert dec.shape == img.shape
+    err = np.abs(dec.astype(int) - img.astype(int)).mean()
+    assert err < tol * (2 if subsample else 1), err
+
+
+def test_jpeg_restart_markers_equal_plain():
+    img = _test_img()
+    d1 = decode_jpeg(encode_jpeg(img, 85))
+    d2 = decode_jpeg(encode_jpeg(img, 85, restart_interval=3))
+    assert np.array_equal(d1, d2)
+
+
+def test_jpeg_grayscale_and_odd_dims():
+    g = np.tile(np.linspace(0, 255, 37).astype(np.uint8), (21, 1))
+    dec = decode_jpeg(encode_jpeg(g, quality=95))
+    assert dec.shape == (21, 37, 3)
+    assert np.abs(dec[..., 0].astype(int) - g.astype(int)).mean() < 3.0
+    # subsampled odd dims exercise the chroma padding path
+    rgb = np.repeat(g[:, :, None], 3, axis=2)
+    dec = decode_jpeg(encode_jpeg(rgb, quality=95, subsample=True))
+    assert dec.shape == (21, 37, 3)
+
+
+def test_jpeg_flat_block_exact_at_q100():
+    flat = np.full((8, 8, 3), 190, dtype=np.uint8)
+    assert np.array_equal(decode_jpeg(encode_jpeg(flat, quality=100)), flat)
+
+
+def test_jpeg_rejects_progressive_and_junk():
+    img = _test_img(16, 16)
+    data = bytearray(encode_jpeg(img, 85))
+    sof = data.find(b"\xff\xc0")
+    data[sof + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+    with pytest.raises(ValueError, match="baseline"):
+        decode_jpeg(bytes(data))
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\x00\x01\x02")
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\xff\xd8\xff\xe0trunc")
+
+
+def test_tiff_multiframe_roundtrip_exact():
+    rng = np.random.default_rng(9)
+    f1 = rng.integers(0, 255, (30, 44, 3), dtype=np.uint8).astype(np.uint8)
+    f2 = rng.integers(0, 255, (22, 16, 3), dtype=np.uint8).astype(np.uint8)
+    g = rng.integers(0, 255, (10, 12), dtype=np.uint8).astype(np.uint8)
+    data = encode_tiff([f1, f2, g])
+    frames = decode_tiff(data)
+    assert len(frames) == 3
+    assert np.array_equal(frames[0], f1)
+    assert np.array_equal(frames[1], f2)
+    assert np.array_equal(frames[2], np.repeat(g[:, :, None], 3, axis=2))
+
+
+def test_tiff_rejects_unsupported():
+    data = bytearray(encode_tiff([np.zeros((4, 4, 3), dtype=np.uint8)]))
+    with pytest.raises(ValueError):
+        decode_tiff(b"XX\x00\x00")
+    # flip Compression tag value to 5 (LZW): tag 259 short
+    idx = data.find(b"\x03\x01\x03\x00")  # tag 259 LE, type SHORT
+    assert idx > 0
+    data[idx + 8] = 5
+    with pytest.raises(ValueError, match="compression"):
+        decode_tiff(bytes(data))
+
+
+def test_sniff_and_dispatch():
+    img = _test_img(16, 16)
+    from pdf2pdfocr_ray.functions.pngcodec import encode_png
+
+    assert sniff_image_format(encode_png(img)) == "png"
+    assert sniff_image_format(encode_jpeg(img)) == "jpeg"
+    assert sniff_image_format(encode_tiff([img])) == "tiff"
+    assert sniff_image_format(b"RIFF....WEBP") is None
+    assert decode_image(encode_png(img)).shape == (16, 16, 3)
+    assert len(decode_image_frames(encode_tiff([img, img]))) == 2
+    with pytest.raises(ValueError):
+        decode_image(b"notanimage")

@@ -101,3 +101,53 @@ def test_no_ocr_engine_skips_ocr(ray_session, corpus):
     html = res[res["route"] == "html"]
     gh = golden[golden["route"] == "html"]
     assert (html["extracted_text"].to_numpy() == gh["extracted_text"].to_numpy()).all()
+
+
+def test_multiframe_tiff_fans_out_and_reassembles(ray_session):
+    """S5 parity (judge r1 #5): a multi-frame TIFF input fans out to N page
+    rows and re-assembles byte-identically in frame order, JPEG and PNG
+    single-frame inputs alongside."""
+    from pdf2pdfocr_ray.functions.hocr import normalize_ligatures
+    from pdf2pdfocr_ray.functions.jpegcodec import encode_jpeg
+    from pdf2pdfocr_ray.functions.pagerender import render_page
+    from pdf2pdfocr_ray.functions.pngcodec import encode_png
+    from pdf2pdfocr_ray.functions.tiffcodec import encode_tiff
+    from pdf2pdfocr_ray.stages.fanout import FanOut
+    from pdf2pdfocr_ray.stages.sniff import sniff_route
+
+    frame_lines = [["page one alpha"], ["page two bravo"], ["ﬁnal page ﬂow"]]
+    frames = [render_page(ls, dpi=72) for ls in frame_lines]
+    tiff = encode_tiff(frames)
+    jpeg = encode_jpeg(render_page(["jpeg only page"], dpi=72), quality=95)
+    png = encode_png(render_page(["png only page"], dpi=72))
+
+    pages = pa.table(
+        {
+            "url": pa.array(["u/tiff", "u/jpeg", "u/png"], pa.string()),
+            "warc_ts": pa.array([0, 0, 0], pa.timestamp("us")),
+            "html": pa.array([tiff, jpeg, png], pa.binary()),
+            "text": pa.array(["", "", ""], pa.string()),
+            "lang": pa.array(["eng"] * 3, pa.string()),
+        }
+    )
+    # fan-out shape: TIFF -> 3 numbered page rows
+    fanned = FanOut()(sniff_route(pages))
+    tiff_rows = fanned.filter(
+        pa.compute.equal(fanned.column("url"), "u/tiff")
+    )
+    assert sorted(tiff_rows.column("page_no").to_pylist()) == [0, 1, 2]
+    assert tiff_rows.column("n_pages").to_pylist() == [3, 3, 3]
+
+    # end-to-end, shuffled row order: byte-identical per-frame-order concat
+    shuffled = pages.take(pa.array([2, 0, 1]))
+    res = _run(shuffled)
+    expect = {
+        "u/tiff": "".join(
+            normalize_ligatures("\n".join(ls)) + "\n" for ls in frame_lines
+        ),
+        "u/jpeg": "jpeg only page\n",
+        "u/png": "png only page\n",
+    }
+    got = dict(zip(res["url"], res["extracted_text"]))
+    assert got == expect
+    assert dict(zip(res["url"], res["n_pages"]))["u/tiff"] == 3
