@@ -1,0 +1,570 @@
+"""Tolerant real-syntax PDF structure parser (pure Python, no PyPDF2).
+
+The reference opens arbitrary PDFs via PyPDF2 + external poppler tools
+(/root/reference/pdf2pdfocr.py:1169-1198 validate/metadata, 1215-1227
+pdffonts has-text check); the engine needs the same tolerance without
+binaries.  This module implements the subset that matters for a
+validate/extract front end:
+
+* a real object lexer — dicts, arrays, names (with #xx escapes), literal
+  strings (nested parens, octal/char escapes), hex strings, numbers,
+  refs, booleans, null, streams (with /Length int or indirect, and a
+  defensive ``endstream`` search when /Length lies);
+* cross-reference navigation — ``startxref`` → classic xref table(s),
+  following ``/Prev`` chains, newest-wins merging; malformed or
+  xref-stream files fall back to a full-file RECOVERY SCAN for
+  ``N G obj`` headers (what real readers do for damaged files);
+* trailer parsing with fallbacks — a missing/corrupt trailer dict is
+  reconstructed by scanning for the ``/Type /Catalog`` object;
+* ``/FlateDecode`` stream decoding (zlib, with truncated-stream
+  tolerance) — other filters raise;
+* page-tree walking with nested ``/Pages`` nodes and kid-count
+  validation;
+* content-stream text extraction — ``Tj``, ``'``, ``"`` and ``TJ``
+  operators, one extracted line per text-showing operator (hex and
+  literal strings).
+
+Every failure path raises ``ValueError`` (callers map it to the
+``corrupt_pdf`` error row — row-level fault isolation, never a crash).
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+_WS = b"\x00\t\n\x0c\r "
+_DELIM = b"()<>[]{}/%"
+
+
+class PdfRef:
+    __slots__ = ("num", "gen")
+
+    def __init__(self, num: int, gen: int):
+        self.num = num
+        self.gen = gen
+
+    def __repr__(self) -> str:  # pragma: no cover - debug aid
+        return f"PdfRef({self.num},{self.gen})"
+
+    def __eq__(self, other) -> bool:
+        return (
+            isinstance(other, PdfRef)
+            and (self.num, self.gen) == (other.num, other.gen)
+        )
+
+    def __hash__(self) -> int:
+        return hash((self.num, self.gen))
+
+
+class PdfName(str):
+    """A /Name (distinct from a string value)."""
+
+
+class PdfStream:
+    __slots__ = ("dict", "raw")
+
+    def __init__(self, d: dict, raw: bytes):
+        self.dict = d
+        self.raw = raw
+
+    def data(self) -> bytes:
+        """Decoded stream bytes (identity or /FlateDecode)."""
+        filt = self.dict.get("Filter")
+        filters = (
+            [filt] if isinstance(filt, (PdfName, str)) and filt else (filt or [])
+        )
+        out = self.raw
+        for f in filters:
+            if f == "FlateDecode":
+                try:
+                    out = zlib.decompress(out)
+                except zlib.error:
+                    # tolerate truncated deflate tails like real readers
+                    d = zlib.decompressobj()
+                    try:
+                        out = d.decompress(out)
+                    except zlib.error as e:
+                        raise ValueError(f"bad FlateDecode stream: {e}") from e
+            else:
+                raise ValueError(f"unsupported stream filter /{f}")
+        return out
+
+
+class _Lexer:
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.pos = pos
+
+    def skip_ws(self) -> None:
+        d, n = self.data, len(self.data)
+        while self.pos < n:
+            c = d[self.pos]
+            if c in _WS:
+                self.pos += 1
+            elif c == 0x25:  # % comment to EOL
+                while self.pos < n and d[self.pos] not in (0x0A, 0x0D):
+                    self.pos += 1
+            else:
+                return
+
+    def _keyword(self) -> str:
+        start = self.pos
+        d, n = self.data, len(self.data)
+        while self.pos < n and d[self.pos] not in _WS and d[self.pos] not in _DELIM:
+            self.pos += 1
+        return d[start : self.pos].decode("latin-1")
+
+    def parse_name(self) -> PdfName:
+        assert self.data[self.pos] == 0x2F  # /
+        self.pos += 1
+        start = self.pos
+        d, n = self.data, len(self.data)
+        while self.pos < n and d[self.pos] not in _WS and d[self.pos] not in _DELIM:
+            self.pos += 1
+        raw = d[start : self.pos]
+        if b"#" in raw:
+            raw = re.sub(rb"#([0-9A-Fa-f]{2})", lambda m: bytes([int(m.group(1), 16)]), raw)
+        return PdfName(raw.decode("latin-1"))
+
+    def parse_literal_string(self) -> bytes:
+        assert self.data[self.pos] == 0x28  # (
+        self.pos += 1
+        out = bytearray()
+        depth = 1
+        d, n = self.data, len(self.data)
+        while self.pos < n:
+            c = d[self.pos]
+            if c == 0x5C:  # backslash
+                self.pos += 1
+                if self.pos >= n:
+                    break
+                e = d[self.pos]
+                if 0x30 <= e <= 0x37:  # octal
+                    oct_digits = bytearray([e])
+                    self.pos += 1
+                    while (
+                        len(oct_digits) < 3
+                        and self.pos < n
+                        and 0x30 <= d[self.pos] <= 0x37
+                    ):
+                        oct_digits.append(d[self.pos])
+                        self.pos += 1
+                    out.append(int(oct_digits.decode(), 8) & 0xFF)
+                    continue
+                mapped = {0x6E: 0x0A, 0x72: 0x0D, 0x74: 0x09, 0x62: 0x08, 0x66: 0x0C}
+                if e in mapped:
+                    out.append(mapped[e])
+                elif e in (0x0A, 0x0D):  # line continuation
+                    if e == 0x0D and self.pos + 1 < n and d[self.pos + 1] == 0x0A:
+                        self.pos += 1
+                else:
+                    out.append(e)
+                self.pos += 1
+            elif c == 0x28:
+                depth += 1
+                out.append(c)
+                self.pos += 1
+            elif c == 0x29:
+                depth -= 1
+                self.pos += 1
+                if depth == 0:
+                    return bytes(out)
+                out.append(c)
+            else:
+                out.append(c)
+                self.pos += 1
+        raise ValueError("unterminated literal string")
+
+    def parse_hex_string(self) -> bytes:
+        assert self.data[self.pos] == 0x3C  # <
+        self.pos += 1
+        end = self.data.find(b">", self.pos)
+        if end < 0:
+            raise ValueError("unterminated hex string")
+        hx = re.sub(rb"[^0-9A-Fa-f]", b"", self.data[self.pos : end])
+        self.pos = end + 1
+        if len(hx) % 2:
+            hx += b"0"
+        return bytes.fromhex(hx.decode())
+
+    def parse_object(self):
+        self.skip_ws()
+        if self.pos >= len(self.data):
+            raise ValueError("unexpected end of data")
+        d = self.data
+        c = d[self.pos]
+        if c == 0x2F:  # /Name
+            return self.parse_name()
+        if c == 0x28:  # (string)
+            return self.parse_literal_string()
+        if d.startswith(b"<<", self.pos):
+            return self.parse_dict_or_stream()
+        if c == 0x3C:  # <hex>
+            return self.parse_hex_string()
+        if c == 0x5B:  # [array]
+            self.pos += 1
+            arr = []
+            while True:
+                self.skip_ws()
+                if self.pos >= len(d):
+                    raise ValueError("unterminated array")
+                if d[self.pos] == 0x5D:
+                    self.pos += 1
+                    return arr
+                arr.append(self.parse_object())
+        if c in b"+-.0123456789":
+            return self._parse_number_or_ref()
+        kw = self._keyword()
+        if kw == "true":
+            return True
+        if kw == "false":
+            return False
+        if kw == "null":
+            return None
+        raise ValueError(f"unexpected token {kw[:20]!r}")
+
+    def _parse_number_or_ref(self):
+        start = self.pos
+        d, n = self.data, len(self.data)
+        while self.pos < n and d[self.pos] in b"+-.0123456789eE":
+            self.pos += 1
+        tok = d[start : self.pos]
+        if b"." in tok or b"e" in tok.lower():
+            return float(tok)
+        num = int(tok)
+        # lookahead for "<gen> R"
+        save = self.pos
+        self.skip_ws()
+        gstart = self.pos
+        while self.pos < n and d[self.pos] in b"0123456789":
+            self.pos += 1
+        gtok = d[gstart : self.pos]
+        if gtok:
+            self.skip_ws()
+            if self.pos < n and d[self.pos : self.pos + 1] == b"R" and (
+                self.pos + 1 >= n
+                or d[self.pos + 1] in _WS
+                or d[self.pos + 1] in _DELIM
+            ):
+                self.pos += 1
+                return PdfRef(num, int(gtok))
+        self.pos = save
+        return num
+
+    def parse_dict_or_stream(self):
+        assert self.data.startswith(b"<<", self.pos)
+        self.pos += 2
+        out: dict = {}
+        d, n = self.data, len(self.data)
+        while True:
+            self.skip_ws()
+            if self.pos >= n:
+                raise ValueError("unterminated dictionary")
+            if d.startswith(b">>", self.pos):
+                self.pos += 2
+                break
+            if d[self.pos] != 0x2F:
+                raise ValueError("dictionary key is not a name")
+            key = self.parse_name()
+            out[str(key)] = self.parse_object()
+        # stream?
+        save = self.pos
+        self.skip_ws()
+        if d.startswith(b"stream", self.pos):
+            self.pos += 6
+            if d.startswith(b"\r\n", self.pos):
+                self.pos += 2
+            elif d.startswith(b"\n", self.pos) or d.startswith(b"\r", self.pos):
+                self.pos += 1
+            length = out.get("Length")
+            raw = None
+            if isinstance(length, int):
+                cand = d[self.pos : self.pos + length]
+                after = d[self.pos + length : self.pos + length + 20]
+                if re.match(rb"\s*endstream", after):
+                    raw = cand
+                    self.pos += length
+            if raw is None:  # /Length wrong or indirect: search endstream
+                end = d.find(b"endstream", self.pos)
+                if end < 0:
+                    raise ValueError("unterminated stream")
+                raw = d[self.pos : end].rstrip(b"\r\n")
+                self.pos = end
+            self.skip_ws()
+            if d.startswith(b"endstream", self.pos):
+                self.pos += 9
+            return PdfStream(out, raw)
+        self.pos = save
+        return out
+
+
+class PdfDocument:
+    """Lazily-parsed PDF: object offsets from xref or recovery scan."""
+
+    def __init__(self, data: bytes):
+        if not data.startswith(b"%PDF-"):
+            raise ValueError("not a PDF (missing %PDF- header)")
+        self.data = data
+        self._cache: dict[int, object] = {}
+        self.offsets: dict[int, int] = {}
+        self.trailer: dict = {}
+        self.recovered = False
+        try:
+            self._load_xref()
+        except ValueError:
+            self._recover()
+        if not self.offsets:
+            self._recover()
+        if not self.offsets:
+            raise ValueError("corrupt PDF (no objects found)")
+        if "Root" not in self.trailer:
+            self._find_root()
+
+    # -------------------------------------------------------------- xref
+    def _load_xref(self) -> None:
+        tail = self.data[-2048:]
+        m = None
+        for m in re.finditer(rb"startxref\s+(\d+)", tail):
+            pass
+        if m is None:
+            raise ValueError("no startxref")
+        off = int(m.group(1))
+        seen = set()
+        while off and off not in seen:
+            seen.add(off)
+            off = self._load_xref_section(off)
+
+    def _load_xref_section(self, off: int) -> int:
+        lex = _Lexer(self.data, off)
+        lex.skip_ws()
+        if not self.data.startswith(b"xref", lex.pos):
+            # xref STREAM (PDF 1.5+) — not parsed; recovery handles it
+            raise ValueError("xref stream or bad startxref offset")
+        lex.pos += 4
+        while True:
+            lex.skip_ws()
+            if self.data.startswith(b"trailer", lex.pos):
+                lex.pos += 7
+                trailer = lex.parse_object()
+                if not isinstance(trailer, dict):
+                    raise ValueError("trailer is not a dictionary")
+                for k, v in trailer.items():
+                    self.trailer.setdefault(k, v)  # newest section wins
+                prev = trailer.get("Prev")
+                return int(prev) if isinstance(prev, (int, float)) else 0
+            m = re.match(rb"(\d+)\s+(\d+)", self.data[lex.pos : lex.pos + 40])
+            if m is None:
+                raise ValueError("malformed xref subsection header")
+            start, count = int(m.group(1)), int(m.group(2))
+            lex.pos += m.end()
+            lex.skip_ws()
+            for i in range(count):
+                ent = self.data[lex.pos : lex.pos + 20]
+                em = re.match(rb"(\d{10})\s+(\d{5})\s+([nf])", ent)
+                if em is None:
+                    raise ValueError("malformed xref entry")
+                if em.group(3) == b"n":
+                    self.offsets.setdefault(start + i, int(em.group(1)))
+                lex.pos += em.end()
+                # entry terminator: 1-2 bytes of space/EOL (19/20-byte forms)
+                while lex.pos < len(self.data) and self.data[lex.pos] in b" \r\n":
+                    lex.pos += 1
+
+    # ---------------------------------------------------------- recovery
+    def _recover(self) -> None:
+        """Scan the whole file for object headers (newest wins)."""
+        self.recovered = True
+        for m in re.finditer(rb"(?<![0-9])(\d+)\s+(\d+)\s+obj\b", self.data):
+            self.offsets[int(m.group(1))] = m.start(1)
+        if not self.trailer:
+            tm = None
+            for tm in re.finditer(rb"trailer", self.data):
+                pass
+            if tm is not None:
+                try:
+                    t = _Lexer(self.data, tm.end()).parse_object()
+                    if isinstance(t, dict):
+                        self.trailer = t
+                except ValueError:
+                    pass
+
+    def _find_root(self) -> None:
+        for num in self.offsets:
+            try:
+                obj = self.get(num)
+            except ValueError:
+                continue
+            if isinstance(obj, dict) and obj.get("Type") == "Catalog":
+                self.trailer["Root"] = PdfRef(num, 0)
+                return
+        raise ValueError("corrupt PDF (no document catalog)")
+
+    # ------------------------------------------------------------ access
+    def get(self, num: int):
+        if num in self._cache:
+            return self._cache[num]
+        off = self.offsets.get(num)
+        if off is None:
+            raise ValueError(f"missing object {num}")
+        m = re.match(rb"(\d+)\s+(\d+)\s+obj\b", self.data[off : off + 40])
+        if m is None:
+            raise ValueError(f"bad object header at {off}")
+        lex = _Lexer(self.data, off + m.end())
+        obj = lex.parse_object()
+        self._cache[num] = obj
+        return obj
+
+    def resolve(self, obj, depth: int = 0):
+        while isinstance(obj, PdfRef):
+            if depth > 32:
+                raise ValueError("reference cycle")
+            obj = self.get(obj.num)
+            depth += 1
+        return obj
+
+    # --------------------------------------------------------- structure
+    def catalog(self) -> dict:
+        root = self.resolve(self.trailer.get("Root"))
+        if not isinstance(root, dict):
+            raise ValueError("corrupt PDF (bad /Root)")
+        return root
+
+    def is_encrypted(self) -> bool:
+        return "Encrypt" in self.trailer
+
+    def pages(self) -> list[dict]:
+        """Walk the page tree -> leaf Page dicts (inherited attrs merged)."""
+        cat = self.catalog()
+        top = self.resolve(cat.get("Pages"))
+        if not isinstance(top, dict):
+            raise ValueError("corrupt PDF (no page tree)")
+        out: list[dict] = []
+
+        def walk(node: dict, inherited: dict, depth: int) -> None:
+            if depth > 64:
+                raise ValueError("page tree too deep")
+            inh = dict(inherited)
+            for k in ("Resources", "MediaBox", "Rotate"):
+                if k in node:
+                    inh[k] = node[k]
+            t = node.get("Type")
+            if t == "Pages" or (t is None and "Kids" in node):
+                kids = self.resolve(node.get("Kids"))
+                if not isinstance(kids, list):
+                    raise ValueError("corrupt PDF (bad /Kids)")
+                for kid in kids:
+                    kd = self.resolve(kid)
+                    if not isinstance(kd, dict):
+                        raise ValueError("corrupt PDF (missing page object)")
+                    walk(kd, inh, depth + 1)
+            else:
+                page = dict(inh)
+                page.update(node)
+                out.append(page)
+
+        walk(top, {}, 0)
+        declared = self.resolve(top.get("Count"))
+        if isinstance(declared, int) and declared != len(out):
+            raise ValueError(
+                f"corrupt PDF (page count mismatch: /Count {declared} "
+                f"vs {len(out)} leaves)"
+            )
+        if not out:
+            raise ValueError("corrupt PDF (no pages)")
+        return out
+
+    def page_content(self, page: dict) -> bytes:
+        """Decoded, concatenated content stream bytes of a page."""
+        contents = self.resolve(page.get("Contents"))
+        if contents is None:
+            return b""
+        streams = contents if isinstance(contents, list) else [contents]
+        parts = []
+        for s in streams:
+            s = self.resolve(s)
+            if isinstance(s, PdfStream):
+                parts.append(s.data())
+        return b"\n".join(parts)
+
+    def info(self) -> dict[str, str]:
+        """/Info metadata dict with string values decoded."""
+        info = self.trailer.get("Info")
+        try:
+            info = self.resolve(info)
+        except ValueError:
+            return {}
+        if not isinstance(info, dict):
+            return {}
+        out = {}
+        for k, v in info.items():
+            if isinstance(v, bytes):
+                if v.startswith(b"\xfe\xff"):
+                    out[k] = v[2:].decode("utf-16-be", "replace")
+                else:
+                    try:
+                        out[k] = v.decode("utf-8")
+                    except UnicodeDecodeError:
+                        out[k] = v.decode("latin-1")
+            elif isinstance(v, (str, int, float, bool)):
+                out[k] = str(v)
+        return out
+
+    def has_fonts(self) -> bool:
+        """pdffonts stand-in (reference pdf2pdfocr.py:1215-1227): any page
+        resources declaring a font => the PDF carries a text layer."""
+        try:
+            for page in self.pages():
+                res = self.resolve(page.get("Resources"))
+                if isinstance(res, dict):
+                    fonts = self.resolve(res.get("Font"))
+                    if isinstance(fonts, dict) and fonts:
+                        return True
+        except ValueError:
+            pass
+        # fallback: any object of /Type /Font
+        return bool(re.search(rb"/Type\s*/Font\b", self.data))
+
+
+_TEXT_OP_RE = re.compile(
+    rb"""
+    (\((?:[^()\\]|\\.)*\)|<[0-9A-Fa-f\s]*>)\s*(Tj|')   # single-string ops
+    | (\[(?:[^\]\\]|\\.)*\])\s*TJ                       # array op
+    """,
+    re.X | re.S,
+)
+_STR_IN_ARRAY_RE = re.compile(rb"\((?:[^()\\]|\\.)*\)|<[0-9A-Fa-f\s]*>")
+
+
+def _decode_pdf_string(tok: bytes) -> str:
+    if tok.startswith(b"("):
+        lex = _Lexer(tok, 0)
+        raw = lex.parse_literal_string()
+    else:
+        hx = re.sub(rb"[^0-9A-Fa-f]", b"", tok[1:-1])
+        if len(hx) % 2:
+            hx += b"0"
+        raw = bytes.fromhex(hx.decode())
+    try:
+        return raw.decode("utf-8")
+    except UnicodeDecodeError:
+        return raw.decode("latin-1")
+
+
+def extract_text_lines(content: bytes) -> list[str]:
+    """Text-showing operators of a decoded content stream -> lines.
+
+    One line per Tj/'/\" op; a TJ array's strings concatenate into one
+    line (kerning numbers dropped) — a deterministic, simple model of the
+    reference's text-layer walk (hOCR line semantics)."""
+    lines: list[str] = []
+    for m in _TEXT_OP_RE.finditer(content):
+        if m.group(1) is not None:
+            lines.append(_decode_pdf_string(m.group(1)))
+        else:
+            parts = [
+                _decode_pdf_string(t)
+                for t in _STR_IN_ARRAY_RE.findall(m.group(3))
+            ]
+            lines.append("".join(parts))
+    return lines

@@ -40,6 +40,12 @@ DOC_META_SCHEMA = pa.schema(
         ("has_native_text", pa.bool_()),
         ("size_kb", pa.float64()),
         ("skip_reason", pa.string()),
+        # input-document metadata carry (reference reads + preserves the
+        # PDF metadata dict, pdf2pdfocr.py:1183, 1333-1374; the engine
+        # surfaces it as columns and stamps its own producer per shard in
+        # the checkpoint manifests' engine_version)
+        ("pdf_producer", pa.string()),
+        ("pdf_title", pa.string()),
     ]
 )
 
@@ -58,6 +64,7 @@ def doc_meta(
         for url, payload, route in zip(urls, payloads, routes):
             size_kb = len(payload) / 1024.0
             n_pages, enc, native, skip = 0, False, False, None
+            producer = title = None
             if route == ROUTE_ERROR:
                 skip = "unsupported_type"
             elif cfg.min_kbytes and size_kb < cfg.min_kbytes:
@@ -68,6 +75,8 @@ def doc_meta(
                 try:
                     doc = parse_pdf(payload)
                     n_pages, enc, native = doc.n_pages, doc.is_encrypted, doc.has_native_text
+                    producer = doc.metadata.get("Producer")
+                    title = doc.metadata.get("Title")
                     if enc:
                         skip = "encrypted"
                     elif cfg.max_pages and n_pages > cfg.max_pages:
@@ -85,6 +94,8 @@ def doc_meta(
             out["has_native_text"].append(native)
             out["size_kb"].append(size_kb)
             out["skip_reason"].append(skip)
+            out["pdf_producer"].append(producer)
+            out["pdf_title"].append(title)
         return pa.table(out, schema=DOC_META_SCHEMA)
 
     return pages_ds.map_batches(

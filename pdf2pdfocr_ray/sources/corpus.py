@@ -190,8 +190,10 @@ def _gen_doc(i: int, seed: int):
         kind = "pdf_giant"
     elif r < 0.70:
         kind = "html"
-    elif r < 0.90:
+    elif r < 0.87:
         kind = "pdf"
+    elif r < 0.90:
+        kind = "pdf_foreign"
     elif r < 0.95:
         kind = "image"
     else:
@@ -209,6 +211,25 @@ def _gen_doc(i: int, seed: int):
     elif kind == "pdf_giant":
         payload, golden = _make_pdf_doc(rng, int(rng.integers(40, 81)), distort=False)
         route, n_pages, error = "pdf", payload_pages(payload), None
+    elif kind == "pdf_foreign":
+        # real-world-syntax PDF (FlateDecode, CRLF, hex strings, TJ arrays,
+        # nested page tree, sometimes an incremental /Prev update) written
+        # by the "foreign" builder — exercises the tolerant pdfparse front
+        # end inside the flagship pipeline.
+        from ..functions.minipdf import build_foreign_pdf
+
+        n_pages = int(rng.integers(1, 4))
+        pages_lines = [
+            [_pdf_line(rng) for _ in range(int(rng.integers(2, 5)))]
+            for _ in range(n_pages)
+        ]
+        payload = build_foreign_pdf(
+            pages_lines, incremental=bool(rng.random() < 0.3)
+        )
+        golden = "".join(
+            normalize_ligatures("\n".join(ls)) + "\n" for ls in pages_lines
+        )
+        route, error = "pdf", None
     elif kind == "image":
         payload, golden, n_pages = _make_image_doc(rng)
         route, error = "image", None
