@@ -172,13 +172,19 @@ def topk_lsh(
     dim = q.shape[1]
     signer = _HyperplaneSigner(dim, n_bits, seed)
     qsigs = signer.sign(q)
-    # probe set: signature ± up to probe_bits flips
+    # probe set: signature ± up to probe_bits flips (multi-probe LSH —
+    # all flip combinations up to the budget, not just single bits)
+    import itertools
+
     probe: set[int] = set()
     for s in qsigs.tolist():
         probe.add(int(s))
-        if probe_bits >= 1:
-            for b in range(n_bits):
-                probe.add(int(s) ^ (1 << b))
+        for r in range(1, probe_bits + 1):
+            for combo in itertools.combinations(range(n_bits), r):
+                mask = 0
+                for b in combo:
+                    mask |= 1 << b
+                probe.add(int(s) ^ mask)
     qref = ray.put((q, probe))
 
     def local_topk(batch: pd.DataFrame) -> pd.DataFrame:
