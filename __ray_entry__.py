@@ -608,6 +608,63 @@ def _q_quality(sf_dir: str):
     return out.select_columns(["doc_id", "n_tokens", "is_quality"])
 
 
+def _q_pii_scrub(sf_dir: str):
+    """PII redaction (emails / IPv4 / intl phone numbers) over documents
+    whose text is deterministically AUGMENTED with synthetic PII (both the
+    augmentation and the scrub chain are replicated in the DuckDB oracle,
+    so patterns and replacement order are value-checked end-to-end)."""
+    import hashlib
+
+    import pandas as pd
+
+    from pdf2pdfocr_ray.ops.relational import read
+    from pdf2pdfocr_ray.ops.text_analysis import scrub_pii
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def augment(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["text"] = (
+            batch["text"]
+            + " contact user"
+            + batch["doc_id"].astype(str)
+            + "@example.com or +1 555 123 4567 at 192.168.0."
+            + (batch["doc_id"] % 250).astype(str)
+            + " ."
+        )
+        return batch
+
+    out = ds.map_batches(augment, batch_format="pandas").map_batches(
+        scrub_pii, batch_format="pandas"
+    )
+
+    def digest(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "n_emails": batch["n_emails"],
+                "n_ips": batch["n_ips"],
+                "n_phones": batch["n_phones"],
+                "scrub_md5": [
+                    hashlib.md5(t.encode("utf-8")).hexdigest()
+                    for t in batch["text_scrubbed"]
+                ],
+            }
+        )
+
+    return out.map_batches(digest, batch_format="pandas")
+
+
+def _q_paragraph_dedup(sf_dir: str):
+    """Sub-document exact dedup: paragraphs exploded, hashed, deduped
+    (min owning doc per hash + duplicate count)."""
+    from pdf2pdfocr_ray.ops.relational import read
+    from pdf2pdfocr_ray.ops.text_analysis import paragraph_dedup
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    return paragraph_dedup(ds)
+
+
 def _q_checkpointed_extract(sf_dir: str):
     """Flagship extraction through the checkpoint/lineage path: shard-wise
     write + per-shard _MANIFEST.json, then resume (second call skips all
@@ -779,6 +836,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_quantiles": _q_price_quantiles,
         "price_quantiles_sketch": _q_price_quantiles_sketch,
         "theta_custkey_sets": _q_theta_custkey_sets,
+        "pii_scrub": _q_pii_scrub,
+        "paragraph_dedup": _q_paragraph_dedup,
         "sessionize": _q_sessionize,
         "events_by_type": _q_events_by_type,
         "user_event_types": _q_user_event_types,
@@ -1048,4 +1107,28 @@ def oracle_sql() -> dict[str, str]:
         # lowered tokens; winner = first language in profile order whose
         # count is positive and not beaten by a later one).
         "lang_id": _LANG_ID_ORACLE_SQL,
+        # Same augmentation + same 3-pattern scrub chain in RE2; result
+        # compared via md5 of the scrubbed text.
+        "pii_scrub": (
+            "WITH aug AS (SELECT doc_id, text || ' contact user' || doc_id "
+            "|| '@example.com or +1 555 123 4567 at 192.168.0.' "
+            "|| (doc_id % 250) || ' .' AS t FROM documents) "
+            "SELECT doc_id, "
+            "len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))"
+            " AS n_emails, "
+            "len(regexp_extract_all(t, "
+            "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS n_ips, "
+            "len(regexp_extract_all(t, '\\+\\d[\\d() -]{7,}\\d')) AS n_phones, "
+            "md5(regexp_replace(regexp_replace(regexp_replace(t, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
+            "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'), "
+            "'\\+\\d[\\d() -]{7,}\\d', '<PHONE>', 'g')) AS scrub_md5 "
+            "FROM aug"
+        ),
+        "paragraph_dedup": (
+            "SELECT md5(p) AS para_hash, MIN(doc_id)::BIGINT AS keep_doc, "
+            "COUNT(*)::BIGINT AS n_dups FROM (SELECT doc_id, "
+            "unnest(string_split(text, chr(10)||chr(10))) AS p FROM documents) "
+            "WHERE p <> '' GROUP BY md5(p)"
+        ),
     }

@@ -197,3 +197,81 @@ def add_quality(ds: "ray.data.Dataset") -> "ray.data.Dataset":
 
 def add_lang_id(ds: "ray.data.Dataset") -> "ray.data.Dataset":
     return ds.map_batches(LangId, batch_format="pandas", concurrency=(1, 4))
+
+
+# ------------------------------------------------------------- PII scrub
+# Patterns chosen to behave identically under Python re and RE2 (DuckDB):
+# no lookarounds, greedy quantifiers only.
+_PII_EMAIL_RE = re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
+_PII_IP_RE = re.compile(r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b")
+_PII_PHONE_RE = re.compile(r"\+\d[\d() -]{7,}\d")
+
+PII_PATTERNS_SQL = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\+\d[\d() -]{7,}\d", "<PHONE>"),
+]
+
+
+def scrub_pii(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+    """Redact emails / IPv4s / international phone numbers (the standard
+    training-data hygiene pass; same replacement chain as the DuckDB
+    oracle).  Emits ``text_scrubbed`` plus per-kind hit counts."""
+    s = batch[text_col]
+    batch = batch.copy()
+    batch["n_emails"] = s.str.count(_PII_EMAIL_RE).astype("int64")
+    batch["n_ips"] = s.str.count(_PII_IP_RE).astype("int64")
+    batch["n_phones"] = s.str.count(_PII_PHONE_RE).astype("int64")
+    out = s.str.replace(_PII_EMAIL_RE, "<EMAIL>", regex=True)
+    out = out.str.replace(_PII_IP_RE, "<IP>", regex=True)
+    out = out.str.replace(_PII_PHONE_RE, "<PHONE>", regex=True)
+    batch["text_scrubbed"] = out
+    return batch
+
+
+def add_pii_scrub(ds: "ray.data.Dataset", text_col: str = "text") -> "ray.data.Dataset":
+    import functools
+
+    return ds.map_batches(
+        functools.partial(scrub_pii, text_col=text_col), batch_format="pandas"
+    )
+
+
+# ----------------------------------------------- paragraph-level dedup
+def paragraph_dedup(
+    ds: "ray.data.Dataset", text_col: str = "text", id_col: str = "doc_id"
+) -> "ray.data.Dataset":
+    """Sub-document exact dedup (RefinedWeb/Gopher-style): explode docs
+    into non-empty paragraphs (split on blank line), hash each, keep one
+    row per distinct paragraph hash carrying the min owning doc id and the
+    duplicate count.  Scale shape: paragraphs shuffle by 16-byte hash key
+    only (the text needn't move — a count+min aggregate after the
+    explode); here the representative text rides along for inspection."""
+    from .grouped import sorted_groupby
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        ids, hashes, texts = [], [], []
+        for did, t in zip(batch[id_col], batch[text_col]):
+            for p in t.split("\n\n"):
+                if not p:
+                    continue
+                ids.append(did)
+                hashes.append(hashlib.md5(p.encode("utf-8")).hexdigest())
+                texts.append(p)
+        return pd.DataFrame(
+            {
+                "para_hash": pd.Series(hashes, dtype="object"),
+                id_col: pd.Series(ids, dtype="int64"),
+                "para": pd.Series(texts, dtype="object"),
+            }
+        )
+
+    def first_per_hash(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("para_hash", as_index=False).agg(
+            keep_doc=(id_col, "min"), n_dups=(id_col, "size")
+        )
+        return g
+
+    return sorted_groupby(
+        ds.map_batches(explode, batch_format="pandas"), "para_hash", first_per_hash
+    )

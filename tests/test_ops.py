@@ -354,3 +354,50 @@ def test_quantile_sketch_serialization_roundtrip():
     rt = QuantileSketch.from_bytes(sk.to_bytes())
     assert rt.n == sk.n and rt.k == sk.k
     assert rt.quantiles([0.3, 0.7]) == sk.quantiles([0.3, 0.7])
+
+
+def test_pii_scrub_patterns():
+    from pdf2pdfocr_ray.ops.text_analysis import scrub_pii
+
+    df = pd.DataFrame(
+        {
+            "text": [
+                "mail me at a.b+c@mail.example.org now",
+                "server 10.0.255.3 and phone +49 (0)30 1234567",
+                "clean text, nothing here",
+            ]
+        }
+    )
+    out = scrub_pii(df)
+    assert out["text_scrubbed"][0] == "mail me at <EMAIL> now"
+    assert out["text_scrubbed"][1] == "server <IP> and phone <PHONE>"
+    assert out["text_scrubbed"][2] == "clean text, nothing here"
+    assert out["n_emails"].tolist() == [1, 0, 0]
+    assert out["n_ips"].tolist() == [0, 1, 0]
+    assert out["n_phones"].tolist() == [0, 1, 0]
+
+
+def test_paragraph_dedup_counts(ray_session):
+    import ray.data
+
+    from pdf2pdfocr_ray.ops.text_analysis import paragraph_dedup
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "shared para\n\nunique one",
+                "shared para\n\nunique two",
+                "shared para\n\n\n\nunique three",  # empty paragraph dropped
+            ],
+        }
+    )
+    ds = ray.data.from_pandas(docs).repartition(3)
+    out = paragraph_dedup(ds).to_pandas().sort_values("para_hash")
+    import hashlib
+
+    shared = hashlib.md5(b"shared para").hexdigest()
+    row = out[out["para_hash"] == shared].iloc[0]
+    assert row["keep_doc"] == 1 and row["n_dups"] == 3
+    assert len(out) == 4  # shared + 3 uniques
+    assert (out[out["para_hash"] != shared]["n_dups"] == 1).all()
