@@ -655,6 +655,13 @@ def _q_pii_scrub(sf_dir: str):
     return out.map_batches(digest, batch_format="pandas")
 
 
+def _q_top_events_per_user(sf_dir: str):
+    """Per-group top-N window (ROW_NUMBER shape) with map-side pruning."""
+    from pdf2pdfocr_ray.ops.relational import top_events_per_user
+
+    return top_events_per_user(sf_dir, n=2)
+
+
 def _q_paragraph_dedup(sf_dir: str):
     """Sub-document exact dedup: paragraphs exploded, hashed, deduped
     (min owning doc per hash + duplicate count)."""
@@ -838,6 +845,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "theta_custkey_sets": _q_theta_custkey_sets,
         "pii_scrub": _q_pii_scrub,
         "paragraph_dedup": _q_paragraph_dedup,
+        "top_events_per_user": _q_top_events_per_user,
         "sessionize": _q_sessionize,
         "events_by_type": _q_events_by_type,
         "user_event_types": _q_user_event_types,
@@ -1130,5 +1138,11 @@ def oracle_sql() -> dict[str, str]:
             "COUNT(*)::BIGINT AS n_dups FROM (SELECT doc_id, "
             "unnest(string_split(text, chr(10)||chr(10))) AS p FROM documents) "
             "WHERE p <> '' GROUP BY md5(p)"
+        ),
+        "top_events_per_user": (
+            "SELECT user_id, event_id, value, rank FROM ("
+            "SELECT user_id, event_id, value, ROW_NUMBER() OVER ("
+            "PARTITION BY user_id ORDER BY value DESC, event_id) AS rank "
+            "FROM events) WHERE rank <= 2"
         ),
     }

@@ -335,3 +335,114 @@ def build_foreign_pdf(
             % (n_objs, catalog_no, info_no, xref_at, xref2_at)
         )
     return bytes(buf)
+
+
+def build_foreign_pdf_15(
+    pages_lines: list[list[str]], *, title: str = "Modern Doc"
+) -> bytes:
+    """Build a PDF 1.5-style file: cross-reference STREAM (/Type /XRef,
+    /W [1 2 2], PNG /Predictor 12) instead of an xref table, with the
+    document dictionaries (catalog / page tree / pages / info) packed into
+    a compressed /ObjStm container — the layout most modern writers emit.
+    Content streams are regular FlateDecode objects (streams cannot live
+    inside an ObjStm)."""
+    import zlib as _zlib
+
+    # object numbers: 1 catalog, 2 pages, 3 font, 4..3+n content streams,
+    # then n page dicts (compressed), info (compressed), objstm, xref
+    n = len(pages_lines)
+    cont_nos = list(range(4, 4 + n))
+    page_nos = list(range(4 + n, 4 + 2 * n))
+    info_no = 4 + 2 * n
+    objstm_no = info_no + 1
+    xref_no = objstm_no + 1
+
+    cont_bodies = []
+    for lines in pages_lines:
+        ops = [b"BT /F1 11 Tf 40 700 Td"]
+        for i, line in enumerate(lines):
+            if i:
+                ops.append(b"0 -13 Td")
+            ops.append(b"(" + _esc(line) + b") Tj")
+        ops.append(b"ET")
+        comp = _zlib.compress(b" ".join(ops))
+        cont_bodies.append(
+            b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(comp)
+            + comp
+            + b"\nendstream"
+        )
+
+    # compressed (ObjStm-resident) objects, in container order
+    kids = b" ".join(b"%d 0 R" % p for p in page_nos)
+    compressed: list[tuple[int, bytes]] = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, b"<< /Type /Pages /Kids [%s] /Count %d >>" % (kids, n)),
+        (3, b"<< /Type /Font /Subtype /Type1 /BaseFont /Courier >>"),
+    ]
+    for pno, cno in zip(page_nos, cont_nos):
+        compressed.append(
+            (
+                pno,
+                b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                b"/Resources << /Font << /F1 3 0 R >> >> /Contents %d 0 R >>"
+                % cno,
+            )
+        )
+    compressed.append(
+        (info_no, b"<< /Producer (ModernWriter 3.0) /Title (" + _esc(title) + b") >>")
+    )
+
+    # object offsets within the ObjStm body (bodies joined by single \n)
+    offs = []
+    pos = 0
+    for _, body in compressed:
+        offs.append(pos)
+        pos += len(body) + 1
+    header = b" ".join(
+        b"%d %d" % (num, off) for (num, _), off in zip(compressed, offs)
+    )
+    first = len(header) + 1
+    payload = header + b"\n" + b"\n".join(c[1] for c in compressed) + b"\n"
+    objstm_raw = _zlib.compress(payload)
+    objstm_body = (
+        b"<< /Type /ObjStm /N %d /First %d /Length %d /Filter /FlateDecode >>"
+        b"\nstream\n" % (len(compressed), first, len(objstm_raw))
+        + objstm_raw
+        + b"\nendstream"
+    )
+
+    buf = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+    offsets: dict[int, int] = {}
+    for num, body in list(zip(cont_nos, cont_bodies)) + [(objstm_no, objstm_body)]:
+        offsets[num] = len(buf)
+        buf += b"%d 0 obj\n" % num + body + b"\nendobj\n"
+
+    # xref stream entries for 0..xref_no; W = [1 2 2]
+    xref_off = len(buf)
+    offsets[xref_no] = xref_off
+    rows = []
+    for num in range(xref_no + 1):
+        if num == 0:
+            rows.append(bytes([0]) + (0).to_bytes(2, "big") + (0xFFFF).to_bytes(2, "big"))
+        elif num in offsets:
+            rows.append(bytes([1]) + offsets[num].to_bytes(2, "big") + (0).to_bytes(2, "big"))
+        else:
+            idx = [c[0] for c in compressed].index(num)
+            rows.append(bytes([2]) + objstm_no.to_bytes(2, "big") + idx.to_bytes(2, "big"))
+    # PNG predictor 12 (Up filter) encoding, row width 5
+    enc = bytearray()
+    prev = bytes(5)
+    for r in rows:
+        enc.append(2)
+        enc += bytes((r[i] - prev[i]) & 0xFF for i in range(5))
+        prev = r
+    xdata = _zlib.compress(bytes(enc))
+    buf += (
+        b"%d 0 obj\n<< /Type /XRef /Size %d /W [1 2 2] /Root 1 0 R /Info %d 0 R "
+        b"/Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns 5 >> "
+        b"/Length %d >>\nstream\n" % (xref_no, xref_no + 1, info_no, len(xdata))
+        + xdata
+        + b"\nendstream\nendobj\n"
+    )
+    buf += b"startxref\n%d\n%%%%EOF\n" % xref_off
+    return bytes(buf)

@@ -299,6 +299,62 @@ class _Lexer:
         return out
 
 
+def _undo_predictor(raw: bytes, parms) -> bytes:
+    """Undo /DecodeParms predictors on decoded stream bytes: 1 = none,
+    2 = TIFF horizontal, >= 10 = PNG per-row filters (the common
+    /Predictor 12 'Up' case in xref streams)."""
+    if not isinstance(parms, dict):
+        return raw
+    pred = int(parms.get("Predictor", 1) or 1)
+    if pred <= 1:
+        return raw
+    cols = int(parms.get("Columns", 1) or 1)
+    colors = int(parms.get("Colors", 1) or 1)
+    bpc = int(parms.get("BitsPerComponent", 8) or 8)
+    bpp = max(1, colors * bpc // 8)
+    row = cols * bpp
+    if pred == 2:  # TIFF horizontal differencing
+        out = bytearray(raw)
+        for r0 in range(0, len(out) - row + 1, row):
+            for i in range(bpp, row):
+                out[r0 + i] = (out[r0 + i] + out[r0 + i - bpp]) & 0xFF
+        return bytes(out)
+    # PNG predictors: each row prefixed by a filter-type byte
+    out = bytearray()
+    prev = bytearray(row)
+    pos = 0
+    while pos + 1 <= len(raw):
+        ft = raw[pos]
+        line = bytearray(raw[pos + 1 : pos + 1 + row])
+        if len(line) < row:
+            break
+        pos += 1 + row
+        if ft == 1:  # Sub
+            for i in range(bpp, row):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(row):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(row):
+                a = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(row):
+                a = line[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                pred_v = a if (pa <= pb and pa <= pc_) else (b if pb <= pc_ else c)
+                line[i] = (line[i] + pred_v) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"bad PNG predictor filter {ft}")
+        out += line
+        prev = line
+    return bytes(out)
+
+
 class PdfDocument:
     """Lazily-parsed PDF: object offsets from xref or recovery scan."""
 
@@ -308,6 +364,9 @@ class PdfDocument:
         self.data = data
         self._cache: dict[int, object] = {}
         self.offsets: dict[int, int] = {}
+        # objects living inside /ObjStm containers: num -> (container, idx)
+        self.compressed: dict[int, tuple[int, int]] = {}
+        self._objstm_cache: dict[int, list] = {}
         self.trailer: dict = {}
         self.recovered = False
         try:
@@ -339,8 +398,9 @@ class PdfDocument:
         lex = _Lexer(self.data, off)
         lex.skip_ws()
         if not self.data.startswith(b"xref", lex.pos):
-            # xref STREAM (PDF 1.5+) — not parsed; recovery handles it
-            raise ValueError("xref stream or bad startxref offset")
+            if re.match(rb"\d+\s+\d+\s+obj\b", self.data[lex.pos : lex.pos + 40]):
+                return self._load_xref_stream(lex.pos)  # PDF 1.5+ xref stream
+            raise ValueError("bad startxref offset")
         lex.pos += 4
         while True:
             lex.skip_ws()
@@ -370,6 +430,74 @@ class PdfDocument:
                 # entry terminator: 1-2 bytes of space/EOL (19/20-byte forms)
                 while lex.pos < len(self.data) and self.data[lex.pos] in b" \r\n":
                     lex.pos += 1
+
+    def _load_xref_stream(self, off: int) -> int:
+        """PDF 1.5+ cross-reference STREAM (/Type /XRef): binary entry
+        rows of /W-field widths, optional /Index subsections, optional
+        PNG/TIFF predictor; type-2 entries point into /ObjStm containers."""
+        m = re.match(rb"(\d+)\s+(\d+)\s+obj\b", self.data[off : off + 40])
+        lex = _Lexer(self.data, off + m.end())
+        obj = lex.parse_object()
+        if not isinstance(obj, PdfStream) or obj.dict.get("Type") != "XRef":
+            raise ValueError("startxref does not point at an xref stream")
+        d = obj.dict
+        raw = obj.data()
+        raw = _undo_predictor(raw, d.get("DecodeParms") or {})
+        w = [int(x) for x in (d.get("W") or [])]
+        if len(w) != 3:
+            raise ValueError("xref stream missing /W")
+        row_len = sum(w)
+        index = d.get("Index") or [0, int(d.get("Size", 0))]
+        pairs = [
+            (int(index[i]), int(index[i + 1])) for i in range(0, len(index), 2)
+        ]
+        pos = 0
+        for start, count in pairs:
+            for i in range(count):
+                row = raw[pos : pos + row_len]
+                if len(row) < row_len:
+                    raise ValueError("truncated xref stream")
+                pos += row_len
+                f1 = int.from_bytes(row[: w[0]], "big") if w[0] else 1
+                f2 = int.from_bytes(row[w[0] : w[0] + w[1]], "big")
+                f3 = int.from_bytes(row[w[0] + w[1] :], "big")
+                num = start + i
+                if f1 == 1:
+                    if num not in self.compressed:
+                        self.offsets.setdefault(num, f2)
+                elif f1 == 2:
+                    if num not in self.offsets:
+                        self.compressed.setdefault(num, (f2, f3))
+                # f1 == 0: free
+        for k, v in d.items():
+            if k in ("Root", "Info", "Encrypt", "Size", "ID"):
+                self.trailer.setdefault(k, v)
+        prev = d.get("Prev")
+        return int(prev) if isinstance(prev, (int, float)) else 0
+
+    def _load_objstm(self, num: int) -> list:
+        """Parse an /ObjStm container -> list of its objects (by index)."""
+        if num in self._objstm_cache:
+            return self._objstm_cache[num]
+        stm = self.get(num)
+        if not isinstance(stm, PdfStream) or stm.dict.get("Type") != "ObjStm":
+            raise ValueError(f"object {num} is not /Type /ObjStm")
+        payload = stm.data()
+        n = int(stm.dict.get("N", 0))
+        first = int(stm.dict.get("First", 0))
+        head = _Lexer(payload, 0)
+        offs = []
+        for _ in range(n):
+            head.skip_ws()
+            onum = head.parse_object()
+            head.skip_ws()
+            ooff = head.parse_object()
+            offs.append((int(onum), int(ooff)))
+        objs = []
+        for onum, ooff in offs:
+            objs.append(_Lexer(payload, first + ooff).parse_object())
+        self._objstm_cache[num] = objs
+        return objs
 
     # ---------------------------------------------------------- recovery
     def _recover(self) -> None:
@@ -404,6 +532,13 @@ class PdfDocument:
     def get(self, num: int):
         if num in self._cache:
             return self._cache[num]
+        if num not in self.offsets and num in self.compressed:
+            container, idx = self.compressed[num]
+            objs = self._load_objstm(container)
+            if idx >= len(objs):
+                raise ValueError(f"object {num} out of range in ObjStm {container}")
+            self._cache[num] = objs[idx]
+            return objs[idx]
         off = self.offsets.get(num)
         if off is None:
             raise ValueError(f"missing object {num}")

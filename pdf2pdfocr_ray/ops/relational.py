@@ -763,6 +763,36 @@ def user_value_median(sf_dir: str) -> "ray.data.Dataset":
     return sorted_groupby(ds, "user_id", med_block)
 
 
+# --------------------------------------------------- per-group top-N (rank)
+def top_events_per_user(sf_dir: str, n: int = 2) -> "ray.data.Dataset":
+    """Top-``n`` events per user by value (the ROW_NUMBER() OVER
+    (PARTITION BY ... ORDER BY ...) window shape).  Map-side prune first:
+    each batch keeps only its own per-user top-n (algebraic: the global
+    top-n is contained in the union of per-batch top-ns), so the shuffle
+    moves ≤ n·|users|·|batches| rows, then the sorted_groupby block takes
+    the exact global top-n per user.  Deterministic ties: value DESC,
+    event_id ASC."""
+    from .grouped import sorted_groupby
+
+    ds = read(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def local_prune(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "value", "event_id"],
+                            ascending=[True, False, True])
+        return df.groupby("user_id", as_index=False).head(n)
+
+    def top_block(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "value", "event_id"],
+                            ascending=[True, False, True])
+        out = df.groupby("user_id", as_index=False).head(n).copy()
+        out["rank"] = out.groupby("user_id").cumcount() + 1
+        return out[["user_id", "event_id", "value", "rank"]]
+
+    return sorted_groupby(
+        ds.map_batches(local_prune, batch_format="pandas"), "user_id", top_block
+    )
+
+
 # --------------------------------------------------------- distinct count
 def user_event_types(sf_dir: str) -> "ray.data.Dataset":
     """count(DISTINCT event_type) per user.  Exact distinct via the same
