@@ -779,39 +779,100 @@ def _q_multimodal_resize(sf_dir: str):
 
 
 def _q_audio_features(sf_dir: str):
-    """Stub audio-feature stage over a binary column (plumbing-real)."""
-    from pdf2pdfocr_ray.ops.multimodal import AudioFeatureStage
+    """REAL WAV decode, ORACLE-CHECKED: per doc a PCM WAV is synthesized
+    deterministically (sine, whole cycles, amplitude/length derived from
+    doc_id), the AudioFeatureStage decodes it, and n_samples / duration /
+    an rms-vs-amplitude/√2 verdict are compared against DuckDB arithmetic
+    on doc_id.  A decode bug breaks the hash."""
+    import numpy as np
+    import pandas as pd
 
-    out = _image_pages().map_batches(
+    from pdf2pdfocr_ray.ops.multimodal import AudioFeatureStage
+    from pdf2pdfocr_ray.ops.relational import read
+
+    ds = read(sf_dir, "documents", ["doc_id"])
+
+    def synth(batch: pd.DataFrame) -> pd.DataFrame:
+        from pdf2pdfocr_ray.functions.wavcodec import encode_wav
+
+        payloads = []
+        for did in batch["doc_id"]:
+            n = 4000 + int(did % 5) * 1000
+            amp = 0.1 + (int(did) % 8) * 0.1
+            freq = 160 + (int(did) % 5) * 16  # whole cycles per 1000 samples
+            t = np.arange(n) / 16000.0
+            payloads.append(encode_wav(amp * np.sin(2 * np.pi * freq * t), 16000))
+        out = batch.copy()
+        out["audio"] = payloads
+        return out
+
+    feats = ds.map_batches(synth, batch_format="pandas").map_batches(
         AudioFeatureStage,
-        fn_constructor_kwargs={"audio_col": "image"},
+        fn_constructor_kwargs={"audio_col": "audio"},
         batch_format="pyarrow",
-        batch_size=16,
+        batch_size=64,
         concurrency=(1, 4),
     )
-    return out.select_columns(["url", "page_no", "duration_s", "n_samples", "rms"])
+
+    def digest(batch: pd.DataFrame) -> pd.DataFrame:
+        amp = 0.1 + (batch["doc_id"] % 8) * 0.1
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "n_samples": batch["n_samples"],
+                "duration_ms": np.floor(batch["duration_s"] * 1000).astype("int64"),
+                "rms_ok": (batch["rms"] - amp / np.sqrt(2)).abs() < 1e-3,
+            }
+        )
+
+    return feats.map_batches(digest, batch_format="pandas")
 
 
 def _q_video_frames(sf_dir: str):
-    """Stub video frame-sample stage over a binary column (plumbing-real)."""
+    """REAL MJPEG-AVI demux + JPEG decode, ORACLE-CHECKED: per doc an AVI
+    with (2 + doc_id%4) JPEG frames is muxed deterministically, the
+    VideoFrameSampleStage demuxes + decodes + samples ≤3 frames, and the
+    counts are compared against DuckDB arithmetic on doc_id."""
+    import numpy as np
+    import pandas as pd
     import pyarrow as pa
 
     from pdf2pdfocr_ray.ops.multimodal import VideoFrameSampleStage
+    from pdf2pdfocr_ray.ops.relational import read
 
-    out = _image_pages().map_batches(
+    ds = read(sf_dir, "documents", ["doc_id"])
+
+    def synth(batch: pd.DataFrame) -> pd.DataFrame:
+        from pdf2pdfocr_ray.functions.avicodec import mux_avi_mjpeg
+        from pdf2pdfocr_ray.functions.jpegcodec import encode_jpeg
+
+        payloads = []
+        for did in batch["doc_id"]:
+            nf = 2 + int(did) % 4
+            frames = []
+            for i in range(nf):
+                shade = (int(did) * 37 + i * 11) % 256
+                frames.append(
+                    encode_jpeg(np.full((16, 24, 3), shade, dtype=np.uint8), 90)
+                )
+            payloads.append(mux_avi_mjpeg(frames, fps=10.0, width=24, height=16))
+        out = batch.copy()
+        out["video"] = payloads
+        return out
+
+    out = ds.map_batches(synth, batch_format="pandas").map_batches(
         VideoFrameSampleStage,
-        fn_constructor_kwargs={"video_col": "image", "n_frames": 3},
+        fn_constructor_kwargs={"video_col": "video", "n_frames": 3},
         batch_format="pyarrow",
-        batch_size=16,
+        batch_size=32,
         concurrency=(1, 4),
     )
 
     def summarize(t: pa.Table) -> pa.Table:
         return pa.table(
             {
-                "url": t["url"],
-                "page_no": t["page_no"],
-                "n_frames": pa.array(
+                "doc_id": t["doc_id"],
+                "n_sampled": pa.array(
                     [len(f) for f in t["frames"].to_pylist()], pa.int64()
                 ),
             }
@@ -1144,5 +1205,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, event_id, value, ROW_NUMBER() OVER ("
             "PARTITION BY user_id ORDER BY value DESC, event_id) AS rank "
             "FROM events) WHERE rank <= 2"
+        ),
+        # Real WAV/AVI decode checks: payloads are synthesized from doc_id
+        # arithmetic, so the decoded counts/durations are SQL-recomputable
+        # and the rms verdict is asserted true.
+        "audio_features": (
+            "SELECT doc_id, (4000 + (doc_id % 5) * 1000)::BIGINT AS n_samples, "
+            "CAST(floor((4000 + (doc_id % 5) * 1000) / 16.0) AS BIGINT) "
+            "AS duration_ms, true AS rms_ok FROM documents"
+        ),
+        "video_frames": (
+            "SELECT doc_id, LEAST(3, 2 + doc_id % 4)::BIGINT AS n_sampled "
+            "FROM documents"
         ),
     }

@@ -122,18 +122,30 @@ class ImageResizeStage:
 
 
 class AudioFeatureStage:
-    """STUB actor stage: audio binary -> (duration_s, n_samples, rms) fake
-    features derived deterministically from payload bytes.  Real resample/
-    spectrogram code drops into ``_features``; the distributed plumbing
-    (actor pool, small batches, error column) is what this stage tests."""
+    """Actor stage: audio binary -> (duration_s, n_samples, rms).
+
+    RIFF/WAVE (PCM) payloads decode for REAL (functions/wavcodec — no
+    native library needed).  Compressed formats (MP3/AAC/...) would need
+    codecs absent from this container and hit the stub path: ``strict``
+    raises NotImplementedError, else deterministic fakes derived from the
+    payload hash (the distributed plumbing stays exercised either way)."""
 
     def __init__(self, audio_col: str = "audio", strict: bool = False):
         self.audio_col = audio_col
         self.strict = strict
 
     def _features(self, payload: bytes) -> tuple[float, int, float]:
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            from ..functions.wavcodec import decode_wav
+
+            samples, rate = decode_wav(payload)
+            n = samples.shape[0]
+            rms = float(np.sqrt(np.mean(samples**2))) if n else 0.0
+            return n / float(rate), n, rms
         if self.strict:
-            raise NotImplementedError("audio decode not available in container")
+            raise NotImplementedError(
+                "non-WAV audio decode not available in container"
+            )
         h = hashlib.md5(payload[:128]).digest()
         n = max(1, len(payload)) * 4
         return n / 16000.0, n, float(h[2]) / 255.0
@@ -151,8 +163,13 @@ class AudioFeatureStage:
 
 
 class VideoFrameSampleStage:
-    """STUB actor stage: video binary -> K sampled 'frames' (PNG bytes of
-    deterministic solid-color fakes).  Real demuxing drops into ``_frames``."""
+    """Actor stage: video binary -> K sampled frames (PNG bytes).
+
+    MJPEG-in-AVI payloads demux + decode for REAL (functions/avicodec +
+    the engine's own JPEG decoder): K evenly-spaced frames re-encoded as
+    PNG.  Other containers (mp4/mkv) need native demuxers absent from
+    this container and hit the stub path: ``strict`` raises, else
+    deterministic solid-color fakes."""
 
     def __init__(self, n_frames: int = 3, video_col: str = "video",
                  strict: bool = False):
@@ -161,8 +178,16 @@ class VideoFrameSampleStage:
         self.strict = strict
 
     def _frames(self, payload: bytes) -> list[bytes]:
+        if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+            from ..functions.avicodec import sample_frames
+
+            return [
+                encode_png(f) for f in sample_frames(payload, self.n_frames)
+            ]
         if self.strict:
-            raise NotImplementedError("video demux not available in container")
+            raise NotImplementedError(
+                "non-AVI video demux not available in container"
+            )
         h = hashlib.md5(payload[:64]).digest()
         out = []
         for i in range(self.n_frames):

@@ -107,3 +107,96 @@ def test_sniff_and_dispatch():
     assert len(decode_image_frames(encode_tiff([img, img]))) == 2
     with pytest.raises(ValueError):
         decode_image(b"notanimage")
+
+
+# ---------------------------------------------------- WAV / AVI codecs
+def test_wav_roundtrip_mono_and_stereo():
+    from pdf2pdfocr_ray.functions.wavcodec import decode_wav, encode_wav
+
+    t = np.arange(8000) / 16000.0
+    sig = 0.5 * np.sin(2 * np.pi * 440 * t)
+    dec, rate = decode_wav(encode_wav(sig, 16000))
+    assert rate == 16000 and dec.shape == (8000, 1)
+    assert np.abs(dec[:, 0] - sig).max() < 1e-4  # 16-bit quantization
+    stereo = np.stack([sig, -sig], axis=1)
+    d2, r2 = decode_wav(encode_wav(stereo, 8000))
+    assert r2 == 8000 and d2.shape == (8000, 2)
+    assert np.abs(d2[:, 1] + sig).max() < 1e-4
+
+
+def test_wav_rejects_non_pcm_and_junk():
+    from pdf2pdfocr_ray.functions.wavcodec import decode_wav, encode_wav
+
+    with pytest.raises(ValueError):
+        decode_wav(b"nonsense")
+    data = bytearray(encode_wav(np.zeros(100), 8000))
+    fmt_at = data.find(b"fmt ") + 8
+    data[fmt_at] = 85  # audio format 0x55 = MP3
+    with pytest.raises(ValueError, match="unsupported WAV format"):
+        decode_wav(bytes(data))
+
+
+def test_avi_mjpeg_roundtrip_and_sampling():
+    from pdf2pdfocr_ray.functions.avicodec import (
+        demux_avi_mjpeg,
+        mux_avi_mjpeg,
+        sample_frames,
+    )
+    from pdf2pdfocr_ray.functions.jpegcodec import encode_jpeg
+
+    rng = np.random.default_rng(6)
+    frames = [
+        encode_jpeg((rng.random((24, 32, 3)) * 255).astype(np.uint8), 85)
+        for _ in range(9)
+    ]
+    avi = mux_avi_mjpeg(frames, fps=12.0, width=32, height=24)
+    out, fps = demux_avi_mjpeg(avi)
+    assert out == frames
+    assert abs(fps - 12.0) < 0.01  # usec-per-frame integer quantization
+    picks = sample_frames(avi, 4)  # evenly spaced incl. first + last
+    assert len(picks) == 4 and picks[0].shape == (24, 32, 3)
+    assert len(sample_frames(avi, 20)) == 9  # fewer frames than requested
+
+
+def test_avi_rejects_non_mjpeg():
+    from pdf2pdfocr_ray.functions.avicodec import demux_avi_mjpeg, mux_avi_mjpeg
+    from pdf2pdfocr_ray.functions.jpegcodec import encode_jpeg
+
+    with pytest.raises(ValueError):
+        demux_avi_mjpeg(b"RIFFxxxxMOVI")
+    avi = bytearray(
+        mux_avi_mjpeg([encode_jpeg(np.zeros((8, 8, 3), dtype=np.uint8))])
+    )
+    dc = avi.find(b"00dc") + 8
+    avi[dc : dc + 2] = b"\x00\x00"  # not a JPEG SOI anymore
+    with pytest.raises(ValueError, match="not JPEG"):
+        demux_avi_mjpeg(bytes(avi))
+
+
+def test_multimodal_stages_real_wav_avi():
+    import pyarrow as pa
+
+    from pdf2pdfocr_ray.functions.avicodec import mux_avi_mjpeg
+    from pdf2pdfocr_ray.functions.jpegcodec import encode_jpeg
+    from pdf2pdfocr_ray.functions.wavcodec import encode_wav
+    from pdf2pdfocr_ray.ops.multimodal import AudioFeatureStage, VideoFrameSampleStage
+
+    t = np.arange(16000) / 16000.0
+    wav = encode_wav(0.4 * np.sin(2 * np.pi * 320 * t), 16000)
+    batch = pa.table({"audio": pa.array([wav], pa.binary())})
+    out = AudioFeatureStage()(batch)
+    assert out.column("n_samples").to_pylist() == [16000]
+    assert abs(out.column("duration_s").to_pylist()[0] - 1.0) < 1e-9
+    assert abs(out.column("rms").to_pylist()[0] - 0.4 / np.sqrt(2)) < 1e-3
+
+    frames = [
+        encode_jpeg(np.full((16, 16, 3), 50 * i, dtype=np.uint8), 90)
+        for i in range(5)
+    ]
+    vb = pa.table({"video": pa.array([mux_avi_mjpeg(frames)], pa.binary())})
+    vout = VideoFrameSampleStage(n_frames=3)(vb)
+    sampled = vout.column("frames").to_pylist()[0]
+    assert len(sampled) == 3
+    from pdf2pdfocr_ray.functions.pngcodec import decode_png
+
+    assert decode_png(sampled[0]).shape == (16, 16, 3)

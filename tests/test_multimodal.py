@@ -219,6 +219,6 @@ def test_ocr_timeout_preemptive_cutoff():
     texts = dict(zip(out.column("url").to_pylist(), out.column("page_text").to_pylist()))
     assert errs["bad"] == "ocr_timeout"
     assert errs["good"] is None and texts["good"] == "hello world\n"
-    # whole batch (timeout page + neighbor) well under the natural multi-
-    # second runtime of the pathological page
-    assert wall < 2.5, wall
+    # whole batch (timeout page + neighbor) well under the pathological
+    # page's natural runtime (> 5.5 s); generous margin for host load
+    assert wall < 4.0, wall
