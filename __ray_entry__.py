@@ -655,6 +655,50 @@ def _q_pii_scrub(sf_dir: str):
     return out.map_batches(digest, batch_format="pandas")
 
 
+def _q_events_sliding_window(sf_dir: str):
+    """Sliding 60-min/30-min window per user (overlapping-window explode)."""
+    import pandas as pd
+
+    from pdf2pdfocr_ray.ops.relational import events_sliding_window
+
+    res = events_sliding_window(sf_dir, window_min=60, slide_min=30)
+
+    def to_ms(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["window_start_us"] = df["window_start_us"].astype("int64")
+        return df
+
+    return res.map_batches(to_ms, batch_format="pandas")
+
+
+def _q_orders_rollup(sf_dir: str):
+    """GROUP BY ROLLUP (priority, year): subtotals + grand total."""
+    from pdf2pdfocr_ray.ops.relational import orders_rollup
+
+    return orders_rollup(sf_dir)
+
+
+def _q_benchmark_overlap(sf_dir: str):
+    """Contamination check vs a 'benchmark' built (by construction) from
+    docs 0-4's texts: those docs must flag contaminated, the rest must
+    not — the verdict column is oracle-checked via doc_id arithmetic."""
+    from pdf2pdfocr_ray.ops.relational import read
+    from pdf2pdfocr_ray.ops.text_analysis import benchmark_overlap
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    bench = (
+        ds.map_batches(
+            lambda t: t.filter(__import__("pyarrow").compute.less(t["doc_id"], 5)),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .sort_values("doc_id")["text"]
+        .tolist()
+    )
+    out = benchmark_overlap(ds, bench, threshold=0.5)
+    return out.select_columns(["doc_id", "contaminated"])
+
+
 def _q_top_events_per_user(sf_dir: str):
     """Per-group top-N window (ROW_NUMBER shape) with map-side pruning."""
     from pdf2pdfocr_ray.ops.relational import top_events_per_user
@@ -907,6 +951,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub": _q_pii_scrub,
         "paragraph_dedup": _q_paragraph_dedup,
         "top_events_per_user": _q_top_events_per_user,
+        "events_sliding_window": _q_events_sliding_window,
+        "orders_rollup": _q_orders_rollup,
+        "benchmark_overlap": _q_benchmark_overlap,
         "sessionize": _q_sessionize,
         "events_by_type": _q_events_by_type,
         "user_event_types": _q_user_event_types,
@@ -1217,5 +1264,29 @@ def oracle_sql() -> dict[str, str]:
         "video_frames": (
             "SELECT doc_id, LEAST(3, 2 + doc_id % 4)::BIGINT AS n_sampled "
             "FROM documents"
+        ),
+        # sliding 60/30 window: each event lands in the two slide buckets
+        # covering it (start in (t-window, t], start >= 0)
+        "events_sliding_window": (
+            "SELECT user_id, window_start_us, COUNT(*)::BIGINT AS n_events, "
+            "round(SUM(value), 2) AS sum_value FROM ("
+            "SELECT user_id, value, "
+            "(epoch_us(ts) // 1800000000 - j) * 1800000000 AS window_start_us "
+            "FROM events, (SELECT unnest(range(2)) AS j) "
+            "WHERE (epoch_us(ts) // 1800000000 - j) * 1800000000 > "
+            "epoch_us(ts) - 3600000000 "
+            "AND (epoch_us(ts) // 1800000000 - j) * 1800000000 >= 0) "
+            "GROUP BY user_id, window_start_us"
+        ),
+        "orders_rollup": (
+            "SELECT o_orderpriority, year, COUNT(*)::BIGINT AS n_orders, "
+            "round(SUM(o_totalprice), 2) AS sum_price FROM ("
+            "SELECT o_orderpriority, EXTRACT(year FROM o_orderdate)::BIGINT "
+            "AS year, o_totalprice FROM orders) "
+            "GROUP BY ROLLUP (o_orderpriority, year)"
+        ),
+        # contamination-by-construction: the benchmark IS docs 0-4's text
+        "benchmark_overlap": (
+            "SELECT doc_id, doc_id < 5 AS contaminated FROM documents"
         ),
     }

@@ -125,6 +125,10 @@ BENCH_QUERIES = [
     "ann_topk",
     "lang_id",
     "quality",
+    "pii_scrub",
+    "paragraph_dedup",
+    "events_sliding_window",
+    "top_events_per_user",
 ]
 
 

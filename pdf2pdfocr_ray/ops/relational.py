@@ -887,3 +887,100 @@ def events_hourly(sf_dir: str) -> "ray.data.Dataset":
         ["user_id", "hour_bucket"],
         agg_block,
     )
+
+
+def events_sliding_window(
+    sf_dir: str, window_min: int = 60, slide_min: int = 30
+) -> "ray.data.Dataset":
+    """SLIDING window per user: count + sum(value) over ``window_min``-
+    minute windows advancing every ``slide_min`` minutes.
+
+    Each event belongs to ``window/slide`` overlapping windows; the
+    replication happens vectorized in map_batches (numpy repeat — event
+    rows fan out to (user, window_start) rows before the shuffle, the
+    standard stream-processing expansion), then one sorted_groupby
+    aggregates.  Shuffle volume = rows × window/slide small ints."""
+    from .grouped import sorted_groupby
+
+    assert window_min % slide_min == 0, "window must be a multiple of slide"
+    k = window_min // slide_min
+    slide_us = slide_min * 60_000_000
+    window_us = window_min * 60_000_000
+
+    ds = read(sf_dir, "events", ["ts", "user_id", "value"])
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].astype("int64").to_numpy()
+        users = df["user_id"].to_numpy()
+        vals = df["value"].to_numpy()
+        # windows containing t: starts s = slide * j with t-window < s <= t
+        last_start = (us // slide_us) * slide_us
+        starts = last_start[:, None] - np.arange(k)[None, :] * slide_us
+        mask = (starts > us[:, None] - window_us) & (starts >= 0)
+        idx = np.repeat(np.arange(len(df)), mask.sum(axis=1))
+        return pd.DataFrame(
+            {
+                "user_id": users[idx],
+                "window_start_us": starts[mask],
+                "value": vals[idx],
+            }
+        )
+
+    def agg_block(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["user_id", "window_start_us"], as_index=False).agg(
+            n_events=("value", "size"), sum_value=("value", "sum")
+        )
+        g["sum_value"] = g["sum_value"].round(2)
+        return g
+
+    return sorted_groupby(
+        ds.map_batches(explode, batch_format="pandas"),
+        ["user_id", "window_start_us"],
+        agg_block,
+    )
+
+
+def orders_rollup(sf_dir: str) -> "ray.data.Dataset":
+    """GROUP BY ROLLUP (o_orderpriority, year): per-(priority, year)
+    aggregates plus per-priority subtotals plus a grand total, computed as
+    one pre-aggregated pass + a cheap driver-side cascade over the tiny
+    grouped result (the standard rollup-from-finest-level trick — no
+    second scan of the fact table).  NULL marks the rolled-up level."""
+    from .grouped import sorted_groupby
+
+    ds = read(sf_dir, "orders", ["o_orderpriority", "o_orderdate", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(year=pd.to_datetime(df["o_orderdate"]).dt.year.astype("int64"))
+        return df.groupby(["o_orderpriority", "year"], as_index=False).agg(
+            pn=("o_totalprice", "size"), ps=("o_totalprice", "sum")
+        )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["o_orderpriority", "year"], as_index=False).agg(
+            pn=("pn", "sum"), ps=("ps", "sum")
+        )
+
+    finest = sorted_groupby(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["o_orderpriority", "year"],
+        final,
+    ).to_pandas()  # tiny: |priorities| x |years| rows
+
+    lvl1 = finest.groupby("o_orderpriority", as_index=False).agg(
+        pn=("pn", "sum"), ps=("ps", "sum")
+    )
+    lvl1["year"] = pd.NA
+    total = pd.DataFrame(
+        {
+            "o_orderpriority": [pd.NA],
+            "year": [pd.NA],
+            "pn": [finest["pn"].sum()],
+            "ps": [finest["ps"].sum()],
+        }
+    )
+    out = pd.concat([finest, lvl1, total], ignore_index=True)
+    out = out.rename(columns={"pn": "n_orders", "ps": "sum_price"})
+    out["sum_price"] = out["sum_price"].astype(float).round(2)
+    out["year"] = out["year"].astype("Int64")
+    return out[["o_orderpriority", "year", "n_orders", "sum_price"]]

@@ -13,6 +13,7 @@ import hashlib
 import re
 from typing import TYPE_CHECKING
 
+import numpy as np
 import pandas as pd
 
 if TYPE_CHECKING:
@@ -275,3 +276,51 @@ def paragraph_dedup(
     return sorted_groupby(
         ds.map_batches(explode, batch_format="pandas"), "para_hash", first_per_hash
     )
+
+
+# ------------------------------------------- benchmark contamination check
+def benchmark_overlap(
+    ds: "ray.data.Dataset",
+    benchmark_texts: list[str],
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> "ray.data.Dataset":
+    """Train/test contamination check: per-doc fraction of word-k-gram
+    shingles that appear anywhere in the benchmark set.
+
+    The benchmark shingle UNIVERSE is built once by a Ray task and
+    broadcast (object store; batch tasks read it zero-copy as a sorted
+    numpy array and membership-test with searchsorted) — the small-side-
+    broadcast pattern.  Benchmarks are small (thousands of docs) even when
+    the corpus is 10^12 rows, so this never shuffles the corpus.
+
+    Emits ``overlap_frac`` and ``contaminated`` (>= threshold)."""
+    import ray
+
+    from .dedup import _shingles
+
+    bench = np.unique(
+        np.concatenate([_shingles(t, k) for t in benchmark_texts])
+        if benchmark_texts
+        else np.empty(0, np.uint64)
+    )
+    ref = ray.put(bench)  # small side; already computed driver-side inputs
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        b = ray.get(ref)
+        fracs = []
+        for t in batch[text_col]:
+            sh = np.unique(_shingles(t, k))
+            if not len(sh):
+                fracs.append(0.0)
+                continue
+            pos = np.searchsorted(b, sh)
+            hits = (pos < len(b)) & (b[np.minimum(pos, len(b) - 1)] == sh)
+            fracs.append(float(hits.mean()))
+        out = batch.copy()
+        out["overlap_frac"] = fracs
+        out["contaminated"] = out["overlap_frac"] >= threshold
+        return out
+
+    return ds.map_batches(fn, batch_format="pandas")
