@@ -655,6 +655,48 @@ def _q_pii_scrub(sf_dir: str):
     return out.map_batches(digest, batch_format="pandas")
 
 
+def _q_group_value_quantiles(sf_dir: str):
+    """Per-event_type value quantiles via GROUPED mergeable sketches,
+    ORACLE-CHECKED with per-group in-query rank gates: each estimate's
+    true within-group rank (one extra counting pass against the broadcast
+    estimates) must sit within 2% of the target; DuckDB recomputes the
+    per-group row counts and asserts the verdicts."""
+    import pandas as pd
+
+    from pdf2pdfocr_ray.ops.relational import read
+    from pdf2pdfocr_ray.ops.sketches import group_quantile_sketch
+
+    ds = read(sf_dir, "events", ["event_type", "value"])
+    qs = [0.5, 0.9]
+    est = (
+        group_quantile_sketch(ds, "event_type", "value", qs, k=128)
+        .to_pandas()
+        .set_index("event_type")
+    )
+    thresholds = {g: (row["q50"], row["q90"]) for g, row in est.iterrows()}
+
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for g, sub in df.groupby("event_type", sort=False):
+            t50, t90 = thresholds.get(g, (float("inf"), float("inf")))
+            v = sub["value"].to_numpy()
+            rows.append((g, len(v), int((v <= t50).sum()), int((v <= t90).sum())))
+        return pd.DataFrame(rows, columns=["event_type", "n", "le50", "le90"])
+
+    parts = ds.map_batches(counts, batch_format="pandas").to_pandas()
+    agg = parts.groupby("event_type")[["n", "le50", "le90"]].sum()
+    out = []
+    for g, row in agg.iterrows():
+        r50 = row["le50"] / row["n"]
+        r90 = row["le90"] / row["n"]
+        out.append(
+            (g, int(row["n"]), bool(abs(r50 - 0.5) < 0.02), bool(abs(r90 - 0.9) < 0.02))
+        )
+    return pd.DataFrame(
+        out, columns=["event_type", "n_events", "q50_ok", "q90_ok"]
+    )
+
+
 def _q_events_sliding_window(sf_dir: str):
     """Sliding 60-min/30-min window per user (overlapping-window explode)."""
     import pandas as pd
@@ -954,6 +996,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding_window": _q_events_sliding_window,
         "orders_rollup": _q_orders_rollup,
         "benchmark_overlap": _q_benchmark_overlap,
+        "group_value_quantiles": _q_group_value_quantiles,
         "sessionize": _q_sessionize,
         "events_by_type": _q_events_by_type,
         "user_event_types": _q_user_event_types,
@@ -1288,5 +1331,9 @@ def oracle_sql() -> dict[str, str]:
         # contamination-by-construction: the benchmark IS docs 0-4's text
         "benchmark_overlap": (
             "SELECT doc_id, doc_id < 5 AS contaminated FROM documents"
+        ),
+        "group_value_quantiles": (
+            "SELECT event_type, COUNT(*)::BIGINT AS n_events, "
+            "true AS q50_ok, true AS q90_ok FROM events GROUP BY event_type"
         ),
     }

@@ -53,8 +53,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--shards", type=int, default=8,
                    help="checkpoint shards (resume unit)")
     p.add_argument("--concurrent-shards", type=int, default=1,
-                   help="shards driven concurrently (set -j explicitly "
-                        "so pools share the cluster)")
+                   help="(deprecated no-op: the single-pass checkpoint "
+                        "executes all shards concurrently by construction)")
     p.add_argument("--chunk-pages", type=int, default=0,
                    help="two-level assembly chunk size (0 = single level)")
     p.add_argument("--num-cpus", type=int, default=0,

@@ -406,3 +406,47 @@ def theta_sketch_column(
     for b in parts["sketch"]:
         merged = merged.merge(ThetaSketch.from_bytes(b))
     return merged
+
+
+def group_quantile_sketch(
+    ds: "ray.data.Dataset",
+    key: str,
+    col: str,
+    qs: list[float],
+    k: int = 128,
+) -> "ray.data.Dataset":
+    """Per-GROUP quantile estimates via mergeable QuantileSketch partials —
+    the scalable form of the holistic per-group median
+    (ops/relational.user_value_median): each batch emits one kilobyte
+    sketch per (group, batch), the groupby shuffles SKETCHES (never
+    values), and the per-group merge emits the quantile columns.  A group
+    whose rows span the whole cluster still needs only its sketches
+    co-located."""
+    from .grouped import sorted_groupby
+
+    qcols = [f"q{int(q * 100)}" for q in qs]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows_k, rows_s = [], []
+        for g, sub in df.groupby(key, sort=False):
+            sk = QuantileSketch(k)
+            sk.add_many(sub[col].dropna().to_numpy())
+            rows_k.append(g)
+            rows_s.append(sk.to_bytes())
+        return pd.DataFrame({key: rows_k, "sketch": rows_s})
+
+    def merge_block(df: pd.DataFrame) -> pd.DataFrame:
+        out: dict[str, list] = {key: [], **{c: [] for c in qcols}}
+        for g, sub in df.groupby(key, sort=False):
+            m = QuantileSketch(k)
+            for b in sub["sketch"]:
+                m.merge(QuantileSketch.from_bytes(b))
+            est = m.quantiles(qs)
+            out[key].append(g)
+            for q, c in zip(qs, qcols):
+                out[c].append(est[q])
+        return pd.DataFrame(out)
+
+    return sorted_groupby(
+        ds.map_batches(partial, batch_format="pandas"), key, merge_block
+    )

@@ -469,3 +469,33 @@ def test_benchmark_overlap_flags_planted(ray_session):
     assert got[0] is True or got[0] == True  # noqa: E712
     assert bool(got[1]) is True  # near-duplicate of the benchmark
     assert bool(got[2]) is False
+
+
+def test_group_quantile_sketch_accuracy(ray_session):
+    """Per-group sketch quantiles within rank tolerance of exact, per group."""
+    import ray.data
+
+    from pdf2pdfocr_ray.ops.sketches import group_quantile_sketch
+
+    rng = np.random.default_rng(23)
+    frames = []
+    for g, (mu, sigma) in enumerate([(0, 1), (50, 5), (-10, 0.5)]):
+        frames.append(
+            pd.DataFrame(
+                {"g": g, "x": rng.normal(mu, sigma, 20_000)}
+            )
+        )
+    df = pd.concat(frames, ignore_index=True).sample(frac=1, random_state=0)
+    ds = ray.data.from_pandas(df).repartition(8)
+    out = (
+        group_quantile_sketch(ds, "g", "x", [0.25, 0.5, 0.9], k=128)
+        .to_pandas()
+        .set_index("g")
+    )
+    for g in range(3):
+        vals = np.sort(frames[g]["x"].to_numpy())
+        n = len(vals)
+        for q, c in [(0.25, "q25"), (0.5, "q50"), (0.9, "q90")]:
+            est = out.loc[g, c]
+            rank = np.searchsorted(vals, est) / n
+            assert abs(rank - q) < 0.03, (g, q, est, rank)
