@@ -108,11 +108,59 @@ def _downsample(tight: np.ndarray, s: int) -> np.ndarray | None:
     return blocks.any(axis=(1, 3))
 
 
+# Pure-function memo: pages repeat the same ~70 glyph bitmaps thousands of
+# times, so classification collapses to a dict lookup after warmup.  Keyed
+# by (scale, shape, bitmap bytes); bounded to stay heap-safe on garbage
+# (noise pages produce unbounded distinct blobs).
+_CLASSIFY_CACHE: dict[tuple, str] = {}
+_CLASSIFY_CACHE_MAX = 4096
+
+
 def _classify_glyph(tight: np.ndarray, s: int) -> str:
+    key = (s, tight.shape, np.packbits(tight).tobytes())
+    hit = _CLASSIFY_CACHE.get(key)
+    if hit is not None:
+        return hit
     small = _downsample(tight, s)
-    if small is None:
-        return REPLACEMENT_CHAR
-    return classify_tight(small)
+    ch = REPLACEMENT_CHAR if small is None else classify_tight(small)
+    if len(_CLASSIFY_CACHE) >= _CLASSIFY_CACHE_MAX:
+        _CLASSIFY_CACHE.clear()
+    _CLASSIFY_CACHE[key] = ch
+    return ch
+
+
+def _glyph_row_bounds(
+    band: np.ndarray, runs: list[tuple[int, int]]
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized per-glyph tight row bounds: for each column run
+    [x1, x2) of an ink band, the min first-ink-row and max last-ink-row
+    over its columns — one argmax pass + one reduceat per band instead of
+    a per-glyph ``any(axis=1)`` + ``flatnonzero``."""
+    h, w = band.shape
+    has_ink = band.any(axis=0)
+    first = np.where(has_ink, np.argmax(band, axis=0), h)
+    last = np.where(has_ink, h - 1 - np.argmax(band[::-1], axis=0), -1)
+    bounds = np.empty(2 * len(runs), dtype=np.int64)
+    bounds[0::2] = [r[0] for r in runs]
+    bounds[1::2] = [r[1] for r in runs]
+    # reduceat segment i covers [bounds[i], bounds[i+1]); glyph segments
+    # are the even positions.  A trailing bound == w is invalid for
+    # reduceat; the final glyph segment is computed directly instead.
+    if bounds[-1] >= w:
+        if len(runs) == 1:
+            return (
+                np.array([int(first[runs[0][0] : runs[0][1]].min())]),
+                np.array([int(last[runs[0][0] : runs[0][1]].max())]),
+            )
+        gy1 = np.minimum.reduceat(first, bounds[:-1])[0::2]
+        gy2 = np.maximum.reduceat(last, bounds[:-1])[0::2]
+        x1, x2 = runs[-1]
+        gy1[-1] = first[x1:x2].min()
+        gy2[-1] = last[x1:x2].max()
+        return gy1, gy2
+    gy1 = np.minimum.reduceat(first, bounds)[0::2]
+    gy2 = np.maximum.reduceat(last, bounds)[0::2]
+    return gy1, gy2
 
 
 def recognize_page(img: np.ndarray, scale: int) -> list[LineBox]:
@@ -134,14 +182,16 @@ def recognize_page(img: np.ndarray, scale: int) -> list[LineBox]:
                 )
 
         prev_end = None
-        for x1, x2 in _runs(band.any(axis=0), 1):
+        glyph_runs = _runs(band.any(axis=0), 1)
+        if not glyph_runs:
+            continue
+        gy1s, gy2s = _glyph_row_bounds(band, glyph_runs)
+        for gi, (x1, x2) in enumerate(glyph_runs):
             n_glyphs += 1
             if not n_glyphs % 256:  # cheap amortized check in the hot loop
                 check_deadline()
-            glyph = band[:, x1:x2]
-            rows = np.flatnonzero(glyph.any(axis=1))
-            gy1, gy2 = int(rows[0]), int(rows[-1]) + 1
-            ch = _classify_glyph(glyph[gy1:gy2], scale)
+            gy1, gy2 = int(gy1s[gi]), int(gy2s[gi]) + 1
+            ch = _classify_glyph(band[gy1:gy2, x1:x2], scale)
             if prev_end is not None and (x1 - prev_end) >= WORD_GAP_MIN_UNITS * scale:
                 flush_word()
                 word_chars = []
