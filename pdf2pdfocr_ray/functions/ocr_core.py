@@ -217,16 +217,7 @@ def match_score(img: np.ndarray, scale: int, max_glyphs: int = 8) -> float:
     if not row_runs:
         return 0.0
     y1, y2 = row_runs[0]
-    band = mask[y1:y2]
-    hits = total = 0
-    for x1, x2 in _runs(band.any(axis=0), 1)[:max_glyphs]:
-        glyph = band[:, x1:x2]
-        rows = np.flatnonzero(glyph.any(axis=1))
-        ch = _classify_glyph(glyph[rows[0] : rows[-1] + 1], scale)
-        total += 1
-        if ch != REPLACEMENT_CHAR:
-            hits += 1
-    return hits / total if total else 0.0
+    return _band_glyph_score(mask[y1:y2], scale, max_glyphs)
 
 
 def detect_orientation(img: np.ndarray, scale: int) -> int:
@@ -260,7 +251,10 @@ def _unshear_band(mask: np.ndarray, y1: int, y2: int, slope: float) -> np.ndarra
 
 
 def _band_glyph_score(band: np.ndarray, scale: int, max_glyphs: int = 12) -> float:
-    """Fraction of the band's first ``max_glyphs`` glyphs matching a template."""
+    """Fraction of the band's first ``max_glyphs`` glyphs matching a
+    template.  Small fixed glyph budget → the per-glyph loop beats the
+    vectorized bounds pass here (measured; recognize_page, which walks
+    EVERY glyph, uses _glyph_row_bounds instead)."""
     cols = band.any(axis=0)
     hits = total = 0
     for x1, x2 in _runs(cols, 1)[:max_glyphs]:
