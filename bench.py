@@ -61,7 +61,11 @@ def _init(num_cpus: int) -> None:
 
 
 def _corpus(n_docs: int) -> str:
-    out = f"/tmp/graft_bench_corpus_{n_docs}"
+    from pdf2pdfocr_ray.sources.corpus import CORPUS_VERSION
+
+    # version-tagged cache dir: a generator change invalidates cached
+    # corpora automatically (a stale corpus silently skews benchmarks)
+    out = f"/tmp/graft_bench_corpus_{CORPUS_VERSION}_{n_docs}"
     if not os.path.isdir(out):
         from pdf2pdfocr_ray.sources.corpus import write_corpus_parquet_ray
 

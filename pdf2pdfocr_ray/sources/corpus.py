@@ -181,6 +181,10 @@ def _make_html_doc(rng: np.random.Generator) -> tuple[bytes, str]:
 
 GIANT_EVERY = 150  # every 150th doc is a skewed giant PDF (repartition/skew path)
 
+# Bump when generated content changes — cache keys (bench corpus dirs)
+# embed it so stale corpora from earlier generators never get reused.
+CORPUS_VERSION = "r2"
+
 
 def _gen_doc(i: int, seed: int):
     """Generate document i (independent of n_docs: rng seeded per doc)."""
