@@ -248,6 +248,9 @@ def _q_hll_distinct(sf_dir: str):
     ds = read(sf_dir, "orders", ["o_custkey"])
     est, n_parts = hll_distinct(ds, "o_custkey", p=12)
 
+    # NOTE: the exact pass below exists to AUDIT the sketch at test scale
+    # (driver union of per-batch uniques).  At 10^12 rows the sketch IS
+    # the answer and no exact pass runs — that's the point of HLL.
     def uniq(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
@@ -336,6 +339,9 @@ def _q_theta_custkey_sets(sf_dir: str):
         "difference": theta_difference_estimate(sb, sa),  # cust - orders
     }
 
+    # Exact sets below are the test-scale AUDIT of the sketches (driver
+    # union of per-batch uniques); at 10^12 distinct keys only the theta
+    # sketches would run — they are what replaces this exact pass.
     def uniq(col):
         def fn(t: pa.Table) -> pa.Table:
             import pyarrow.compute as pc
@@ -600,12 +606,25 @@ def _q_lang_id(sf_dir: str):
 
 
 def _q_quality(sf_dir: str):
+    import pandas as pd
+
     from pdf2pdfocr_ray.ops.relational import read
     from pdf2pdfocr_ray.ops.text_analysis import add_quality
 
     ds = read(sf_dir, "documents", ["doc_id", "text"])
     out = add_quality(ds)
-    return out.select_columns(["doc_id", "n_tokens", "is_quality"])
+
+    def digest(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_tokens": df["n_tokens"],
+                "is_quality": df["is_quality"],
+                "dup_line_frac": df["dup_line_frac"].round(6),
+            }
+        )
+
+    return out.map_batches(digest, batch_format="pandas")
 
 
 def _q_pii_scrub(sf_dir: str):
@@ -653,6 +672,47 @@ def _q_pii_scrub(sf_dir: str):
         )
 
     return out.map_batches(digest, batch_format="pandas")
+
+
+def _q_dedup_purge(sf_dir: str):
+    """The COMPLETE near-dedup pipeline a corpus curator runs, composed
+    end-to-end: MinHash-LSH candidate pairs → connected components →
+    cluster representatives (min doc id) → anti-join purge of the corpus.
+    Returns the summary row (totals are deterministic; self-consistency
+    asserted in-query: kept + removed == total)."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from pdf2pdfocr_ray.ops.dedup import connected_components, dedup_minhash_lsh
+    from pdf2pdfocr_ray.ops.relational import read
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    n_total = ds.count()
+    pairs = dedup_minhash_lsh(ds, threshold=0.5)
+    clusters = connected_components(pairs).to_pandas()
+    # removed = every clustered doc except its cluster's representative
+    removed_ids = set(
+        clusters.loc[clusters["node"] != clusters["cluster_id"], "node"]
+    )
+    import ray
+
+    removed_ref = ray.put(pa.array(sorted(removed_ids), pa.int64()))
+
+    def purge(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        rm = ray.get(removed_ref)
+        return t.filter(pc.invert(pc.is_in(t["doc_id"], value_set=rm)))
+
+    n_kept = ds.map_batches(purge, batch_format="pyarrow").count()
+    return pd.DataFrame(
+        {
+            "n_docs": pd.Series([n_total], dtype="int64"),
+            "n_removed": pd.Series([len(removed_ids)], dtype="int64"),
+            "n_kept": pd.Series([n_kept], dtype="int64"),
+            "consistent": [bool(n_kept + len(removed_ids) == n_total)],
+        }
+    )
 
 
 def _q_group_value_quantiles(sf_dir: str):
@@ -997,6 +1057,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_rollup": _q_orders_rollup,
         "benchmark_overlap": _q_benchmark_overlap,
         "group_value_quantiles": _q_group_value_quantiles,
+        "dedup_purge": _q_dedup_purge,
         "sessionize": _q_sessionize,
         "events_by_type": _q_events_by_type,
         "user_event_types": _q_user_event_types,
@@ -1259,7 +1320,13 @@ def oracle_sql() -> dict[str, str]:
             "      GREATEST(len(regexp_extract_all(text, '\\S+')), 1)) "
             "      BETWEEN 2.0 AND 12.0 "
             " AND (length(regexp_replace(text, '[^\\p{L}]', '', 'g')) * 1.0 / "
-            "      GREATEST(length(text), 1)) >= 0.5) AS is_quality "
+            "      GREATEST(length(text), 1)) >= 0.5) AS is_quality, "
+            # duplicate-line fraction (Gopher repetition signal)
+            "round(CASE WHEN len(list_filter(string_split(text, chr(10)), "
+            "x -> x <> '')) = 0 THEN 0.0 ELSE 1.0 - "
+            "len(list_distinct(list_filter(string_split(text, chr(10)), "
+            "x -> x <> ''))) * 1.0 / len(list_filter(string_split(text, "
+            "chr(10)), x -> x <> '')) END, 6) AS dup_line_frac "
             "FROM documents"
         ),
         # The SAME stopword-argmax heuristic expressed in SQL (first-200

@@ -100,6 +100,7 @@ class QualityScorer:
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         texts = batch["text"]
         n_tok, stop_ratio, mean_len, alpha_ratio, punct_ratio = [], [], [], [], []
+        dup_line_frac = []
         for t in texts:
             toks = self.token_re.findall(t)
             n = len(toks)
@@ -113,12 +114,19 @@ class QualityScorer:
             nc = max(1, len(t))
             alpha_ratio.append(sum(c.isalpha() for c in t) / nc)
             punct_ratio.append(len(self.punct_re.findall(t)) / nc)
+            # Gopher-style repetition signal: fraction of non-empty lines
+            # that are duplicates of an earlier line
+            lines_ = [ln for ln in t.split("\n") if ln]
+            dup_line_frac.append(
+                1.0 - len(set(lines_)) / len(lines_) if lines_ else 0.0
+            )
         out = batch.copy()
         out["n_tokens"] = pd.Series(n_tok, index=batch.index, dtype="int64")
         out["stopword_ratio"] = stop_ratio
         out["mean_word_len"] = mean_len
         out["alpha_ratio"] = alpha_ratio
         out["punct_ratio"] = punct_ratio
+        out["dup_line_frac"] = dup_line_frac
         # composite quality verdict (deterministic bool, hash-stable)
         out["is_quality"] = (
             (out["n_tokens"] >= 5)
