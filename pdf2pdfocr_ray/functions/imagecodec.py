@@ -19,6 +19,17 @@ from .tiffcodec import decode_tiff
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 JPEG_MAGIC = b"\xff\xd8\xff"
 TIFF_MAGICS = (b"II*\x00", b"MM\x00*")
+# Engine-internal uncompressed frame: "RAWB" + h(u32le) + w(u32le) + RGB
+# bytes.  Used for the FUSED fan-out -> OCR handoff where the payload
+# never leaves the actor: PNG deflate there cost ~0.8 ms/page for nothing
+# (shuffles still carry text only; external inputs keep their real codec).
+RAW_MAGIC = b"RAWB"
+
+
+def encode_raw(img: np.ndarray) -> bytes:
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    h, w = img.shape[:2]
+    return RAW_MAGIC + h.to_bytes(4, "little") + w.to_bytes(4, "little") + img.tobytes()
 
 
 def sniff_image_format(payload: bytes) -> str | None:
@@ -28,6 +39,8 @@ def sniff_image_format(payload: bytes) -> str | None:
         return "jpeg"
     if payload.startswith(TIFF_MAGICS[0]) or payload.startswith(TIFF_MAGICS[1]):
         return "tiff"
+    if payload.startswith(RAW_MAGIC):
+        return "raw"
     return None
 
 
@@ -41,7 +54,13 @@ def decode_image(payload: bytes) -> np.ndarray:
         return decode_jpeg(payload)
     if fmt == "tiff":
         return decode_tiff(payload)[0]
-    raise ValueError("unknown image format (not PNG/JPEG/TIFF)")
+    if fmt == "raw":
+        h = int.from_bytes(payload[4:8], "little")
+        w = int.from_bytes(payload[8:12], "little")
+        if len(payload) < 12 + h * w * 3:
+            raise ValueError("truncated RAWB frame")
+        return np.frombuffer(payload, np.uint8, h * w * 3, offset=12).reshape(h, w, 3)
+    raise ValueError("unknown image format (not PNG/JPEG/TIFF/RAWB)")
 
 
 def decode_image_frames(payload: bytes) -> list[np.ndarray]:

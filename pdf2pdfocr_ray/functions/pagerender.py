@@ -48,10 +48,12 @@ def render_page(
     )
     n = max(len(lines), 1)
     height_u = n * LINE_HEIGHT + (n - 1) * LINE_GAP + 2 * PAGE_MARGIN
-    img = np.full((height_u * s, width_u * s, 3), 255, dtype=np.uint8)
-    ink_arr = np.array(ink, dtype=np.uint8)
+    # Stamp glyphs on a unit-scale bool mask (tiny array ops per char),
+    # then upscale the whole mask once and paint — identical pixels to the
+    # old per-glyph kron path at a fraction of the numpy-call count.
+    mask_u = np.zeros((height_u, width_u), dtype=bool)
     for li, text in enumerate(lines):
-        y0 = (PAGE_MARGIN + li * (LINE_HEIGHT + LINE_GAP)) * s
+        y0u = PAGE_MARGIN + li * (LINE_HEIGHT + LINE_GAP)
         x_u = PAGE_MARGIN
         for ch in text:
             if ch == " ":
@@ -59,10 +61,15 @@ def render_page(
                 continue
             glyph = GLYPHS.get(ch, GLYPHS["?"])
             gh, gw = glyph.shape
-            big = np.kron(glyph, np.ones((s, s), dtype=bool))
-            ys, xs = np.nonzero(big)
-            img[y0 + ys, x_u * s + xs] = ink_arr
+            mask_u[y0u : y0u + gh, x_u : x_u + gw] |= glyph
             x_u += gw + CHAR_GAP
+    mask = (
+        mask_u
+        if s == 1
+        else np.repeat(np.repeat(mask_u, s, axis=0), s, axis=1)
+    )
+    img = np.full((height_u * s, width_u * s, 3), 255, dtype=np.uint8)
+    img[mask] = np.array(ink, dtype=np.uint8)
     return img
 
 

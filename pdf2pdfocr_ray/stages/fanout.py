@@ -37,6 +37,7 @@ from ..functions.pagerender import (
     render_blank_page,
     render_page,
 )
+from ..functions.imagecodec import encode_raw
 from ..functions.pngcodec import encode_png
 from .sniff import ROUTE_ERROR, ROUTE_HTML, ROUTE_IMAGE, ROUTE_PDF
 
@@ -55,9 +56,15 @@ PAGE_ROW_SCHEMA = pa.schema(
 )
 
 
-def _rasterize_scan(spec) -> bytes:
-    """PageSpec -> PNG bytes of the simulated scan (render then distort —
-    the inverse of what preprocess+OCR must do)."""
+def _rasterize_scan(spec, compress: bool) -> bytes:
+    """PageSpec -> image bytes of the simulated scan (render then distort —
+    the inverse of what preprocess+OCR must do).
+
+    ``compress=False`` (the fused fan-out→OCR path, default): RAWB frames
+    — the payload never leaves the actor, so PNG deflate would cost
+    ~0.8 ms/page for nothing.  ``compress=True`` (page_rebalance: pages
+    cross the object store to other workers): PNG, the reference's
+    bound-the-temp-size posture (pdf2pdfocr.py:477-478)."""
     if spec.blank:
         img = render_blank_page(spec.blank_w_u, spec.blank_h_u, spec.dpi)
     else:
@@ -67,7 +74,7 @@ def _rasterize_scan(spec) -> bytes:
             img = apply_shear(img, spec.shear)
         if spec.rot_k:
             img = apply_rot90(img, spec.rot_k)
-    return encode_png(img)
+    return encode_png(img) if compress else encode_raw(img)
 
 
 class FanOut:
@@ -124,9 +131,10 @@ class FanOut:
                         emit(url, ts, route, 0, 1, 0, None, None,
                              f"image_decode: {e}")
                         continue
+                    enc = encode_png if cfg.page_rebalance else encode_raw
                     for i, frame in enumerate(frames):
                         emit(url, ts, route, i, len(frames), 72,
-                             encode_png(frame), None, None)
+                             enc(frame), None, None)
                     continue
                 emit(url, ts, route, 0, 1, 72, payload, None, None)
                 continue
@@ -162,7 +170,7 @@ class FanOut:
                 continue
             for i, spec in enumerate(doc.pages):
                 try:
-                    png = _rasterize_scan(spec)
+                    png = _rasterize_scan(spec, compress=cfg.page_rebalance)
                 except Exception as e:  # noqa: BLE001
                     emit(url, ts, route, i, doc.n_pages, spec.dpi, None, None,
                          f"rasterize: {e}")
