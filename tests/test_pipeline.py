@@ -151,3 +151,17 @@ def test_multiframe_tiff_fans_out_and_reassembles(ray_session):
     got = dict(zip(res["url"], res["extracted_text"]))
     assert got == expect
     assert dict(zip(res["url"], res["n_pages"]))["u/tiff"] == 3
+
+
+def test_page_rebalance_path_byte_identical(ray_session, corpus):
+    """page_rebalance=True unfuses the fan-out (pages cross the object
+    store PNG-compressed, not RAWB) — output must stay byte-identical."""
+    pages, golden = corpus
+    sub = pages.slice(0, 40)
+    res = _run(sub, page_rebalance=True)
+    urls = set(sub.column("url").to_pylist())
+    g = golden[golden["url"].isin(urls)].sort_values("url").reset_index(drop=True)
+    assert len(res) == len(g)
+    for i in range(len(g)):
+        a, b = res["extracted_text"][i], g["extracted_text"][i]
+        assert (a == b) or (pd.isna(a) and pd.isna(b)), (g["url"][i], repr(a)[:80])
