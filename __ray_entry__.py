@@ -674,6 +674,60 @@ def _q_pii_scrub(sf_dir: str):
     return out.map_batches(digest, batch_format="pandas")
 
 
+def _q_warc_ingest(sf_dir: str):
+    """Common-Crawl-container ingest: a deterministic .warc.gz is built
+    from corpus payloads, read via the WARC source (gzip members, HTTP
+    envelopes), and run through the flagship extractor; the row carries
+    byte-identity vs the same docs' golden text (self-checking)."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from pdf2pdfocr_ray.pipelines.extract import extract
+    from pdf2pdfocr_ray.sources.corpus import generate_corpus
+    from pdf2pdfocr_ray.sources.warc import build_warc, read_warc
+
+    pages, golden = generate_corpus(60, SEED)
+    # warc_ts from to_pylist is datetime; convert to epoch us
+    import datetime
+
+    recs = []
+    for u, t, p in zip(
+        pages.column("url").to_pylist(),
+        pages.column("warc_ts").to_pylist(),
+        pages.column("html").to_pylist(),
+    ):
+        if isinstance(t, datetime.datetime):
+            t = int(t.replace(tzinfo=datetime.timezone.utc).timestamp() * 1_000_000)
+        recs.append((u, int(t), p))
+
+    tmp = tempfile.mkdtemp(prefix="warc_q_")
+    try:
+        # two shard files, gzip members — the Common-Crawl layout
+        half = len(recs) // 2
+        for i, chunk in enumerate((recs[:half], recs[half:])):
+            with open(f"{tmp}/part-{i}.warc.gz", "wb") as f:
+                f.write(build_warc(chunk, gzip_members=True))
+        ds = read_warc(tmp)
+        res = extract(ds).to_pandas().sort_values("url").reset_index(drop=True)
+        g = golden.to_pandas().sort_values("url").reset_index(drop=True)
+        eq = sum(
+            1
+            for a, b in zip(res["extracted_text"], g["extracted_text"])
+            if (a == b) or (pd.isna(a) and pd.isna(b))
+        )
+        return pd.DataFrame(
+            {
+                "n_records": pd.Series([len(recs)], dtype="int64"),
+                "n_extracted": pd.Series([len(res)], dtype="int64"),
+                "n_byte_identical": pd.Series([eq], dtype="int64"),
+            }
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _q_dedup_purge(sf_dir: str):
     """The COMPLETE near-dedup pipeline a corpus curator runs, composed
     end-to-end: MinHash-LSH candidate pairs → connected components →
@@ -1058,6 +1112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "benchmark_overlap": _q_benchmark_overlap,
         "group_value_quantiles": _q_group_value_quantiles,
         "dedup_purge": _q_dedup_purge,
+        "warc_ingest": _q_warc_ingest,
         "sessionize": _q_sessionize,
         "events_by_type": _q_events_by_type,
         "user_event_types": _q_user_event_types,
