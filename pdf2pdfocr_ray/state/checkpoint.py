@@ -48,7 +48,6 @@ import json
 import os
 import shutil
 import time
-import uuid
 import zlib
 from typing import Callable
 
@@ -95,12 +94,47 @@ def read_manifest(out_dir: str, shard: int) -> dict | None:
 
 
 def completed_shards(out_dir: str, num_shards: int, cfg_hash: str) -> set[int]:
+    """Shards that may be skipped on resume: manifest present, SAME config
+    hash AND same num_shards (ADVICE r2: a manifest written under a
+    different modulus covers a different url subset — skipping it would
+    duplicate rows that re-hash into the new shards)."""
     done = set()
     for s in range(num_shards):
         m = read_manifest(out_dir, s)
-        if m is not None and m.get("config_hash") == cfg_hash:
+        if (
+            m is not None
+            and m.get("config_hash") == cfg_hash
+            and m.get("num_shards") == num_shards
+        ):
             done.add(s)
     return done
+
+
+def _wipe_stale_shards(out_dir: str, num_shards: int) -> None:
+    """Remove shard dirs outside the current modulus (a previous run with
+    more shards leaves shard>=num_shards dirs whose rows would otherwise
+    leak into a recursive read of out_dir)."""
+    for name in os.listdir(out_dir):
+        if not name.startswith("shard="):
+            continue
+        try:
+            sid = int(name.split("=", 1)[1])
+        except ValueError:
+            continue
+        if sid >= num_shards:
+            shutil.rmtree(os.path.join(out_dir, name), ignore_errors=True)
+
+
+def _part_name(sub: pa.Table) -> str:
+    """Deterministic part filename derived from the batch's url content
+    (ADVICE r2: uuid4 names meant a retried sink task APPENDED a second
+    copy of its rows; a content-derived name makes the retry overwrite the
+    failed attempt's file instead — exactly-once output per batch)."""
+    h = hashlib.blake2b(digest_size=12)
+    for u in sub.column("url").to_pylist():
+        h.update(u.encode("utf-8"))
+        h.update(b"\x00")
+    return f"part-{h.hexdigest()}-{sub.num_rows}.parquet"
 
 
 class _ShardSink:
@@ -130,9 +164,7 @@ class _ShardSink:
                 sub = t.filter(pa.array(shards == s))
                 sdir = _shard_dir(self.out_dir, int(s))
                 os.makedirs(sdir, exist_ok=True)
-                pq.write_table(
-                    sub, os.path.join(sdir, f"part-{uuid.uuid4().hex}.parquet")
-                )
+                pq.write_table(sub, os.path.join(sdir, _part_name(sub)))
                 agg = pa.TableGroupBy(
                     sub.select(["route", "error"]), "route"
                 ).aggregate([([], "count_all"), ("error", "count")])
@@ -170,6 +202,7 @@ def run_checkpointed(
     cfg = config or PipelineConfig()
     chash = config_hash(cfg)
     os.makedirs(out_dir, exist_ok=True)
+    _wipe_stale_shards(out_dir, num_shards)
     done = completed_shards(out_dir, num_shards, chash)
     todo = sorted(set(range(num_shards)) - done)
 

@@ -158,3 +158,48 @@ def test_url_shard_stable_and_total():
     assert set(a) <= set(range(8))
     # every shard non-empty at this size (sanity of spread)
     assert len(set(a)) == 8
+
+
+def test_reshard_does_not_duplicate_rows(ray_session, corpus_dir, tmp_path):
+    """Resuming the same out_dir with a DIFFERENT num_shards must rewrite
+    from scratch, not skip old-modulus shards whose rows re-hash into the
+    new shards (ADVICE r2: num_shards was absent from the resume check,
+    silently duplicating rows)."""
+    path, _ = corpus_dir
+    out = str(tmp_path / "out")
+    cfg = PipelineConfig(ocr_concurrency=2)
+    run_checkpointed(_factory(path), out, config=cfg, num_shards=8)
+    summary = run_checkpointed(_factory(path), out, config=cfg, num_shards=N_SHARDS)
+    # nothing skipped: the modulus changed, every old manifest is invalid
+    assert all(v == "done" for v in summary["shards"].values())
+    res = _read_all(out)
+    # no duplicated urls, no stale shard dirs beyond the new modulus
+    assert len(res) == N_DOCS
+    assert res["url"].is_unique
+    stale = glob.glob(os.path.join(out, "shard=*"))
+    assert len(stale) == N_SHARDS
+
+
+def test_sink_part_names_are_deterministic_and_idempotent(tmp_path):
+    """A retried sink task must OVERWRITE its failed attempt's file, not
+    append a second copy (ADVICE r2: uuid4 part names duplicated rows on
+    Ray task retry).  Calling the sink twice on the same batch == once."""
+    from pdf2pdfocr_ray.state.checkpoint import _ShardSink, _part_name
+
+    t = pa.table(
+        {
+            "url": [f"https://e.org/{i}" for i in range(10)],
+            "route": ["html"] * 10,
+            "error": [None] * 10,
+        }
+    )
+    assert _part_name(t) == _part_name(t)
+    out = str(tmp_path / "sink")
+    sink = _ShardSink(out, 4)
+    sink(t)
+    files_once = sorted(glob.glob(os.path.join(out, "shard=*", "*.parquet")))
+    rows_once = len(_read_all(out))
+    sink(t)  # simulated Ray retry of the same task
+    files_twice = sorted(glob.glob(os.path.join(out, "shard=*", "*.parquet")))
+    assert files_once == files_twice
+    assert len(_read_all(out)) == rows_once == 10
