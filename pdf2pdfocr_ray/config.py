@@ -59,6 +59,12 @@ class PipelineConfig:
     # sit in one actor task's heap.
     page_rebalance: bool = False
     shuffle_partitions: int = 0  # 0 = cluster CPU count (assemble shuffle)
+    # Emit a ``doc_title`` column from the fan-out (source PDF /Title,
+    # null for html/image docs) — needed by sinks that preserve source
+    # metadata (the searchable-PDF sandwich; reference metadata edit at
+    # pdf2pdfocr.py:1333-1374).  Off for the text flagship: one fewer
+    # column through the shuffle.
+    emit_doc_title: bool = False
     # Two-level re-assembly: pages concat per (url, page_no // chunk) then
     # chunks merge per url — spreads a hot url's concat work over
     # ~n_pages/chunk reducers (range salt preserves byte order).  0 = off

@@ -417,30 +417,36 @@ def build_foreign_pdf_15(
         offsets[num] = len(buf)
         buf += b"%d 0 obj\n" % num + body + b"\nendobj\n"
 
-    # xref stream entries for 0..xref_no; W = [1 2 2]
+    # xref stream entries for 0..xref_no; W = [1, wf, 2] with the offset
+    # field width computed from the largest offset (ADVICE r2: a fixed
+    # 2-byte field overflowed once any object sat past byte 65535 —
+    # larger fixtures crashed the builder instead of emitting a PDF).
     xref_off = len(buf)
     offsets[xref_no] = xref_off
+    wf = max(2, (max(offsets.values()).bit_length() + 7) // 8)
+    row_w = 1 + wf + 2
     rows = []
     for num in range(xref_no + 1):
         if num == 0:
-            rows.append(bytes([0]) + (0).to_bytes(2, "big") + (0xFFFF).to_bytes(2, "big"))
+            rows.append(bytes([0]) + (0).to_bytes(wf, "big") + (0xFFFF).to_bytes(2, "big"))
         elif num in offsets:
-            rows.append(bytes([1]) + offsets[num].to_bytes(2, "big") + (0).to_bytes(2, "big"))
+            rows.append(bytes([1]) + offsets[num].to_bytes(wf, "big") + (0).to_bytes(2, "big"))
         else:
             idx = [c[0] for c in compressed].index(num)
-            rows.append(bytes([2]) + objstm_no.to_bytes(2, "big") + idx.to_bytes(2, "big"))
-    # PNG predictor 12 (Up filter) encoding, row width 5
+            rows.append(bytes([2]) + objstm_no.to_bytes(wf, "big") + idx.to_bytes(2, "big"))
+    # PNG predictor 12 (Up filter) encoding
     enc = bytearray()
-    prev = bytes(5)
+    prev = bytes(row_w)
     for r in rows:
         enc.append(2)
-        enc += bytes((r[i] - prev[i]) & 0xFF for i in range(5))
+        enc += bytes((r[i] - prev[i]) & 0xFF for i in range(row_w))
         prev = r
     xdata = _zlib.compress(bytes(enc))
     buf += (
-        b"%d 0 obj\n<< /Type /XRef /Size %d /W [1 2 2] /Root 1 0 R /Info %d 0 R "
-        b"/Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns 5 >> "
-        b"/Length %d >>\nstream\n" % (xref_no, xref_no + 1, info_no, len(xdata))
+        b"%d 0 obj\n<< /Type /XRef /Size %d /W [1 %d 2] /Root 1 0 R /Info %d 0 R "
+        b"/Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns %d >> "
+        b"/Length %d >>\nstream\n"
+        % (xref_no, xref_no + 1, wf, info_no, row_w, len(xdata))
         + xdata
         + b"\nendstream\nendobj\n"
     )

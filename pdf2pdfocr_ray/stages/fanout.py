@@ -86,6 +86,10 @@ class FanOut:
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.config
         out: dict[str, list] = {name: [] for name in PAGE_ROW_SCHEMA.names}
+        # doc-level title passthrough for metadata-preserving sinks
+        # (sandwich pipeline); populated per-doc via _title below
+        titles: list = [] if cfg.emit_doc_title else None  # type: ignore[assignment]
+        _cur_title: list = [None]
 
         def emit(url, ts, route, page_no, n_pages, dpi, image, page_text, error):
             out["url"].append(url)
@@ -97,6 +101,8 @@ class FanOut:
             out["image"].append(image)
             out["page_text"].append(page_text)
             out["error"].append(error)
+            if titles is not None:
+                titles.append(_cur_title[0])
 
         urls = batch.column("url").to_pylist()
         tss = batch.column("warc_ts").to_pylist()
@@ -104,6 +110,7 @@ class FanOut:
         routes = batch.column("route").to_pylist()
 
         for url, ts, payload, route in zip(urls, tss, payloads, routes):
+            _cur_title[0] = None
             if route == ROUTE_ERROR:
                 emit(url, ts, ROUTE_ERROR, 0, 0, 0, None, None, "unsupported_type")
                 continue
@@ -144,6 +151,7 @@ class FanOut:
             except ValueError:
                 emit(url, ts, route, 0, 0, 0, None, None, "corrupt_pdf")
                 continue
+            _cur_title[0] = doc.metadata.get("Title") or None
             if doc.is_encrypted:
                 emit(url, ts, route, 0, doc.n_pages, 0, None, None, "encrypted")
                 continue
@@ -177,4 +185,7 @@ class FanOut:
                     continue
                 emit(url, ts, route, i, doc.n_pages, spec.dpi, png, None, None)
 
-        return pa.table(out, schema=PAGE_ROW_SCHEMA)
+        t = pa.table(out, schema=PAGE_ROW_SCHEMA)
+        if titles is not None:
+            t = t.append_column("doc_title", pa.array(titles, pa.string()))
+        return t

@@ -192,3 +192,24 @@ def test_pdf15_damaged_xref_stream_recovers_regular_objects():
         assert doc.n_pages == 1
     except ValueError:
         pass  # error row, never a crash
+
+
+def test_xref_stream_offsets_past_64k():
+    """Offsets beyond 65535 must widen the xref-stream /W offset field
+    instead of raising OverflowError (ADVICE r2: fixed 2-byte field)."""
+    import random
+
+    from pdf2pdfocr_ray.functions.minipdf import build_foreign_pdf_15, parse_pdf
+
+    rng = random.Random(1)
+    alpha = "abcdefghijklmnopqrstuvwxyz0123456789"
+    pages = [
+        ["".join(rng.choice(alpha) for _ in range(80)) for _ in range(40)]
+        for _ in range(60)
+    ]
+    pdf = build_foreign_pdf_15(pages, title="Big")
+    assert len(pdf) > 65536
+    doc = parse_pdf(pdf)
+    assert doc.n_pages == 60
+    assert doc.pages[0].lines == pages[0]
+    assert doc.pages[59].lines == pages[59]
