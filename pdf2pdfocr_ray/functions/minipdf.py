@@ -35,6 +35,11 @@ class PageSpec:
     blank: bool = False  # True -> solid-white page, lines ignored
     blank_w_u: int = 100  # blank page width in layout units
     blank_h_u: int = 140  # blank page height in layout units
+    # Foreign scanned-page path: the page IS an embedded image (DCTDecode
+    # JPEG bytes or RAWB frame from pdfparse.page_image_payloads) — the
+    # fan-out ships it straight to OCR instead of rasterizing text lines
+    # (reference gets this via pdftoppm, pdf2pdfocr.py:56-75).
+    image_bytes: bytes | None = None
 
 
 @dataclass
@@ -208,7 +213,13 @@ def parse_pdf(data: bytes) -> MiniPdfDoc:
                 if lines:
                     pages.append(PageSpec(lines=lines, dpi=72))
                 else:
-                    pages.append(PageSpec(blank=True))
+                    # image-only page (scanned-page PDF): extract the
+                    # embedded raster for OCR before declaring it blank
+                    imgs = doc.page_image_payloads(pd_)
+                    if imgs:
+                        pages.append(PageSpec(dpi=72, image_bytes=imgs[0]))
+                    else:
+                        pages.append(PageSpec(blank=True))
         return MiniPdfDoc(n_pages, False, has_native_text, metadata, pages)
     except ValueError:
         raise
@@ -334,6 +345,93 @@ def build_foreign_pdf(
             b"startxref\r\n%d\r\n%%%%EOF\r\n"
             % (n_objs, catalog_no, info_no, xref_at, xref2_at)
         )
+    return bytes(buf)
+
+
+def build_scanned_pdf(
+    frames: list[tuple],
+    *,
+    title: str = "Scanned Doc",
+) -> bytes:
+    """Fixture writer for SCANNED-PAGE PDFs — each page is one embedded
+    image XObject, no text (the dominant real-world OCR input; the
+    reference rasterizes these via pdftoppm, pdf2pdfocr.py:56-75).
+
+    ``frames``: per page, ``("jpeg", jpeg_bytes, w, h)`` -> /DCTDecode
+    XObject carrying the JPEG verbatim, or ``("gray", ndarray)`` ->
+    8-bit /DeviceGray /FlateDecode samples."""
+    import zlib as _zlib
+
+    objs: list[bytes] = []
+
+    def add(body: bytes) -> int:
+        objs.append(body)
+        return len(objs)
+
+    catalog_no = add(b"")
+    pages_no = add(b"")
+    kid_nos: list[int] = []
+    for frame in frames:
+        if frame[0] == "jpeg":
+            _, payload, w, h = frame
+            img_no = add(
+                b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "
+                b"/ColorSpace /DeviceRGB /BitsPerComponent 8 "
+                b"/Filter /DCTDecode /Length %d >>\nstream\n"
+                % (w, h, len(payload))
+                + payload
+                + b"\nendstream"
+            )
+        elif frame[0] == "gray":
+            arr = frame[1]
+            h, w = arr.shape[:2]
+            comp = _zlib.compress(bytes(arr))
+            img_no = add(
+                b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "
+                b"/ColorSpace /DeviceGray /BitsPerComponent 8 "
+                b"/Filter /FlateDecode /Length %d >>\nstream\n"
+                % (w, h, len(comp))
+                + comp
+                + b"\nendstream"
+            )
+        else:
+            raise ValueError(f"unknown frame kind {frame[0]!r}")
+        content = b"q %d 0 0 %d 0 0 cm /Im0 Do Q" % (w, h)
+        cont_no = add(
+            b"<< /Length %d >>\nstream\n%s\nendstream" % (len(content), content)
+        )
+        kid_nos.append(
+            add(
+                b"<< /Type /Page /Parent %d 0 R /MediaBox [0 0 %d %d] "
+                b"/Resources << /XObject << /Im0 %d 0 R >> >> "
+                b"/Contents %d 0 R >>" % (pages_no, w, h, img_no, cont_no)
+            )
+        )
+    kids = b" ".join(b"%d 0 R" % n for n in kid_nos)
+    objs[pages_no - 1] = b"<< /Type /Pages /Kids [%s] /Count %d >>" % (
+        kids,
+        len(kid_nos),
+    )
+    objs[catalog_no - 1] = b"<< /Type /Catalog /Pages %d 0 R >>" % pages_no
+    info_no = add(
+        b"<< /Producer (ScanWriter 1.0) /Title (" + _esc(title) + b") >>"
+    )
+
+    buf = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets = [0] * (len(objs) + 1)
+    for i, body in enumerate(objs, start=1):
+        offsets[i] = len(buf)
+        buf += b"%d 0 obj\n" % i + body + b"\nendobj\n"
+    xref_at = len(buf)
+    buf += b"xref\n0 %d\n" % (len(objs) + 1)
+    buf += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        buf += b"%010d 00000 n \n" % off
+    buf += (
+        b"trailer\n<< /Size %d /Root %d 0 R /Info %d 0 R >>\n"
+        b"startxref\n%d\n%%%%EOF\n"
+        % (len(objs) + 1, catalog_no, info_no, xref_at)
+    )
     return bytes(buf)
 
 

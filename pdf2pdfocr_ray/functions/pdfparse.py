@@ -609,6 +609,73 @@ class PdfDocument:
             raise ValueError("corrupt PDF (no pages)")
         return out
 
+    def page_image_payloads(self, page: dict) -> list[bytes]:
+        """Image XObject payloads of a page, as bytes the engine's image
+        dispatch can decode (reference parity: pdftoppm rasterizes any
+        page image for OCR, pdf2pdfocr.py:56-75 — here the common scanned-
+        page encodings are extracted directly):
+
+        * /DCTDecode (possibly after earlier filters) -> the JPEG bytes
+          verbatim, routed to the in-repo jpegcodec via the image sniffer;
+        * /FlateDecode or identity 8-bit /DeviceGray / /DeviceRGB raw
+          samples -> the engine's RAWB frame encoding.
+
+        Unsupported encodings (CCITT, JBIG2, other colorspaces) are
+        skipped — callers fall back to their no-image behavior."""
+        out: list[bytes] = []
+        res = self.resolve(page.get("Resources"))
+        if not isinstance(res, dict):
+            return out
+        xobjs = self.resolve(res.get("XObject"))
+        if not isinstance(xobjs, dict):
+            return out
+        for v in xobjs.values():
+            try:
+                s = self.resolve(v)
+            except ValueError:
+                continue
+            if not isinstance(s, PdfStream) or s.dict.get("Subtype") != "Image":
+                continue
+            filt = s.dict.get("Filter")
+            filters = [str(f) for f in (
+                [filt] if isinstance(filt, (PdfName, str)) and filt else (filt or [])
+            )]
+            try:
+                if filters and filters[-1] == "DCTDecode":
+                    # apply any preceding filters, hand over the JPEG
+                    raw = s.raw
+                    for f in filters[:-1]:
+                        if f != "FlateDecode":
+                            raise ValueError(f"unsupported pre-filter /{f}")
+                        raw = zlib.decompress(raw)
+                    out.append(raw)
+                    continue
+                if any(f != "FlateDecode" for f in filters):
+                    continue  # CCITT/JBIG2/...: not supported, skip
+                samples = s.data()
+                w = int(self.resolve(s.dict.get("Width")) or 0)
+                h = int(self.resolve(s.dict.get("Height")) or 0)
+                bpc = int(self.resolve(s.dict.get("BitsPerComponent")) or 0)
+                cs = str(self.resolve(s.dict.get("ColorSpace")) or "")
+                ch = {"DeviceGray": 1, "DeviceRGB": 3}.get(cs)
+                if not (w and h and bpc == 8 and ch):
+                    continue
+                if len(samples) < w * h * ch:
+                    continue
+                import numpy as np
+
+                from .imagecodec import encode_raw
+
+                arr = np.frombuffer(samples[: w * h * ch], np.uint8).reshape(
+                    (h, w) if ch == 1 else (h, w, 3)
+                )
+                if ch == 1:
+                    arr = np.repeat(arr[:, :, None], 3, axis=2)
+                out.append(encode_raw(arr))
+            except (ValueError, zlib.error):
+                continue  # a broken image XObject never fails the page
+        return out
+
     def page_content(self, page: dict) -> bytes:
         """Decoded, concatenated content stream bytes of a page."""
         contents = self.resolve(page.get("Contents"))

@@ -177,6 +177,12 @@ class FanOut:
                     emit(url, ts, route, i, doc.n_pages, 0, None, text, None)
                 continue
             for i, spec in enumerate(doc.pages):
+                if spec.image_bytes is not None:
+                    # scanned-page PDF: the embedded image (DCT JPEG /
+                    # RAWB) goes straight to OCR, no re-rasterization
+                    emit(url, ts, route, i, doc.n_pages, spec.dpi,
+                         spec.image_bytes, None, None)
+                    continue
                 try:
                     png = _rasterize_scan(spec, compress=cfg.page_rebalance)
                 except Exception as e:  # noqa: BLE001
