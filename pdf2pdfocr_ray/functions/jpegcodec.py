@@ -1,22 +1,27 @@
-"""Baseline JFIF/JPEG codec, pure numpy — no native image libraries.
+"""JFIF/JPEG codec, pure numpy — no native image libraries.
 
 The reference's whole page-raster world is JPEG (`pdftoppm -jpeg`,
 /root/reference/pdf2pdfocr.py:70; jpg chosen to bound temp size at
 477-478), so a Ray engine whose multimodal stages only understood PNG kept
-its largest stub here.  This module implements the baseline sequential
-DCT process (ITU-T T.81):
+its largest stub here.  This module implements ITU-T T.81 Huffman DCT:
 
-* decoder — SOI/APP*/COM/DQT/SOF0/DHT/DRI/SOS/RSTn/EOI parsing, canonical
-  Huffman entropy decode, dequantize + inverse zigzag + 8x8 IDCT
+* decoder — SOI/APP*/COM/DQT/SOF0/SOF1/SOF2/DHT/DRI/SOS/RSTn/EOI parsing,
+  canonical Huffman entropy decode, dequantize + inverse zigzag + 8x8 IDCT
   (orthonormal DCT matrix, vectorized over all blocks), chroma upsampling
-  for sampling factors 1-2 (4:4:4, 4:2:2, 4:2:0), YCbCr→RGB.  Progressive
-  (SOF2) and arithmetic-coded streams raise ``ValueError`` — honest
-  documented limits of the baseline profile.
+  for sampling factors 1-2 (4:4:4, 4:2:2, 4:2:0), YCbCr→RGB.  Both the
+  baseline sequential process and the PROGRESSIVE process (SOF2: multiple
+  scans with spectral selection and successive approximation, T.81 Annex
+  G.2 — the web's dominant large-photo encoding).  Hierarchical and
+  arithmetic-coded streams raise ``ValueError``.
 * encoder — quality-scaled Annex-K quantization tables, standard Annex-K
-  Huffman tables, 4:4:4 or 4:2:0 subsampling, grayscale or RGB input.
+  Huffman tables, 4:4:4 or 4:2:0 subsampling, grayscale or RGB input;
+  baseline (`encode_jpeg`) or progressive (`encode_jpeg_progressive`,
+  a libjpeg-style scan script exercising both spectral selection and
+  successive-approximation refinement).
 
 Everything is deterministic; the DCT is exact float64 matrix math, so
-encode→decode round-trips are pinned by value in tests.
+encode→decode round-trips are pinned by value in tests, and a progressive
+encode decodes to the byte-identical image of its baseline twin.
 """
 
 from __future__ import annotations
@@ -218,18 +223,13 @@ def _plane_blocks(plane: np.ndarray) -> tuple[np.ndarray, int, int]:
     return blocks, ph // 8, pw // 8
 
 
-def encode_jpeg(
-    img: np.ndarray,
-    quality: int = 85,
-    subsample: bool = False,
-    restart_interval: int = 0,
-) -> bytes:
-    """Encode (H,W,3) RGB or (H,W) grayscale uint8 -> baseline JFIF bytes.
-
-    ``subsample=True`` writes 4:2:0 chroma; otherwise 4:4:4.
-    ``restart_interval`` > 0 emits DRI + RSTn markers every that many MCUs
-    (what a robust producer writes so decoders can resync after corruption).
-    """
+def _prepare_components(
+    img: np.ndarray, quality: int, subsample: bool
+) -> tuple[bool, int, int, list, list, list, np.ndarray, np.ndarray]:
+    """Color-convert, subsample, DCT and quantize: shared encoder front
+    half.  Returns (gray, h, w, samp, comp_zz, comp_grid, qt_l, qt_c)
+    where comp_zz[ci] is the (n_blocks, 64) int64 zigzag-order quantized
+    coefficients of component ci and comp_grid[ci] its (bh, bw)."""
     img = np.asarray(img)
     gray = img.ndim == 2
     h, w = img.shape[:2]
@@ -254,7 +254,6 @@ def encode_jpeg(
             samp = [(1, 1), (1, 1), (1, 1)]
         planes = [y, cb, cr]
 
-    # per-component quantized zigzag coefficients
     comp_zz: list[np.ndarray] = []
     comp_grid: list[tuple[int, int]] = []
     for ci, plane in enumerate(planes):
@@ -265,7 +264,20 @@ def encode_jpeg(
         zz = q[:, ZIGZAG].astype(np.int64)
         comp_zz.append(zz)
         comp_grid.append((bh, bw))
+    return gray, h, w, samp, comp_zz, comp_grid, qt_l, qt_c
 
+
+def _encode_headers(
+    gray: bool,
+    h: int,
+    w: int,
+    samp: list,
+    qt_l: np.ndarray,
+    qt_c: np.ndarray,
+    sof_marker: int,
+    restart_interval: int = 0,
+) -> bytearray:
+    """SOI..DHT (+DRI) header bytes shared by both encoders."""
     out = bytearray()
     out += b"\xFF\xD8"  # SOI
     out += (
@@ -277,9 +289,10 @@ def encode_jpeg(
     for tid, qt in ([(0, qt_l)] if gray else [(0, qt_l), (1, qt_c)]):
         out += b"\xFF\xDB" + struct.pack(">H", 67) + bytes([tid])
         out += bytes(int(v) for v in qt.reshape(-1)[ZIGZAG])
-    # SOF0
     ncomp = 1 if gray else 3
-    out += b"\xFF\xC0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    out += bytes([0xFF, sof_marker]) + struct.pack(
+        ">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp
+    )
     for ci in range(ncomp):
         hs, vs = samp[ci]
         out += bytes([ci + 1, (hs << 4) | vs, 0 if ci == 0 else 1])
@@ -292,7 +305,28 @@ def encode_jpeg(
         out += bytes(bits) + bytes(values)
     if restart_interval:
         out += b"\xFF\xDD" + struct.pack(">HH", 4, restart_interval)
+    return out
+
+
+def encode_jpeg(
+    img: np.ndarray,
+    quality: int = 85,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode (H,W,3) RGB or (H,W) grayscale uint8 -> baseline JFIF bytes.
+
+    ``subsample=True`` writes 4:2:0 chroma; otherwise 4:4:4.
+    ``restart_interval`` > 0 emits DRI + RSTn markers every that many MCUs
+    (what a robust producer writes so decoders can resync after corruption).
+    """
+    gray, h, w, samp, comp_zz, comp_grid, qt_l, qt_c = _prepare_components(
+        img, quality, subsample
+    )
+    planes = comp_zz  # one entry per component
+    out = _encode_headers(gray, h, w, samp, qt_l, qt_c, 0xC0, restart_interval)
     # SOS
+    ncomp = 1 if gray else 3
     out += b"\xFF\xDA" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
     for ci in range(ncomp):
         out += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
@@ -354,6 +388,156 @@ def encode_jpeg(
                             writer.write(c, ln)
     writer.flush()
     out += writer.buf
+    out += b"\xFF\xD9"  # EOI
+    return bytes(out)
+
+
+# ------------------------------------------------------- progressive encoder
+
+
+def _sos_header(scomps: list[tuple[int, int, int]], ss: int, se: int, ah: int, al: int) -> bytes:
+    out = b"\xFF\xDA" + struct.pack(">HB", 6 + 2 * len(scomps), len(scomps))
+    for cid, tdc, tac in scomps:
+        out += bytes([cid, (tdc << 4) | tac])
+    return out + bytes([ss, se, (ah << 4) | al])
+
+
+def encode_jpeg_progressive(
+    img: np.ndarray, quality: int = 85, subsample: bool = False
+) -> bytes:
+    """Encode (H,W,3) RGB or (H,W) grayscale uint8 -> PROGRESSIVE (SOF2)
+    JFIF bytes (T.81 Annex G), libjpeg-style scan script: an interleaved
+    first DC scan at Al=1, per-component spectral-selection AC first scans
+    at Al>0, then successive-approximation refinement scans down to Al=0.
+    EOB runs are kept per-block (EOBRUN<=1) so the standard Annex-K
+    Huffman tables (which lack EOBn>0 symbols) stay valid.  Decodes to the
+    byte-identical image of the same-parameter baseline encode."""
+    gray, h, w, samp, comp_zz, comp_grid, qt_l, qt_c = _prepare_components(
+        img, quality, subsample
+    )
+    out = _encode_headers(gray, h, w, samp, qt_l, qt_c, 0xC2)
+    ncomp = 1 if gray else 3
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcu_rows = -(-h // (8 * vmax))
+    mcu_cols = -(-w // (8 * hmax))
+    dc_codes = [_build_codes(*(HT_DC_LUMA if ci == 0 else HT_DC_CHROMA)) for ci in range(ncomp)]
+    ac_codes = [_build_codes(*(HT_AC_LUMA if ci == 0 else HT_AC_CHROMA)) for ci in range(ncomp)]
+
+    def dc_scan(al: int, ah: int) -> bytes:
+        wtr = _BitWriter()
+        prev_dc = [0] * ncomp
+        for my in range(mcu_rows):
+            for mx in range(mcu_cols):
+                for ci in range(ncomp):
+                    hs, vs = samp[ci]
+                    bh, bw = comp_grid[ci]
+                    for by in range(vs):
+                        for bx in range(hs):
+                            row_i = min(my * vs + by, bh - 1)
+                            col_i = min(mx * hs + bx, bw - 1)
+                            dc = int(comp_zz[ci][row_i * bw + col_i, 0])
+                            if ah == 0:  # first scan: shifted diff
+                                v = dc >> al  # arithmetic shift (T.81 G.1.2.1)
+                                size, bits_v = _magnitude(v - prev_dc[ci])
+                                prev_dc[ci] = v
+                                c, ln = dc_codes[ci][size]
+                                wtr.write(c, ln)
+                                wtr.write(bits_v, size)
+                            else:  # refinement: one raw bit per block
+                                wtr.write((dc >> al) & 1, 1)
+        wtr.flush()
+        return bytes(wtr.buf)
+
+    def ac_first_scan(ci: int, ss: int, se: int, al: int) -> bytes:
+        wtr = _BitWriter()
+        codes = ac_codes[ci]
+        bh, bw = comp_grid[ci]
+        for bi in range(bh * bw):
+            row = comp_zz[ci][bi]
+            r = 0
+            for k in range(ss, se + 1):
+                v = int(row[k])
+                t = abs(v) >> al
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15:
+                    c, ln = codes[0xF0]
+                    wtr.write(c, ln)
+                    r -= 16
+                size = t.bit_length()
+                tv = t if v > 0 else -t
+                bits_v = tv if tv > 0 else tv + (1 << size) - 1
+                c, ln = codes[(r << 4) | size]
+                wtr.write(c, ln)
+                wtr.write(bits_v, size)
+                r = 0
+            if r > 0:
+                c, ln = codes[0x00]  # per-block EOB (EOBRUN = 1)
+                wtr.write(c, ln)
+        wtr.flush()
+        return bytes(wtr.buf)
+
+    def ac_refine_scan(ci: int, ss: int, se: int, al: int) -> bytes:
+        # T.81 G.1.2.3 / libjpeg encode_mcu_AC_refine: newly-nonzero coefs
+        # get (run, 1) symbols + sign; already-sent coefs ride as buffered
+        # correction bits flushed after the next emitted symbol.
+        wtr = _BitWriter()
+        codes = ac_codes[ci]
+        bh, bw = comp_grid[ci]
+        for bi in range(bh * bw):
+            row = comp_zz[ci][bi]
+            # last newly-nonzero index: ZRLs after it fold into the EOB
+            eob = ss - 1
+            for k in range(ss, se + 1):
+                if abs(int(row[k])) >> al == 1:
+                    eob = k
+            r = 0
+            br: list[int] = []
+            for k in range(ss, se + 1):
+                v = int(row[k])
+                t = abs(v) >> al
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15 and k <= eob:
+                    c, ln = codes[0xF0]
+                    wtr.write(c, ln)
+                    r -= 16
+                    for b in br:
+                        wtr.write(b, 1)
+                    br = []
+                if t > 1:  # history coef: buffer its correction bit
+                    br.append(t & 1)
+                    continue
+                c, ln = codes[(r << 4) | 1]
+                wtr.write(c, ln)
+                wtr.write(1 if v > 0 else 0, 1)
+                for b in br:
+                    wtr.write(b, 1)
+                br = []
+                r = 0
+            if r > 0 or br:
+                c, ln = codes[0x00]  # EOB; decoder refines the rest
+                wtr.write(c, ln)
+                for b in br:
+                    wtr.write(b, 1)
+        wtr.flush()
+        return bytes(wtr.buf)
+
+    all_comps = [(ci + 1, 0 if ci == 0 else 1, 0 if ci == 0 else 1) for ci in range(ncomp)]
+    # scan script: DC@Al=1 -> AC first scans -> AC/DC refinements to Al=0
+    out += _sos_header(all_comps, 0, 0, 0, 1) + dc_scan(1, 0)
+    out += _sos_header([all_comps[0]], 1, 5, 0, 2) + ac_first_scan(0, 1, 5, 2)
+    for ci in range(1, ncomp):
+        out += _sos_header([all_comps[ci]], 1, 63, 0, 1) + ac_first_scan(ci, 1, 63, 1)
+    out += _sos_header([all_comps[0]], 6, 63, 0, 2) + ac_first_scan(0, 6, 63, 2)
+    out += _sos_header([all_comps[0]], 1, 63, 2, 1) + ac_refine_scan(0, 1, 63, 1)
+    out += _sos_header(all_comps, 0, 0, 1, 0) + dc_scan(0, 1)
+    out += _sos_header([all_comps[0]], 1, 63, 1, 0) + ac_refine_scan(0, 1, 63, 0)
+    for ci in range(1, ncomp):
+        out += _sos_header([all_comps[ci]], 1, 63, 1, 0) + ac_refine_scan(ci, 1, 63, 0)
     out += b"\xFF\xD9"  # EOI
     return bytes(out)
 
@@ -421,16 +605,218 @@ def _extend(v: int, size: int) -> int:
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
+def _entropy_segment(data: bytes, pos: int) -> tuple[bytes, list[int], int]:
+    """One scan's entropy-coded bytes from ``pos``: strips 0xFF00
+    stuffing, records restart-marker byte boundaries, stops at the next
+    real marker (returned ``pos`` points at its 0xFF)."""
+    n = len(data)
+    ecs = bytearray()
+    restarts: list[int] = []
+    while pos < n:
+        b = data[pos]
+        if b == 0xFF:
+            m = data[pos + 1] if pos + 1 < n else 0xD9
+            if m == 0x00:
+                ecs.append(0xFF)
+                pos += 2
+            elif 0xD0 <= m <= 0xD7:
+                restarts.append(len(ecs))
+                pos += 2
+            else:
+                break
+        else:
+            ecs.append(b)
+            pos += 1
+    return bytes(ecs), restarts, pos
+
+
+def _decode_scan(
+    ecs: bytes,
+    restarts: list[int],
+    scan: list[tuple[int, int, int]],
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    geom: dict,
+    grids: dict[int, np.ndarray],
+    htables: dict[tuple[int, int], _HuffTable],
+    dri: int,
+    progressive: bool,
+) -> None:
+    """Decode one scan's entropy data into the coefficient ``grids``.
+
+    Handles all four progressive scan kinds (T.81 G.2: DC first / DC
+    refine / AC first / AC refine) plus the baseline full-band scan, in
+    interleaved (MCU) order for multi-component scans and component
+    block-raster order for single-component scans."""
+    reader = _BitReader(np.unpackbits(np.frombuffer(ecs, dtype=np.uint8)))
+    comp_info = geom["comps"]  # cid -> (hs, vs, qid, bw_pad, bw_true, bh_true)
+    prev_dc = {cid: 0 for cid, _, _ in scan}
+    state = {"eobrun": 0, "unit": 0, "ri": 0}
+
+    def maybe_restart() -> None:
+        if dri and state["unit"] and state["unit"] % dri == 0:
+            if state["ri"] < len(restarts):
+                reader.align_to(restarts[state["ri"]])
+                state["ri"] += 1
+            for cid in prev_dc:
+                prev_dc[cid] = 0
+            state["eobrun"] = 0
+
+    def full_block(row: np.ndarray, cid: int, dc_t: _HuffTable, ac_t: _HuffTable) -> None:
+        size = _decode_huff(reader, dc_t)
+        diff = _extend(reader.read(size), size)
+        prev_dc[cid] += diff
+        row[0] = prev_dc[cid]
+        k = 1
+        while k < 64:
+            sym = _decode_huff(reader, ac_t)
+            if sym == 0x00:  # EOB
+                break
+            run, size = sym >> 4, sym & 0xF
+            if size == 0:
+                if run == 15:  # ZRL
+                    k += 16
+                    continue
+                break
+            k += run
+            if k > 63:
+                raise ValueError("AC coefficient overflow")
+            row[k] = _extend(reader.read(size), size)
+            k += 1
+
+    def dc_first(row: np.ndarray, cid: int, dc_t: _HuffTable) -> None:
+        size = _decode_huff(reader, dc_t)
+        diff = _extend(reader.read(size), size)
+        prev_dc[cid] += diff
+        row[0] = prev_dc[cid] << al
+
+    def dc_refine(row: np.ndarray) -> None:
+        if reader.read_bit():
+            row[0] = int(row[0]) | (1 << al)
+
+    def ac_first(row: np.ndarray, ac_t: _HuffTable) -> None:
+        if state["eobrun"] > 0:
+            state["eobrun"] -= 1
+            return
+        k = ss
+        while k <= se:
+            sym = _decode_huff(reader, ac_t)
+            r, s = sym >> 4, sym & 0xF
+            if s:
+                k += r
+                if k > se:
+                    raise ValueError("AC coefficient overflow")
+                row[k] = _extend(reader.read(s), s) << al
+                k += 1
+            elif r < 15:  # EOBn: run of (1<<r)+bits all-done blocks
+                state["eobrun"] = (1 << r) - 1
+                if r:
+                    state["eobrun"] += reader.read(r)
+                return
+            else:  # ZRL
+                k += 16
+
+    def ac_refine(row: np.ndarray, ac_t: _HuffTable) -> None:
+        # T.81 G.2 / libjpeg decode_mcu_AC_refine: each symbol's run
+        # skips zero-HISTORY positions, reading a correction bit for
+        # every already-nonzero coefficient passed on the way.
+        p1, m1 = 1 << al, -(1 << al)
+        k = ss
+        if state["eobrun"] == 0:
+            while k <= se:
+                sym = _decode_huff(reader, ac_t)
+                r, s = sym >> 4, sym & 0xF
+                newval = 0
+                if s == 0:
+                    if r < 15:
+                        state["eobrun"] = 1 << r
+                        if r:
+                            state["eobrun"] += reader.read(r)
+                        break
+                    # ZRL: skip 16 zero-history positions
+                elif s == 1:
+                    newval = p1 if reader.read_bit() else m1
+                else:
+                    raise ValueError("invalid AC refinement symbol")
+                while k <= se:
+                    c = int(row[k])
+                    if c != 0:
+                        if reader.read_bit() and (c & p1) == 0:
+                            row[k] = c + (p1 if c >= 0 else m1)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if s and k <= se:
+                    row[k] = newval
+                k += 1
+        if state["eobrun"] > 0:
+            while k <= se:  # refine the rest of the band
+                c = int(row[k])
+                if c != 0:
+                    if reader.read_bit() and (c & p1) == 0:
+                        row[k] = c + (p1 if c >= 0 else m1)
+                k += 1
+            state["eobrun"] -= 1
+
+    def do_block(row: np.ndarray, cid: int, tdc: int, tac: int) -> None:
+        if not progressive:
+            full_block(row, cid, htables[(0, tdc)], htables[(1, tac)])
+        elif ss == 0:
+            if ah == 0:
+                dc_first(row, cid, htables[(0, tdc)])
+            else:
+                dc_refine(row)
+        elif ah == 0:
+            ac_first(row, htables[(1, tac)])
+        else:
+            ac_refine(row, htables[(1, tac)])
+
+    if progressive and ss > 0 and len(scan) != 1:
+        raise ValueError("progressive AC scan must be non-interleaved")
+    if progressive and ss == 0 and se != 0:
+        raise ValueError("progressive DC scan must have Se=0")
+
+    if len(scan) == 1:  # non-interleaved: component block-raster order
+        cid, tdc, tac = scan[0]
+        _, _, _, bw_pad, bw_true, bh_true = comp_info[cid]
+        grid = grids[cid]
+        for by in range(bh_true):
+            for bx in range(bw_true):
+                maybe_restart()
+                do_block(grid[by * bw_pad + bx], cid, tdc, tac)
+                state["unit"] += 1
+    else:  # interleaved MCU order
+        for my in range(geom["mcu_rows"]):
+            for mx in range(geom["mcu_cols"]):
+                maybe_restart()
+                for cid, tdc, tac in scan:
+                    hs, vs, _, bw_pad, _, _ = comp_info[cid]
+                    grid = grids[cid]
+                    for by in range(vs):
+                        for bx in range(hs):
+                            row = grid[(my * vs + by) * bw_pad + (mx * hs + bx)]
+                            do_block(row, cid, tdc, tac)
+                state["unit"] += 1
+
+
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JFIF bytes -> (H,W,3) uint8 RGB (grayscale replicated)."""
+    """Baseline or progressive JFIF bytes -> (H,W,3) uint8 RGB
+    (grayscale replicated)."""
     if not data.startswith(b"\xFF\xD8"):
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], _HuffTable] = {}
     frame = None  # (h, w, comps) ; comps = [(cid, hs, vs, qid)]
+    progressive = False
     dri = 0
-    scan = None
+    geom: dict = {}
+    grids: dict[int, np.ndarray] = {}
+    n_scans = 0
 
     n = len(data)
     while pos < n:
@@ -457,17 +843,31 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     vals = np.frombuffer(seg[p : p + 64], dtype=np.uint8).astype(np.float64)
                     p += 64
                 qtables[tq] = vals[UNZIGZAG].reshape(8, 8)
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline/ext seq)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+            progressive = marker == 0xC2
             _prec, fh, fw, ncomp = struct.unpack(">BHHB", seg[:6])
             comps = []
             for ci in range(ncomp):
                 cid, hv, qid = seg[6 + ci * 3 : 9 + ci * 3]
                 comps.append((cid, hv >> 4, hv & 0xF, qid))
             frame = (fh, fw, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcu_cols = -(-fw // (8 * hmax))
+            mcu_rows = -(-fh // (8 * vmax))
+            geom = {"mcu_rows": mcu_rows, "mcu_cols": mcu_cols, "comps": {}}
+            for cid, hs, vs, qid in comps:
+                bw_pad, bh_pad = mcu_cols * hs, mcu_rows * vs
+                comp_w = -(-fw * hs // hmax)  # ceil(fw*hs/hmax)
+                comp_h = -(-fh * vs // vmax)
+                bw_true = -(-comp_w // 8)
+                bh_true = -(-comp_h // 8)
+                geom["comps"][cid] = (hs, vs, qid, bw_pad, bw_true, bh_true)
+                grids[cid] = np.zeros((bh_pad * bw_pad, 64), dtype=np.int32)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
                 f"unsupported JPEG process (SOF{marker - 0xC0}): only "
-                "baseline sequential DCT is implemented"
+                "baseline sequential and progressive DCT are implemented"
             )
         elif marker == 0xC4:  # DHT
             p = 0
@@ -481,97 +881,36 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         elif marker == 0xDD:  # DRI
             dri = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("truncated JPEG: SOS before SOF")
             ns = seg[0]
             scan = []
             for ci in range(ns):
                 cid, tt = seg[1 + ci * 2 : 3 + ci * 2]
                 scan.append((cid, tt >> 4, tt & 0xF))
+            ss, se, ahal = seg[1 + ns * 2 : 4 + ns * 2]
             pos += seglen
-            break
+            ecs, restarts, pos = _entropy_segment(data, pos)
+            _decode_scan(
+                ecs, restarts, scan, ss, se, ahal >> 4, ahal & 0xF,
+                geom, grids, htables, dri, progressive,
+            )
+            n_scans += 1
+            continue
         pos += seglen
 
-    if frame is None or scan is None:
+    if frame is None or n_scans == 0:
         raise ValueError("truncated JPEG: missing SOF/SOS")
     fh, fw, comps = frame
-
-    # entropy-coded data: strip stuffing, record restart boundaries
-    ecs = bytearray()
-    restarts: list[int] = []
-    while pos < n:
-        b = data[pos]
-        if b == 0xFF:
-            m = data[pos + 1] if pos + 1 < n else 0xD9
-            if m == 0x00:
-                ecs.append(0xFF)
-                pos += 2
-            elif 0xD0 <= m <= 0xD7:
-                restarts.append(len(ecs))
-                pos += 2
-            else:
-                break
-        else:
-            ecs.append(b)
-            pos += 1
-    bits = np.unpackbits(np.frombuffer(bytes(ecs), dtype=np.uint8))
-    reader = _BitReader(bits)
-
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
-    mcu_cols = -(-fw // (8 * hmax))
-    mcu_rows = -(-fh // (8 * vmax))
-
-    # coefficient grids per component
-    grids = {}
-    for cid, hs, vs, qid in comps:
-        bw, bh = mcu_cols * hs, mcu_rows * vs
-        grids[cid] = np.zeros((bh * bw, 64), dtype=np.float64)
-
-    scan_info = {cid: (tdc, tac) for cid, tdc, tac in scan}
-    prev_dc = {cid: 0 for cid, *_ in comps}
-    mcu_count = 0
-    ri = 0
-    for my in range(mcu_rows):
-        for mx in range(mcu_cols):
-            if dri and mcu_count and mcu_count % dri == 0:
-                if ri < len(restarts):
-                    reader.align_to(restarts[ri])
-                    ri += 1
-                prev_dc = {cid: 0 for cid, *_ in comps}
-            for cid, hs, vs, qid in comps:
-                tdc, tac = scan_info[cid]
-                dc_t = htables[(0, tdc)]
-                ac_t = htables[(1, tac)]
-                bw = mcu_cols * hs
-                for by in range(vs):
-                    for bx in range(hs):
-                        row = grids[cid][(my * vs + by) * bw + (mx * hs + bx)]
-                        size = _decode_huff(reader, dc_t)
-                        diff = _extend(reader.read(size), size)
-                        prev_dc[cid] += diff
-                        row[0] = prev_dc[cid]
-                        k = 1
-                        while k < 64:
-                            sym = _decode_huff(reader, ac_t)
-                            if sym == 0x00:  # EOB
-                                break
-                            run, size = sym >> 4, sym & 0xF
-                            if size == 0:
-                                if run == 15:  # ZRL
-                                    k += 16
-                                    continue
-                                break
-                            k += run
-                            if k > 63:
-                                raise ValueError("AC coefficient overflow")
-                            row[k] = _extend(reader.read(size), size)
-                            k += 1
-            mcu_count += 1
+    mcu_cols, mcu_rows = geom["mcu_cols"], geom["mcu_rows"]
 
     # reconstruct planes
     planes = {}
     for cid, hs, vs, qid in comps:
         bw, bh = mcu_cols * hs, mcu_rows * vs
-        zz = grids[cid]
+        zz = grids[cid].astype(np.float64)
         coefs = np.zeros_like(zz)
         coefs[:, ZIGZAG] = zz  # inverse zigzag
         coefs = coefs.reshape(-1, 8, 8) * qtables[qid][None, :, :]

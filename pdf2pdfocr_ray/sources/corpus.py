@@ -124,7 +124,8 @@ def _render_scan(rng: np.random.Generator) -> tuple[np.ndarray, str]:
 
 
 def _make_image_doc(rng: np.random.Generator) -> tuple[bytes, str, int]:
-    """One image document: PNG (~50%), baseline JPEG (~30%), or multi-frame
+    """One image document: PNG (~50%), baseline JPEG (~20%), progressive
+    JPEG (~10%, the web's dominant large-photo encoding), or multi-frame
     TIFF (~20%, 2-3 frames -> the S5 fan-out path).  Returns
     (payload, golden_text, n_pages).  JPEG at quality 95 — lossy but
     verified above the OCR engine's binarization robustness margin."""
@@ -140,10 +141,14 @@ def _make_image_doc(rng: np.random.Generator) -> tuple[bytes, str, int]:
             texts.append(text)
         return encode_tiff(frames), "".join(texts), n_frames
     img, text = _render_scan(rng)
-    if fmt < 0.5:
+    if fmt < 0.4:
         from ..functions.jpegcodec import encode_jpeg
 
         return encode_jpeg(img, quality=95), text, 1
+    if fmt < 0.5:
+        from ..functions.jpegcodec import encode_jpeg_progressive
+
+        return encode_jpeg_progressive(img, quality=95), text, 1
     return encode_png(img), text, 1
 
 

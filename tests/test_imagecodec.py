@@ -57,17 +57,51 @@ def test_jpeg_flat_block_exact_at_q100():
     assert np.array_equal(decode_jpeg(encode_jpeg(flat, quality=100)), flat)
 
 
-def test_jpeg_rejects_progressive_and_junk():
+def test_jpeg_rejects_lossless_and_junk():
     img = _test_img(16, 16)
     data = bytearray(encode_jpeg(img, 85))
     sof = data.find(b"\xff\xc0")
-    data[sof + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
-    with pytest.raises(ValueError, match="baseline"):
+    data[sof + 1] = 0xC3  # rewrite SOF0 -> SOF3 (lossless, unsupported)
+    with pytest.raises(ValueError, match="unsupported JPEG process"):
         decode_jpeg(bytes(data))
     with pytest.raises(ValueError):
         decode_jpeg(b"\x00\x01\x02")
     with pytest.raises(ValueError):
         decode_jpeg(b"\xff\xd8\xff\xe0trunc")
+
+
+def test_progressive_jpeg_decodes_identical_to_baseline():
+    """encode_jpeg_progressive's multi-scan SOF2 stream (spectral
+    selection + successive approximation, T.81 Annex G) must decode to
+    the byte-identical image of the same-parameter baseline encode —
+    the two encodings carry the same quantized coefficients."""
+    from pdf2pdfocr_ray.functions.jpegcodec import encode_jpeg_progressive
+
+    rng = np.random.default_rng(11)
+    img = _test_img(50, 70)
+    for q in (50, 85, 100):
+        base = decode_jpeg(encode_jpeg(img, quality=q))
+        prog = decode_jpeg(encode_jpeg_progressive(img, quality=q))
+        assert np.array_equal(base, prog)
+    gray = (rng.random((41, 53)) * 255).astype(np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(gray, 85)),
+        decode_jpeg(encode_jpeg_progressive(gray, 85)),
+    )
+    # 4:2:0 with odd dims: luma true block grid != MCU-padded grid
+    odd = (rng.random((61, 99, 3)) * 255).astype(np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(odd, 85, subsample=True)),
+        decode_jpeg(encode_jpeg_progressive(odd, 85, subsample=True)),
+    )
+
+
+def test_progressive_jpeg_marker_is_sof2():
+    from pdf2pdfocr_ray.functions.jpegcodec import encode_jpeg_progressive
+
+    data = encode_jpeg_progressive(_test_img(16, 16), 85)
+    assert b"\xff\xc2" in data and b"\xff\xc0" not in data
+    assert data.count(b"\xff\xda") >= 4  # genuinely multi-scan
 
 
 def test_tiff_multiframe_roundtrip_exact():
