@@ -4,13 +4,16 @@ The reference splits multi-frame images (TIFF being the canonical case)
 into numbered page images before OCR (`convert -scene 1`,
 /root/reference/pdf2pdfocr.py:1133-1138).  The engine's S5 parity needs an
 in-process reader for the same: this module parses the baseline TIFF 6.0
-subset — II/MM byte orders, uncompressed (Compression=1) 8-bit grayscale
-(Photometric 0/1) and RGB (Photometric 2), strip layout, and the IFD
-*chain* that makes a TIFF multi-page.  Anything else (LZW/JPEG-in-TIFF,
-tiles, 16-bit) raises ``ValueError`` — honest documented limits.
+subset — II/MM byte orders, uncompressed (Compression=1), LZW
+(Compression=5, TIFF early-change variant, with or without the
+horizontal-differencing Predictor=2), and PackBits (Compression=32773)
+8-bit grayscale (Photometric 0/1) and RGB (Photometric 2), strip layout,
+and the IFD *chain* that makes a TIFF multi-page.  Anything else
+(JPEG-in-TIFF, tiles, 16-bit) raises ``ValueError`` — honest documented
+limits.
 
 The encoder exists to build deterministic multi-frame fixtures and writes
-one uncompressed strip per frame.
+one strip per frame in any of the three supported compressions.
 """
 
 from __future__ import annotations
@@ -20,6 +23,161 @@ import struct
 import numpy as np
 
 _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+
+_LZW_CLEAR, _LZW_EOI = 256, 257
+
+
+def _lzw_decode(buf: bytes) -> bytes:
+    """TIFF-variant LZW (T.6.0 §13): 9..12-bit MSB-first codes with the
+    'early change' width bump one code before the table fills."""
+    out = bytearray()
+    nbits = len(buf) * 8
+    bitpos = 0
+    table: list[bytes] = []
+    code_w = 9
+    prev: bytes | None = None
+
+    def reset() -> None:
+        nonlocal table, code_w, prev
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        code_w = 9
+        prev = None
+
+    reset()
+    while bitpos + code_w <= nbits:
+        byte_i = bitpos >> 3
+        chunk = int.from_bytes(buf[byte_i : byte_i + 3].ljust(3, b"\0"), "big")
+        code = (chunk >> (24 - (bitpos & 7) - code_w)) & ((1 << code_w) - 1)
+        bitpos += code_w
+        if code == _LZW_EOI:
+            break
+        if code == _LZW_CLEAR:
+            reset()
+            continue
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("corrupt LZW stream (bad first code)")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("corrupt LZW stream (code beyond table)")
+        out += entry
+        prev = entry
+        if len(table) == (1 << code_w) - 1 and code_w < 12:
+            code_w += 1
+    return bytes(out)
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    out = bytearray()
+    acc = 0
+    accbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, accbits
+        acc = (acc << width) | code
+        accbits += width
+        while accbits >= 8:
+            out.append((acc >> (accbits - 8)) & 0xFF)
+            accbits -= 8
+        acc &= (1 << accbits) - 1
+
+    table: dict[bytes, int] = {}
+    next_code = 258
+    code_w = 9
+
+    def reset() -> None:
+        nonlocal table, next_code, code_w
+        table = {bytes([i]): i for i in range(256)}
+        next_code = 258
+        code_w = 9
+
+    reset()
+    emit(_LZW_CLEAR, code_w)
+    w = b""
+    for byte in data:
+        wc = w + bytes([byte])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], code_w)
+        table[wc] = next_code
+        next_code += 1
+        # decoder adds each entry one code later than the encoder, so its
+        # early-change bump (after adding entry 510/1022/2046) aligns with
+        # an encoder bump one entry later (libtiff pairing)
+        if next_code == (1 << code_w) and code_w < 12:
+            code_w += 1
+        if next_code == 4094:  # keep headroom below the 12-bit ceiling
+            emit(_LZW_CLEAR, code_w)
+            reset()
+        w = bytes([byte])
+    if w:
+        emit(table[w], code_w)
+    emit(_LZW_EOI, code_w)
+    if accbits:
+        out.append((acc << (8 - accbits)) & 0xFF)
+    return bytes(out)
+
+
+def _packbits_decode(buf: bytes, expected: int) -> bytes:
+    out = bytearray()
+    i = 0
+    n = len(buf)
+    while i < n and len(out) < expected:
+        ctrl = buf[i]
+        i += 1
+        if ctrl < 128:  # literal run of ctrl+1 bytes
+            out += buf[i : i + ctrl + 1]
+            i += ctrl + 1
+        elif ctrl > 128:  # repeat next byte 257-ctrl times
+            out += bytes([buf[i]]) * (257 - ctrl)
+            i += 1
+        # ctrl == 128: no-op
+    return bytes(out)
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        # find run length at i
+        j = i + 1
+        while j < n and j - i < 128 and data[j] == data[i]:
+            j += 1
+        if j - i >= 2:  # repeat run
+            out.append(257 - (j - i))
+            out.append(data[i])
+            i = j
+            continue
+        # literal run: until the next >=3 repeat or 128 bytes
+        j = i
+        while j < n and j - i < 128:
+            if j + 2 < n and data[j] == data[j + 1] == data[j + 2]:
+                break
+            j += 1
+        out.append(j - i - 1)
+        out += data[i:j]
+        i = j
+    return bytes(out)
+
+
+def _undo_predictor(arr: np.ndarray) -> np.ndarray:
+    """Predictor=2 (horizontal differencing): cumulative sum along each
+    row per sample, uint8 wraparound."""
+    return np.add.accumulate(arr, axis=1, dtype=np.uint8)
+
+
+def _apply_predictor(arr: np.ndarray) -> np.ndarray:
+    out = arr.copy()
+    out[:, 1:] = arr[:, 1:] - arr[:, :-1]  # uint8 wraps
+    return out
 
 
 def _read_ifd(data: bytes, off: int, bo: str) -> tuple[dict[int, list[int]], int]:
@@ -75,23 +233,44 @@ def decode_tiff(data: bytes) -> list[np.ndarray]:
         photo = tags.get(262, [1])[0]
         spp = tags.get(277, [1])[0]
         bps = tags.get(258, [8])[:1][0]
-        if comp != 1:
-            raise ValueError(f"unsupported TIFF compression {comp} (only 1=none)")
+        predictor = tags.get(317, [1])[0]
+        if comp not in (1, 5, 32773):
+            raise ValueError(
+                f"unsupported TIFF compression {comp} (only 1=none, 5=LZW, "
+                "32773=PackBits)"
+            )
         if bps != 8:
             raise ValueError(f"unsupported TIFF bits-per-sample {bps} (only 8)")
         if photo not in (0, 1, 2):
             raise ValueError(f"unsupported TIFF photometric {photo}")
+        if predictor not in (1, 2):
+            raise ValueError(f"unsupported TIFF predictor {predictor}")
         offsets = tags.get(273, [])
         counts = tags.get(279, [])
         if not offsets or not w or not h:
             raise ValueError("malformed TIFF IFD (missing strips/dims)")
-        raw = b"".join(
-            data[o : o + c] for o, c in zip(offsets, counts)
-        )
+        rows_per_strip = tags.get(278, [h])[0] or h
         need = w * h * spp
+        if comp == 1:
+            raw = b"".join(data[o : o + c] for o, c in zip(offsets, counts))
+        else:
+            # LZW/PackBits state resets per strip (TIFF 6.0 §13/§9)
+            parts = []
+            for si, (o, c) in enumerate(zip(offsets, counts)):
+                n_rows = min(rows_per_strip, h - si * rows_per_strip)
+                strip_need = n_rows * w * spp
+                strip = data[o : o + c]
+                parts.append(
+                    _lzw_decode(strip)[:strip_need]
+                    if comp == 5
+                    else _packbits_decode(strip, strip_need)
+                )
+            raw = b"".join(parts)
         if len(raw) < need:
             raise ValueError("truncated TIFF strip data")
         arr = np.frombuffer(raw[:need], dtype=np.uint8).reshape(h, w, spp)
+        if predictor == 2:
+            arr = _undo_predictor(arr)
         if spp == 1:
             plane = 255 - arr[..., 0] if photo == 0 else arr[..., 0]
             arr = np.repeat(plane[:, :, None], 3, axis=2)
@@ -103,11 +282,25 @@ def decode_tiff(data: bytes) -> list[np.ndarray]:
     return frames
 
 
-def encode_tiff(frames: list[np.ndarray]) -> bytes:
+_COMPRESSIONS = {"none": 1, "lzw": 5, "packbits": 32773}
+
+
+def encode_tiff(
+    frames: list[np.ndarray],
+    compression: str = "none",
+    predictor: bool = False,
+) -> bytes:
     """List of (H,W,3) or (H,W) uint8 arrays -> multi-frame little-endian
-    uncompressed TIFF (one IFD + one strip per frame)."""
+    TIFF (one IFD + one strip per frame).  ``compression``: "none", "lzw"
+    or "packbits"; ``predictor=True`` adds horizontal differencing
+    (Predictor=2, the usual companion of LZW — only valid with it)."""
     if not frames:
         raise ValueError("no frames")
+    if compression not in _COMPRESSIONS:
+        raise ValueError(f"unknown compression {compression!r}")
+    if predictor and compression != "lzw":
+        raise ValueError("predictor=2 is only written with LZW")
+    comp_id = _COMPRESSIONS[compression]
     bo = "<"
     out = bytearray(b"II*\x00\x00\x00\x00\x00")
 
@@ -117,7 +310,14 @@ def encode_tiff(frames: list[np.ndarray]) -> bytes:
         gray = frame.ndim == 2
         h, w = frame.shape[:2]
         spp = 1 if gray else 3
-        pix = frame.tobytes()
+        plane = frame.reshape(h, w, spp)
+        if predictor:
+            plane = _apply_predictor(plane)
+        pix = plane.tobytes()
+        if compression == "lzw":
+            pix = _lzw_encode(pix)
+        elif compression == "packbits":
+            pix = _packbits_encode(pix)
 
         strip_off = len(out)
         out += pix
@@ -127,13 +327,15 @@ def encode_tiff(frames: list[np.ndarray]) -> bytes:
         entries = [
             (256, 4, 1, w),  # ImageWidth
             (257, 4, 1, h),  # ImageLength
-            (259, 3, 1, 1),  # Compression = none
+            (259, 3, 1, comp_id),  # Compression
             (262, 3, 1, 1 if gray else 2),  # Photometric
             (273, 4, 1, strip_off),  # StripOffsets
             (277, 3, 1, spp),  # SamplesPerPixel
             (278, 4, 1, h),  # RowsPerStrip
             (279, 4, 1, len(pix)),  # StripByteCounts
         ]
+        if predictor:
+            entries.append((317, 3, 1, 2))  # horizontal differencing
         if gray:
             entries.insert(2, (258, 3, 1, 8))  # BitsPerSample
             ifd = entries

@@ -139,7 +139,13 @@ def _make_image_doc(rng: np.random.Generator) -> tuple[bytes, str, int]:
             img, text = _render_scan(rng)
             frames.append(img)
             texts.append(text)
-        return encode_tiff(frames), "".join(texts), n_frames
+        comp, pred = [("none", False), ("lzw", False), ("lzw", True),
+                      ("packbits", False)][int(rng.integers(0, 4))]
+        return (
+            encode_tiff(frames, compression=comp, predictor=pred),
+            "".join(texts),
+            n_frames,
+        )
     img, text = _render_scan(rng)
     if fmt < 0.4:
         from ..functions.jpegcodec import encode_jpeg

@@ -121,12 +121,47 @@ def test_tiff_rejects_unsupported():
     data = bytearray(encode_tiff([np.zeros((4, 4, 3), dtype=np.uint8)]))
     with pytest.raises(ValueError):
         decode_tiff(b"XX\x00\x00")
-    # flip Compression tag value to 5 (LZW): tag 259 short
+    # flip Compression tag value to 7 (JPEG-in-TIFF, unsupported)
     idx = data.find(b"\x03\x01\x03\x00")  # tag 259 LE, type SHORT
     assert idx > 0
-    data[idx + 8] = 5
+    data[idx + 8] = 7
     with pytest.raises(ValueError, match="compression"):
         decode_tiff(bytes(data))
+
+
+def test_tiff_lzw_packbits_roundtrip_exact():
+    """LZW (with and without the horizontal predictor) and PackBits
+    strips must decode back to the exact pixels — including table growth
+    past the 9->10 bit early-change boundary (TIFF 6.0 §13)."""
+    rng = np.random.default_rng(21)
+    noisy = rng.integers(0, 255, (40, 60, 3), dtype=np.uint8)
+    flat = np.full((33, 47, 3), 200, dtype=np.uint8)
+    flat[10:20, 10:30] = 0
+    gray = rng.integers(0, 255, (18, 25), dtype=np.uint8)
+    for comp, pred in (
+        ("lzw", False), ("lzw", True), ("packbits", False),
+    ):
+        frames = decode_tiff(
+            encode_tiff([noisy, flat, gray], compression=comp, predictor=pred)
+        )
+        assert len(frames) == 3
+        assert np.array_equal(frames[0], noisy), (comp, pred)
+        assert np.array_equal(frames[1], flat), (comp, pred)
+        assert np.array_equal(frames[2], np.repeat(gray[:, :, None], 3, axis=2))
+    # compressed output actually compresses the compressible frame
+    assert len(encode_tiff([flat], compression="packbits")) < len(encode_tiff([flat]))
+    assert len(encode_tiff([flat], compression="lzw")) < len(encode_tiff([flat]))
+    with pytest.raises(ValueError):
+        encode_tiff([flat], compression="packbits", predictor=True)
+
+
+def test_tiff_lzw_early_change_deep_table():
+    """A big compressible frame drives the LZW table through the 10- and
+    11-bit widths and a mid-stream clear; pixels must survive exactly."""
+    base = np.add.outer(np.arange(180), np.arange(300)).astype(np.uint8)
+    img = np.stack([base, base // 2, base * 3], axis=-1).astype(np.uint8)
+    out = decode_tiff(encode_tiff([img], compression="lzw", predictor=True))
+    assert np.array_equal(out[0], img)
 
 
 def test_sniff_and_dispatch():
