@@ -28,9 +28,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-i", "--input", required=True,
                    help="pages Parquet path (file, dir, or glob)")
     p.add_argument("-o", "--output", required=True, help="output directory")
-    # reference -c ocr_engine (pdf2pdfocr.py:556-558)
+    # reference -c ocr_engine (pdf2pdfocr.py:556-558); beyond the builtins
+    # any "external:<module>:<attr>" model adapter or registered engine
+    # name is accepted (validated at actor init, T3 fail-fast)
     p.add_argument("-c", "--ocr-engine", default="template",
-                   choices=["template", "template_retry", "no_ocr"])
+                   help="template | template_retry | no_ocr | "
+                        "external:<module>:<attr> | <registered name>")
     # reference -d deskew percent -> boolean toggle (94-101, 1085-1098)
     p.add_argument("--no-deskew", action="store_true")
     # reference -u autorotate (1038-1083)

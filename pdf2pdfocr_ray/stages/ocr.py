@@ -30,7 +30,7 @@ from ..config import PipelineConfig
 from ..functions.hocr import A4_STUB_BBOX, emit_hocr, parse_hocr
 from ..functions.image_ops import is_blank, is_greyscale
 from ..functions import ocr_core
-from ..functions.ocr_core import OcrDeadlineExceeded, normalize_page, recognize_page
+from ..functions.ocr_core import OcrDeadlineExceeded, normalize_page
 from ..functions.imagecodec import decode_image
 from ..functions.pagerender import BASE_DPI
 
@@ -75,22 +75,33 @@ class OcrStage:
     * ``template_retry``  — T2 shape (cuneiform's per-page
       retry-with-English, reference 163-190): if the page yields no text,
       retry once with normalization forced on;
-    * ``no_ocr``          — skip OCR, pages pass through textless.
+    * ``no_ocr``          — skip OCR, pages pass through textless;
+    * ``external:<module>:<attr>`` or a registered name — any
+      model-backed engine, resolved through
+      :mod:`..functions.ocr_engines` and LOADED ONCE PER ACTOR here in
+      ``__init__`` (the reference's -c tesseract/cuneiform slot).
     A per-page time guard (``ocr_timeout_s``) marks overruns as error rows
     — the actor-level analog of the reference's --timeout future
     (pdf2pdfocr.py:1511-1528)."""
 
     def __init__(self, config: PipelineConfig | None = None, keep_spans: bool = False):
-        # Engine warm-up, once per actor: bind the template table (the
-        # "language model") and config. Reference loads tesseract's models
-        # per process invocation; here the cost is import+table build.
-        from ..functions import font5x7
+        # Engine warm-up, once per actor: resolve + load the engine (the
+        # template table for the built-in; a real model import/construct
+        # for external engines). Reference loads tesseract's models per
+        # process invocation; here the cost is paid once per pool worker.
+        from ..functions.ocr_engines import OcrEngineError, resolve_ocr_engine
 
-        self._templates = font5x7._TEMPLATES
         self.config = config or PipelineConfig()
         self.keep_spans = keep_spans
-        if self.config.ocr_engine not in ("template", "template_retry", "no_ocr"):
-            raise ValueError(f"unknown ocr_engine {self.config.ocr_engine!r}")
+        if self.config.ocr_engine == "no_ocr":
+            self._engine = None
+        else:
+            try:
+                self._engine = resolve_ocr_engine(self.config.ocr_engine)
+            except OcrEngineError as exc:
+                # T3 fail-fast: a bad engine name/path kills the actor at
+                # init, before any batch is consumed
+                raise ValueError(str(exc)) from exc
 
     def _ocr_one(self, png: bytes, dpi: int, force_normalize: bool = False):
         """One page image (PNG/JPEG/TIFF) -> (text, spans, stats...).
@@ -106,7 +117,7 @@ class OcrStage:
                 img, k, slope = normalize_page(img, scale)
             else:
                 k, slope = 0, 0.0
-            lines = recognize_page(img, scale)
+            lines = self._engine.recognize(img, scale)
             hocr = emit_hocr(lines, img.shape[1], img.shape[0], dpi)
             page = parse_hocr(hocr)
             spans = [
