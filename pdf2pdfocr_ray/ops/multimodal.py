@@ -216,6 +216,14 @@ REENCODE_PRESETS: dict[str, dict] = {
     "jpeg": {"downscale": 1, "grayscale": False, "codec": "jpeg", "quality": 85},
     "jpeg_fast": {"downscale": 2, "grayscale": False, "codec": "jpeg",
                   "quality": 60, "subsample": True},
+    # Reference -g jpeg2000 ("-quality 32% -compress JPEG2000",
+    # pdf2pdfocr.py:838, 866-867): keep the original color image under
+    # aggressive lossy compression.  No JPEG2000 codec exists in-repo (or
+    # in the container), so the preset maps the same intent — full-color,
+    # quality 32, chroma-subsampled — onto the real baseline-JPEG encoder;
+    # the parameter surface matches the reference's preset name.
+    "jpeg2000": {"downscale": 1, "grayscale": False, "codec": "jpeg",
+                 "quality": 32, "subsample": True},
 }
 
 

@@ -109,6 +109,16 @@ def test_reencode_presets():
     custom = PageReencodeStage({"downscale": 3})(batch)
     c0 = decode_png(custom.column("image_reencoded").to_pylist()[0])
     assert c0.shape == (10, 14, 3)
+    # jpeg2000 preset (reference -g jpeg2000, pdf2pdfocr.py:838): full
+    # color kept, aggressive lossy compression — smaller than quality-85
+    from pdf2pdfocr_ray.functions.jpegcodec import decode_jpeg
+
+    j2k = PageReencodeStage("jpeg2000")(batch)
+    p = j2k.column("image_reencoded").to_pylist()[0]
+    assert p.startswith(b"\xff\xd8\xff")
+    assert decode_jpeg(p).shape == (30, 40, 3)
+    q85 = PageReencodeStage("jpeg")(batch).column("image_reencoded").to_pylist()[0]
+    assert len(p) < len(q85)
 
 
 def test_audio_video_stub_plumbing():
