@@ -15,10 +15,12 @@ import numpy as np
 from .jpegcodec import decode_jpeg
 from .pngcodec import decode_png
 from .tiffcodec import decode_tiff
+from .webpcodec import decode_webp
 
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 JPEG_MAGIC = b"\xff\xd8\xff"
 TIFF_MAGICS = (b"II*\x00", b"MM\x00*")
+WEBP_RIFF = b"RIFF"
 # Engine-internal uncompressed frame: "RAWB" + h(u32le) + w(u32le) + RGB
 # bytes.  Used for the FUSED fan-out -> OCR handoff where the payload
 # never leaves the actor: PNG deflate there cost ~0.8 ms/page for nothing
@@ -41,6 +43,8 @@ def sniff_image_format(payload: bytes) -> str | None:
         return "tiff"
     if payload.startswith(RAW_MAGIC):
         return "raw"
+    if payload.startswith(WEBP_RIFF) and payload[8:12] == b"WEBP":
+        return "webp"
     return None
 
 
@@ -54,13 +58,17 @@ def decode_image(payload: bytes) -> np.ndarray:
         return decode_jpeg(payload)
     if fmt == "tiff":
         return decode_tiff(payload)[0]
+    if fmt == "webp":
+        # lossless (VP8L) decodes for real; lossy VP8 raises
+        # NotImplementedError out of webpcodec (multimodal strict gate)
+        return decode_webp(payload)
     if fmt == "raw":
         h = int.from_bytes(payload[4:8], "little")
         w = int.from_bytes(payload[8:12], "little")
         if len(payload) < 12 + h * w * 3:
             raise ValueError("truncated RAWB frame")
         return np.frombuffer(payload, np.uint8, h * w * 3, offset=12).reshape(h, w, 3)
-    raise ValueError("unknown image format (not PNG/JPEG/TIFF/RAWB)")
+    raise ValueError("unknown image format (not PNG/JPEG/TIFF/WebP/RAWB)")
 
 
 def decode_image_frames(payload: bytes) -> list[np.ndarray]:

@@ -48,10 +48,10 @@ def _fake_dims(payload: bytes) -> tuple[int, int]:
 class ImageDecodeStage:
     """Actor stage: binary image column -> decoded metadata + luma stats.
 
-    PNG, baseline JPEG, and baseline TIFF decode for REAL (pure-numpy
-    codecs).  Unknown formats (webp/avif/...): stub — ``strict=True``
-    raises NotImplementedError, else deterministic fake dims marked
-    ``stub_decode`` in ``decode_error``."""
+    PNG, JPEG (baseline + progressive), TIFF, and lossless WebP (VP8L)
+    decode for REAL (pure-numpy codecs).  Unknown formats (avif, lossy
+    VP8, ...): stub — ``strict=True`` raises NotImplementedError, else
+    deterministic fake dims marked ``stub_decode`` in ``decode_error``."""
 
     def __init__(self, image_col: str = "image", strict: bool = False):
         self.image_col = image_col
@@ -71,6 +71,13 @@ class ImageDecodeStage:
                     widths.append(img.shape[1]); heights.append(img.shape[0])
                     chans.append(img.shape[2])
                     lumas.append(float(img.mean())); errs.append(None)
+                except NotImplementedError:
+                    # known container, genuinely-absent codec (lossy VP8):
+                    # the strict gate, same as unknown formats below
+                    if self.strict:
+                        raise
+                    widths.append(0); heights.append(0); chans.append(0)
+                    lumas.append(0.0); errs.append(f"{fmt}: stub_decode")
                 except Exception as e:  # noqa: BLE001
                     widths.append(0); heights.append(0); chans.append(0)
                     lumas.append(0.0); errs.append(f"{fmt}: {e}")

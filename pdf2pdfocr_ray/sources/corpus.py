@@ -124,11 +124,12 @@ def _render_scan(rng: np.random.Generator) -> tuple[np.ndarray, str]:
 
 
 def _make_image_doc(rng: np.random.Generator) -> tuple[bytes, str, int]:
-    """One image document: PNG (~50%), baseline JPEG (~20%), progressive
-    JPEG (~10%, the web's dominant large-photo encoding), or multi-frame
-    TIFF (~20%, 2-3 frames -> the S5 fan-out path).  Returns
-    (payload, golden_text, n_pages).  JPEG at quality 95 — lossy but
-    verified above the OCR engine's binarization robustness margin."""
+    """One image document: PNG (~40%), baseline JPEG (~20%), progressive
+    JPEG (~10%, the web's dominant large-photo encoding), lossless WebP
+    (~10%), or multi-frame TIFF (~20%, 2-3 frames -> the S5 fan-out
+    path).  Returns (payload, golden_text, n_pages).  JPEG at quality 95
+    — lossy but verified above the OCR engine's binarization robustness
+    margin; WebP lossless is exact."""
     fmt = rng.random()
     if fmt < 0.2:
         from ..functions.tiffcodec import encode_tiff
@@ -155,6 +156,12 @@ def _make_image_doc(rng: np.random.Generator) -> tuple[bytes, str, int]:
         from ..functions.jpegcodec import encode_jpeg_progressive
 
         return encode_jpeg_progressive(img, quality=95), text, 1
+    if fmt < 0.6:
+        from ..functions.webpcodec import encode_webp
+
+        # palette path: scan pages are few-color, so this exercises the
+        # color-indexing decode (incl. bundled sub-byte widths) for real
+        return encode_webp(img, palette=True), text, 1
     return encode_png(img), text, 1
 
 
@@ -194,7 +201,7 @@ GIANT_EVERY = 150  # every 150th doc is a skewed giant PDF (repartition/skew pat
 
 # Bump when generated content changes — cache keys (bench corpus dirs)
 # embed it so stale corpora from earlier generators never get reused.
-CORPUS_VERSION = "r2"
+CORPUS_VERSION = "r3"  # r3: lossless-WebP image docs (10%)
 
 
 def _gen_doc(i: int, seed: int):

@@ -27,6 +27,10 @@ def sniff_route(batch: pa.Table) -> pa.Table:
     is_img = pc.starts_with(col, pattern=_IMAGE_MAGICS[0])
     for magic in _IMAGE_MAGICS[1:]:
         is_img = pc.or_(is_img, pc.starts_with(col, pattern=magic))
+    # WebP: RIFF container with a WEBP form type at offset 8
+    is_img = pc.or_(
+        is_img, pc.match_substring_regex(col, r"^RIFF(?s:.{4})WEBP")
+    )
     # html: first non-whitespace (or post-BOM) byte is '<' — crawl payloads
     # frequently lead with whitespace or a UTF-8 BOM.
     is_html = pc.match_substring_regex(col, r"^[\s\xef\xbb\xbf]*<")

@@ -171,7 +171,9 @@ def test_sniff_and_dispatch():
     assert sniff_image_format(encode_png(img)) == "png"
     assert sniff_image_format(encode_jpeg(img)) == "jpeg"
     assert sniff_image_format(encode_tiff([img])) == "tiff"
-    assert sniff_image_format(b"RIFF....WEBP") is None
+    # webp is a real format now (webpcodec); non-WEBP RIFF still unknown
+    assert sniff_image_format(b"RIFF....WEBP") == "webp"
+    assert sniff_image_format(b"RIFF....WAVE") is None
     assert decode_image(encode_png(img)).shape == (16, 16, 3)
     assert len(decode_image_frames(encode_tiff([img, img]))) == 2
     with pytest.raises(ValueError):

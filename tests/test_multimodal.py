@@ -39,14 +39,25 @@ def test_decode_stub_and_strict():
     jpeg_like = pa.table({"image": pa.array([b"\xff\xd8\xff\xe0fakejpeg"], pa.binary())})
     out = ImageDecodeStage()(jpeg_like)
     assert out.column("decode_error").to_pylist()[0].startswith("jpeg:")
-    # unknown container format: stub path / strict raises
-    webp_like = pa.table(
-        {"image": pa.array([b"RIFF\x00\x00\x00\x00WEBPVP8 "], pa.binary())}
+    # lossy VP8: known container, genuinely-absent codec -> strict gate
+    lossy = pa.table(
+        {"image": pa.array(
+            [b"RIFF\x10\x00\x00\x00WEBPVP8 \x04\x00\x00\x00\x00\x00\x00\x00"],
+            pa.binary(),
+        )}
     )
-    out = ImageDecodeStage()(webp_like)
+    out = ImageDecodeStage()(lossy)
+    assert out.column("decode_error").to_pylist() == ["webp: stub_decode"]
+    with pytest.raises(NotImplementedError):
+        ImageDecodeStage(strict=True)(lossy)
+    # unknown container format entirely: stub path / strict raises
+    avif_like = pa.table(
+        {"image": pa.array([b"\x00\x00\x00\x20ftypavif...."], pa.binary())}
+    )
+    out = ImageDecodeStage()(avif_like)
     assert out.column("decode_error").to_pylist() == ["stub_decode"]
     with pytest.raises(NotImplementedError):
-        ImageDecodeStage(strict=True)(webp_like)
+        ImageDecodeStage(strict=True)(avif_like)
 
 
 def test_decode_real_jpeg_and_tiff():
