@@ -903,6 +903,41 @@ def _q_paragraph_dedup(sf_dir: str):
     return paragraph_dedup(ds)
 
 
+def _q_normalize_text(sf_dir: str):
+    """Canonical text normalization (NFC + control-strip + whitespace
+    collapse) — oracle applies the identical chain in DuckDB."""
+    from pdf2pdfocr_ray.ops.relational import read
+    from pdf2pdfocr_ray.ops.text_analysis import add_normalize_text
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    return add_normalize_text(ds).select_columns(
+        ["doc_id", "text_norm", "n_chars_norm"]
+    )
+
+
+def _q_source_cap(sf_dir: str):
+    """Per-source quota (domain cap): first 10 docs per source with rank
+    — the ROW_NUMBER window with map-side pruning."""
+    from pdf2pdfocr_ray.ops.relational import source_cap
+
+    return source_cap(sf_dir, n=10)
+
+
+def _q_dedup_jaccard(sf_dir: str):
+    """Exact n-gram-Jaccard verified near-dup pairs (LSH candidates +
+    co-shuffled text verification).  Candidate generation is LSH-internal
+    (not SQL-reproducible) -> rows-only driver check; the planted-pair
+    pytest pins exact values."""
+    import ray.data
+
+    from pdf2pdfocr_ray.ops.dedup import dedup_jaccard
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return dedup_jaccard(ds, threshold=0.5, candidate_threshold=0.4)
+
+
 def _q_pdf_roundtrip(sf_dir: str):
     """Searchable-PDF sink (true S7 parity, judge r2 #2): the sandwich
     pipeline emits a real PDF (raster + invisible text layer, render mode
@@ -1192,6 +1227,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "theta_custkey_sets": _q_theta_custkey_sets,
         "pii_scrub": _q_pii_scrub,
         "paragraph_dedup": _q_paragraph_dedup,
+        "normalize_text": _q_normalize_text,
+        "source_cap": _q_source_cap,
+        "dedup_jaccard": _q_dedup_jaccard,
         "top_events_per_user": _q_top_events_per_user,
         "events_sliding_window": _q_events_sliding_window,
         "orders_rollup": _q_orders_rollup,
@@ -1292,6 +1330,9 @@ def oracle_sql() -> dict[str, str]:
 
 
 def _oracle_sql_static() -> dict[str, str]:
+    from pdf2pdfocr_ray.ops.text_analysis import NORMALIZE_SQL_EXPR
+
+    _NORMALIZE_EXPR = NORMALIZE_SQL_EXPR.format(col="text")
     return {
         "doc_filter": (
             "SELECT doc_id, lang, n_chars FROM documents "
@@ -1524,6 +1565,20 @@ def _oracle_sql_static() -> dict[str, str]:
             "SELECT user_id, event_id, value, ROW_NUMBER() OVER ("
             "PARTITION BY user_id ORDER BY value DESC, event_id) AS rank "
             "FROM events) WHERE rank <= 2"
+        ),
+        # identical NFC + control-strip + whitespace-collapse chain
+        # (text_analysis.NORMALIZE_SQL_EXPR)
+        "normalize_text": (
+            "SELECT doc_id, "
+            + _NORMALIZE_EXPR + " AS text_norm, "
+            "length(" + _NORMALIZE_EXPR + ")::BIGINT AS n_chars_norm "
+            "FROM documents"
+        ),
+        "source_cap": (
+            "SELECT doc_id, source, rank FROM ("
+            "SELECT doc_id, source, ROW_NUMBER() OVER ("
+            "PARTITION BY source ORDER BY doc_id) AS rank "
+            "FROM documents) WHERE rank <= 10"
         ),
         # Real WAV/AVI decode checks: payloads are synthesized from doc_id
         # arithmetic, so the decoded counts/durations are SQL-recomputable

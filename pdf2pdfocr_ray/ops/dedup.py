@@ -416,6 +416,109 @@ def ngram_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
     return len(a & b) / max(1, len(a | b))
 
 
+def dedup_jaccard(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.7,
+    candidate_threshold: float = 0.5,
+    **lsh_kwargs,
+) -> "ray.data.Dataset":
+    """Exact n-gram-Jaccard near-dup pairs: MinHash-LSH candidate
+    generation followed by EXACT word-k-gram Jaccard verification.
+
+    Scale shape (the two-phase fuzzy-dedup standard): the LSH phase
+    shuffles signatures only; the verification phase moves TEXT for the
+    candidate ids alone (orders of magnitude fewer than corpus rows) via
+    two small co-shuffles — never a driver materialization and never a
+    text broadcast:
+
+    1. candidate pairs (id_a, id_b) from :func:`dedup_minhash_lsh` at a
+       looser ``candidate_threshold`` (estimate noise floor);
+    2. pair rows explode to two slot rows keyed by doc id; corpus text
+       rows for candidate ids (semi-join against the worker-built id
+       set) co-shuffle with them on the id -> each slot row picks up its
+       text;
+    3. re-shuffle on the pair key -> both texts land in one group ->
+       exact ``ngram_jaccard``; keep pairs >= ``threshold``.
+
+    Output: (id_a, id_b, est_jaccard, jaccard) with id_a < id_b.
+    """
+    from .grouped import sorted_groupby
+    from .relational import semi_join
+
+    pairs = dedup_minhash_lsh(
+        ds, text_col=text_col, id_col=id_col,
+        threshold=candidate_threshold, **lsh_kwargs,
+    )
+
+    def pair_slots(df: pd.DataFrame) -> pd.DataFrame:
+        # each pair -> two rows keyed by the doc whose text it needs
+        n = len(df)
+        return pd.DataFrame(
+            {
+                "join_id": np.concatenate(
+                    [df["id_a"].to_numpy(), df["id_b"].to_numpy()]
+                ) if n else np.array([], dtype=np.int64),
+                "id_a": np.tile(df["id_a"].to_numpy(), 2),
+                "id_b": np.tile(df["id_b"].to_numpy(), 2),
+                "est_jaccard": np.tile(df["est_jaccard"].to_numpy(), 2),
+                "pair_text": pd.Series([None] * (2 * n), dtype="object"),
+            }
+        )
+
+    slots = pairs.map_batches(pair_slots, batch_format="pandas")
+    # text rows for candidate ids only: worker-built broadcast id set
+    cand_ids = slots.map_batches(
+        lambda df: df[["join_id"]].drop_duplicates(), batch_format="pandas"
+    )
+    cand_texts = semi_join(
+        ds, cand_ids, fact_key=id_col, dim_key="join_id"
+    ).map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "join_id": df[id_col].astype("int64"),
+                "id_a": pd.Series([-1] * len(df), dtype="int64"),
+                "id_b": pd.Series([-1] * len(df), dtype="int64"),
+                "est_jaccard": pd.Series([0.0] * len(df), dtype="float64"),
+                "pair_text": df[text_col].astype("object"),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+    def attach_text(df: pd.DataFrame) -> pd.DataFrame:
+        # groups arrive whole: one text row (id_a == -1) + N slot rows
+        texts = df.loc[df["id_a"] == -1].set_index("join_id")["pair_text"]
+        out = df.loc[df["id_a"] != -1].copy()
+        out["pair_text"] = out["join_id"].map(texts)
+        return out
+
+    with_text = sorted_groupby(
+        slots.union(cand_texts), "join_id", attach_text, partitions=8
+    )
+
+    def verify_block(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for (ia, ib), g in df.groupby(["id_a", "id_b"], sort=False):
+            texts = g.set_index("join_id")["pair_text"]
+            ta, tb = texts.get(ia), texts.get(ib)
+            if ta is None or tb is None:
+                continue
+            j = ngram_jaccard(str(ta), str(tb), k)
+            if j >= threshold:
+                rows.append((ia, ib, float(g["est_jaccard"].iloc[0]), j))
+        return pd.DataFrame(
+            rows, columns=["id_a", "id_b", "est_jaccard", "jaccard"]
+        ).astype(
+            {"id_a": "int64", "id_b": "int64",
+             "est_jaccard": "float64", "jaccard": "float64"}
+        )
+
+    return sorted_groupby(with_text, ["id_a", "id_b"], verify_block, partitions=8)
+
+
 # ------------------------------- embedding near-dup, LSH-bucketed (scale path)
 def embedding_near_dup_lsh(
     ds: "ray.data.Dataset",

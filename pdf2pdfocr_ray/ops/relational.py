@@ -145,12 +145,21 @@ def build_broadcast(ds: "ray.data.Dataset", build_fn):
     lives once in the object store and batch tasks ``ray.get`` it
     (zero-copy for Arrow/numpy).  The driver only moves ObjectRefs —
     replacing the round-1 ``read(...).to_pandas()`` pattern that held the
-    whole dimension in driver memory (grows linearly with sf)."""
+    whole dimension in driver memory (grows linearly with sf).
+
+    Empty upstream blocks can ride through ``map_batches`` untouched with
+    a SCHEMA-LESS Arrow table (Ray skips the transform on them), so the
+    concat drops zero-column tables; if the small side has no
+    schema-bearing block at all, ``build_fn`` receives ``None`` and must
+    return its empty-build value."""
     import ray
 
     @ray.remote
     def _build(*blocks: pa.Table):
-        return build_fn(pa.concat_tables(blocks))
+        real = [t for t in blocks if t.num_columns > 0]
+        if not real:
+            return build_fn(None)
+        return build_fn(pa.concat_tables(real))
 
     return _build.remote(*ds.to_arrow_refs())
 
@@ -174,13 +183,16 @@ def semi_join(
     if dim_ds.count() <= max_broadcast_rows:
         key_col = dim_key
 
-        def keys_of(t: pa.Table):
-            return pc.unique(t.column(key_col))
+        def keys_of(t: pa.Table | None):
+            # None: dim side had no schema-bearing block -> empty key set
+            return pc.unique(t.column(key_col)) if t is not None else None
 
         ref = build_broadcast(dim_ds, keys_of)
 
         def semi(t: pa.Table) -> pa.Table:
             ks = ray.get(ref)
+            if ks is None:
+                return t.slice(0, 0)
             return t.filter(pc.is_in(t[fact_key], value_set=ks))
 
         return fact_ds.map_batches(semi, batch_format="pyarrow")
@@ -223,7 +235,9 @@ def dim_join(
     if dim_ds.count() <= max_broadcast_rows:
         dk, vcols = dim_key, list(value_cols)
 
-        def sorted_dim(t: pa.Table) -> pa.Table:
+        def sorted_dim(t: pa.Table | None) -> pa.Table | None:
+            if t is None:  # no schema-bearing dim block
+                return None
             t = t.select([dk] + vcols).combine_chunks()
             t = t.take(pc.sort_indices(t, sort_keys=[(dk, "ascending")]))
             # distinct by key (keep first) so searchsorted hits are unique
@@ -238,6 +252,10 @@ def dim_join(
 
         def attach(t: pa.Table) -> pa.Table:
             dim = ray.get(ref)
+            if dim is None:  # all value columns null; types unknowable
+                for c in vcols:
+                    t = t.append_column(c, pa.nulls(len(t), pa.null()))
+                return t
             dkeys = dim.column(dk).to_numpy(zero_copy_only=False)
             fkeys = t.column(fact_key).to_numpy(zero_copy_only=False)
             if len(dkeys) == 0:
@@ -815,6 +833,33 @@ def top_events_per_user(sf_dir: str, n: int = 2) -> "ray.data.Dataset":
     )
 
 
+def source_cap(sf_dir: str, n: int = 10) -> "ray.data.Dataset":
+    """Per-source document quota (the domain-cap every web-corpus
+    pipeline applies so no single site dominates training data): keep the
+    first ``n`` docs per ``source`` by ``doc_id``, with the within-source
+    rank.  Same two-phase shape as :func:`top_events_per_user` — map-side
+    head(n) per batch (algebraic: the global first-n is contained in the
+    union of per-batch first-ns), then one groupby shuffle over the
+    pruned ≤ n·|sources|·|batches| rows, never the full corpus."""
+    from .grouped import sorted_groupby
+
+    ds = read(sf_dir, "documents", ["doc_id", "source"])
+
+    def local_prune(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["source", "doc_id"])
+        return df.groupby("source", as_index=False).head(n)
+
+    def cap_block(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["source", "doc_id"])
+        out = df.groupby("source", as_index=False).head(n).copy()
+        out["rank"] = out.groupby("source").cumcount() + 1
+        return out[["doc_id", "source", "rank"]]
+
+    return sorted_groupby(
+        ds.map_batches(local_prune, batch_format="pandas"), "source", cap_block
+    )
+
+
 # --------------------------------------------------------- distinct count
 def user_event_types(sf_dir: str) -> "ray.data.Dataset":
     """count(DISTINCT event_type) per user.  Exact distinct via the same
@@ -862,13 +907,15 @@ def anti_join(
 
     if keys_small.count() <= max_broadcast_rows:
 
-        def keys_of(t: pa.Table):
-            return pc.unique(t.column(kc))
+        def keys_of(t: pa.Table | None):
+            return pc.unique(t.column(kc)) if t is not None else None
 
         ref = build_broadcast(keys_small, keys_of)
 
         def anti(t: pa.Table) -> pa.Table:
             ks = ray.get(ref)
+            if ks is None:  # nothing to exclude
+                return t
             return t.filter(pc.invert(pc.is_in(t[fact_key], value_set=ks)))
 
         return fact_ds.map_batches(anti, batch_format="pyarrow")

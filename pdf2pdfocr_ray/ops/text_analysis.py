@@ -275,6 +275,45 @@ def add_pii_scrub(ds: "ray.data.Dataset", text_col: str = "text") -> "ray.data.D
     )
 
 
+# --------------------------------------------------- text normalization
+# Control characters stripped before whitespace collapse.  Character class
+# chosen to behave identically under Python re and RE2 (DuckDB).
+_CTRL_RE = re.compile(r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]")
+_WS_RE = re.compile(r"[ \t\r\n]+")
+
+NORMALIZE_SQL_EXPR = (
+    "trim(regexp_replace(regexp_replace(nfc_normalize({col}), "
+    r"'[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'), "
+    r"'[ \t\r\n]+', ' ', 'g'), ' ')"
+)
+
+
+def normalize_text(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+    """Canonical text form for downstream hashing/dedup: Unicode NFC,
+    control characters stripped, whitespace runs collapsed to one space,
+    outer spaces trimmed.  Fully vectorized (``Series.str`` kernels); the
+    DuckDB oracle applies the same chain via ``NORMALIZE_SQL_EXPR``.
+    Emits ``text_norm`` + ``n_chars_norm``."""
+    s = batch[text_col].str.normalize("NFC")
+    s = s.str.replace(_CTRL_RE, "", regex=True)
+    s = s.str.replace(_WS_RE, " ", regex=True).str.strip(" ")
+    out = batch.copy()
+    out["text_norm"] = s
+    out["n_chars_norm"] = s.str.len().astype("int64")
+    return out
+
+
+def add_normalize_text(
+    ds: "ray.data.Dataset", text_col: str = "text"
+) -> "ray.data.Dataset":
+    import functools
+
+    return ds.map_batches(
+        functools.partial(normalize_text, text_col=text_col),
+        batch_format="pandas",
+    )
+
+
 # ----------------------------------------------- paragraph-level dedup
 def paragraph_dedup(
     ds: "ray.data.Dataset", text_col: str = "text", id_col: str = "doc_id"

@@ -499,3 +499,54 @@ def test_group_quantile_sketch_accuracy(ray_session):
             est = out.loc[g, c]
             rank = np.searchsorted(vals, est) / n
             assert abs(rank - q) < 0.03, (g, q, est, rank)
+
+
+def test_dedup_jaccard_exact_verification(doc_ds):
+    """LSH candidates -> co-shuffled EXACT n-gram-Jaccard verification:
+    exact dups verify at 1.0, near-dups at their true (independently
+    computed) Jaccard, and the verified set never exceeds the candidates."""
+    from pdf2pdfocr_ray.ops.dedup import dedup_jaccard, ngram_jaccard
+
+    ds, df = doc_ds
+    out = dedup_jaccard(ds, threshold=0.5, candidate_threshold=0.4).to_pandas()
+    got = {tuple(sorted(p)): j for p, j in
+           zip(zip(out["id_a"], out["id_b"]), out["jaccard"])}
+    texts = dict(zip(df["doc_id"], df["text"]))
+    for j in range(5):
+        assert got[(j, 100 + j)] == 1.0  # exact dup verifies at 1.0
+        near = got[(j, 110 + j)]
+        # matches the kernel computed directly on the two texts
+        assert near == pytest.approx(ngram_jaccard(texts[j], texts[110 + j]))
+        assert 0.5 <= near < 1.0
+    # every emitted pair meets the exact threshold
+    assert (out["jaccard"] >= 0.5).all()
+
+
+def test_normalize_text_chain():
+    from pdf2pdfocr_ray.ops.text_analysis import normalize_text
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                "á  b\tc",      # combining acute -> NFC á; ws collapse
+                " lead \x00mid\x1f trail \n",  # control strip + trim
+                "",
+            ],
+        }
+    )
+    out = normalize_text(df)
+    assert out["text_norm"].tolist() == ["á b c", "lead mid trail", ""]
+    assert out["n_chars_norm"].tolist() == [5, 14, 0]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_source_cap_quota():
+    from pdf2pdfocr_ray.ops.relational import source_cap
+
+    out = source_cap("/root/testdata/sf0.001", n=3).to_pandas()
+    assert (out.groupby("source").size() <= 3).all()
+    assert set(out["rank"]) <= {1, 2, 3}
+    # deterministic: first-n by doc_id within each source
+    for src, g in out.groupby("source"):
+        assert g.sort_values("rank")["doc_id"].is_monotonic_increasing
