@@ -938,6 +938,24 @@ def _q_dedup_jaccard(sf_dir: str):
     return dedup_jaccard(ds, threshold=0.5, candidate_threshold=0.4)
 
 
+def _q_vocab_counts(sf_dir: str):
+    """Corpus vocabulary with map-side combining (wordcount shape)."""
+    from pdf2pdfocr_ray.ops.relational import read
+    from pdf2pdfocr_ray.ops.text_analysis import vocab_counts
+
+    ds = read(sf_dir, "documents", ["text"])
+    return vocab_counts(ds, min_count=2)
+
+
+def _q_hash_split(sf_dir: str):
+    """Deterministic md5-bucket train/test split (pure map, no shuffle)."""
+    from pdf2pdfocr_ray.ops.relational import read
+    from pdf2pdfocr_ray.ops.text_analysis import hash_split
+
+    ds = read(sf_dir, "documents", ["doc_id"])
+    return hash_split(ds, test_permille=100).select_columns(["doc_id", "split"])
+
+
 def _q_pdf_roundtrip(sf_dir: str):
     """Searchable-PDF sink (true S7 parity, judge r2 #2): the sandwich
     pipeline emits a real PDF (raster + invisible text layer, render mode
@@ -1230,6 +1248,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_text": _q_normalize_text,
         "source_cap": _q_source_cap,
         "dedup_jaccard": _q_dedup_jaccard,
+        "vocab_counts": _q_vocab_counts,
+        "hash_split": _q_hash_split,
         "top_events_per_user": _q_top_events_per_user,
         "events_sliding_window": _q_events_sliding_window,
         "orders_rollup": _q_orders_rollup,
@@ -1579,6 +1599,20 @@ def _oracle_sql_static() -> dict[str, str]:
             "SELECT doc_id, source, ROW_NUMBER() OVER ("
             "PARTITION BY source ORDER BY doc_id) AS rank "
             "FROM documents) WHERE rank <= 10"
+        ),
+        # same \S+ tokenization: split on whitespace runs, drop empties
+        "vocab_counts": (
+            "SELECT term, count(*)::BIGINT AS n FROM ("
+            "SELECT unnest(string_split_regex(lower(text), '\\s+')) AS term "
+            "FROM documents) WHERE term <> '' "
+            "GROUP BY term HAVING count(*) >= 2"
+        ),
+        # md5('split1' || doc_id) first 8 bytes big-endian mod 1000 < 100
+        "hash_split": (
+            "SELECT doc_id, CASE WHEN "
+            "('0x' || substr(md5('split1' || doc_id), 1, 16))::UBIGINT "
+            "% 1000 < 100 THEN 'test' ELSE 'train' END AS split "
+            "FROM documents"
         ),
         # Real WAV/AVI decode checks: payloads are synthesized from doc_id
         # arithmetic, so the decoded counts/durations are SQL-recomputable

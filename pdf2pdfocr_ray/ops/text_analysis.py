@@ -314,6 +314,68 @@ def add_normalize_text(
     )
 
 
+# ------------------------------------------------- vocabulary building
+def vocab_counts(
+    ds: "ray.data.Dataset", text_col: str = "text", min_count: int = 1
+) -> "ray.data.Dataset":
+    """Corpus-wide term frequencies (the tokenizer-training / vocab-prune
+    pass): whitespace tokens lowercased, counted with MAP-SIDE COMBINING
+    (each batch pre-aggregates to its distinct terms) so the groupby
+    shuffle carries |vocab_per_batch| rows, not |tokens| — the classic
+    wordcount pre-aggregation.  Emits (term, n) with n >= ``min_count``."""
+    from .grouped import sorted_groupby
+
+    def partial_counts(df: pd.DataFrame) -> pd.DataFrame:
+        toks = (
+            df[text_col].str.lower().str.findall(_TOKEN_RE).explode().dropna()
+        )
+        vc = toks.value_counts()
+        return pd.DataFrame(
+            {"term": vc.index.astype("object"), "n": vc.to_numpy("int64")}
+        )
+
+    def merge_counts(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("term", as_index=False)["n"].sum()
+        return g[g["n"] >= min_count]
+
+    return sorted_groupby(
+        ds.map_batches(partial_counts, batch_format="pandas"),
+        "term",
+        merge_counts,
+    )
+
+
+# ------------------------------------------------ hash-based data split
+def hash_split(
+    ds: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    test_permille: int = 100,
+    seed: str = "split1",
+) -> "ray.data.Dataset":
+    """Deterministic train/test assignment (the every-pipeline split op):
+    ``md5(seed || id) mod 1000 < test_permille`` -> test.  Pure map — no
+    shuffle, stable under re-runs and resharding, reproducible in SQL.
+    Emits ``split`` ('train' | 'test')."""
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        buckets = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.md5((seed + str(i)).encode()).digest()[:8], "big"
+                )
+                % 1000
+                for i in df[id_col]
+            ),
+            dtype=np.int64,
+            count=len(df),
+        )
+        out["split"] = np.where(buckets < test_permille, "test", "train")
+        return out
+
+    return ds.map_batches(assign, batch_format="pandas")
+
+
 # ----------------------------------------------- paragraph-level dedup
 def paragraph_dedup(
     ds: "ray.data.Dataset", text_col: str = "text", id_col: str = "doc_id"

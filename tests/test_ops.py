@@ -550,3 +550,44 @@ def test_source_cap_quota():
     # deterministic: first-n by doc_id within each source
     for src, g in out.groupby("source"):
         assert g.sort_values("rank")["doc_id"].is_monotonic_increasing
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_vocab_counts_map_side_combine():
+    import ray.data
+
+    from pdf2pdfocr_ray.ops.text_analysis import vocab_counts
+
+    df = pd.DataFrame({"text": ["a b a", "B c", "a  c\nd"]})
+    out = vocab_counts(ray.data.from_pandas(df).repartition(3)).to_pandas()
+    got = dict(zip(out["term"], out["n"]))
+    assert got == {"a": 3, "b": 2, "c": 2, "d": 1}  # lowercased, summed
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hash_split_deterministic():
+    import hashlib
+
+    import ray.data
+
+    from pdf2pdfocr_ray.ops.text_analysis import hash_split
+
+    df = pd.DataFrame({"doc_id": range(2000)})
+    out = hash_split(
+        ray.data.from_pandas(df).repartition(4), test_permille=100
+    ).to_pandas()
+    # matches the definition exactly
+    for i, s in zip(out["doc_id"], out["split"]):
+        b = int.from_bytes(
+            hashlib.md5(("split1" + str(i)).encode()).digest()[:8], "big"
+        ) % 1000
+        assert s == ("test" if b < 100 else "train")
+    # ~10% test rate
+    frac = (out["split"] == "test").mean()
+    assert 0.06 < frac < 0.14
+    # stable under resharding
+    again = hash_split(
+        ray.data.from_pandas(df).repartition(13), test_permille=100
+    ).to_pandas().sort_values("doc_id")
+    assert (again["split"].to_numpy()
+            == out.sort_values("doc_id")["split"].to_numpy()).all()
