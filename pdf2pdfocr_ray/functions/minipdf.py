@@ -358,8 +358,9 @@ def build_scanned_pdf(
     reference rasterizes these via pdftoppm, pdf2pdfocr.py:56-75).
 
     ``frames``: per page, ``("jpeg", jpeg_bytes, w, h)`` -> /DCTDecode
-    XObject carrying the JPEG verbatim, or ``("gray", ndarray)`` ->
-    8-bit /DeviceGray /FlateDecode samples."""
+    XObject carrying the JPEG verbatim, ``("gray", ndarray)`` ->
+    8-bit /DeviceGray /FlateDecode samples, or ``("g4", bilevel_ndarray)``
+    -> 1-bit /CCITTFaxDecode K=-1 (Group 4) via the in-repo T.6 coder."""
     import zlib as _zlib
 
     objs: list[bytes] = []
@@ -392,6 +393,21 @@ def build_scanned_pdf(
                 b"/Filter /FlateDecode /Length %d >>\nstream\n"
                 % (w, h, len(comp))
                 + comp
+                + b"\nendstream"
+            )
+        elif frame[0] == "g4":
+            from .ccitt import encode_g4
+
+            arr = frame[1]
+            h, w = arr.shape[:2]
+            payload = encode_g4(arr)
+            img_no = add(
+                b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "
+                b"/ColorSpace /DeviceGray /BitsPerComponent 1 "
+                b"/Filter /CCITTFaxDecode "
+                b"/DecodeParms << /K -1 /Columns %d /Rows %d >> "
+                b"/Length %d >>\nstream\n" % (w, h, w, h, len(payload))
+                + payload
                 + b"\nendstream"
             )
         else:

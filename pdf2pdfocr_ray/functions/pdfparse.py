@@ -617,10 +617,13 @@ class PdfDocument:
 
         * /DCTDecode (possibly after earlier filters) -> the JPEG bytes
           verbatim, routed to the in-repo jpegcodec via the image sniffer;
+        * /CCITTFaxDecode with /K < 0 (Group 4 — the dominant scanned-
+          document encoding) -> decoded by the in-repo T.6 codec
+          (functions/ccitt.py), honoring /BlackIs1 and /EncodedByteAlign;
         * /FlateDecode or identity 8-bit /DeviceGray / /DeviceRGB raw
           samples -> the engine's RAWB frame encoding.
 
-        Unsupported encodings (CCITT, JBIG2, other colorspaces) are
+        Unsupported encodings (G3 CCITT, JBIG2, other colorspaces) are
         skipped — callers fall back to their no-image behavior."""
         out: list[bytes] = []
         res = self.resolve(page.get("Resources"))
@@ -650,8 +653,39 @@ class PdfDocument:
                         raw = zlib.decompress(raw)
                     out.append(raw)
                     continue
+                if filters and filters[-1] == "CCITTFaxDecode":
+                    parms = self.resolve(s.dict.get("DecodeParms")) or {}
+                    if isinstance(parms, list):
+                        parms = self.resolve(parms[-1]) or {}
+                    if int(self.resolve(parms.get("K")) or 0) >= 0:
+                        continue  # G3 (1-D / mixed): not supported
+                    raw = s.raw
+                    for f in filters[:-1]:
+                        if f != "FlateDecode":
+                            raise ValueError(f"unsupported pre-filter /{f}")
+                        raw = zlib.decompress(raw)
+                    import numpy as np
+
+                    from .ccitt import decode_g4
+                    from .imagecodec import encode_raw
+
+                    w = int(self.resolve(parms.get("Columns")) or 1728)
+                    h = int(self.resolve(s.dict.get("Height")) or 0)
+                    if not h:
+                        continue
+                    gray = decode_g4(
+                        raw, w, h,
+                        black_is_1=bool(self.resolve(parms.get("BlackIs1"))),
+                        byte_align=bool(
+                            self.resolve(parms.get("EncodedByteAlign"))
+                        ),
+                    )
+                    out.append(
+                        encode_raw(np.repeat(gray[:, :, None], 3, axis=2))
+                    )
+                    continue
                 if any(f != "FlateDecode" for f in filters):
-                    continue  # CCITT/JBIG2/...: not supported, skip
+                    continue  # JBIG2/...: not supported, skip
                 samples = s.data()
                 w = int(self.resolve(s.dict.get("Width")) or 0)
                 h = int(self.resolve(s.dict.get("Height")) or 0)

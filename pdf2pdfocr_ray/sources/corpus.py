@@ -201,7 +201,8 @@ GIANT_EVERY = 150  # every 150th doc is a skewed giant PDF (repartition/skew pat
 
 # Bump when generated content changes — cache keys (bench corpus dirs)
 # embed it so stale corpora from earlier generators never get reused.
-CORPUS_VERSION = "r3"  # r3: lossless-WebP image docs (10%)
+CORPUS_VERSION = "r3b"  # r3: WebP image docs; r3b: scanned-page PDFs
+# (DCT / gray-Flate / CCITT-G4 embedded images, 2% of docs)
 
 
 def _gen_doc(i: int, seed: int):
@@ -212,10 +213,12 @@ def _gen_doc(i: int, seed: int):
         kind = "pdf_giant"
     elif r < 0.70:
         kind = "html"
-    elif r < 0.87:
+    elif r < 0.85:
         kind = "pdf"
-    elif r < 0.90:
+    elif r < 0.88:
         kind = "pdf_foreign"
+    elif r < 0.90:
+        kind = "pdf_scanned"
     elif r < 0.95:
         kind = "image"
     else:
@@ -251,6 +254,38 @@ def _gen_doc(i: int, seed: int):
         golden = "".join(
             normalize_ligatures("\n".join(ls)) + "\n" for ls in pages_lines
         )
+        route, error = "pdf", None
+    elif kind == "pdf_scanned":
+        # scanned-page PDF: every page is one embedded image XObject
+        # (no text) in one of the three real-world encodings — DCTDecode
+        # JPEG, 8-bit gray Flate, or CCITT Group 4 — exercising
+        # pdfparse.page_image_payloads end-to-end in the flagship.
+        from ..functions.jpegcodec import encode_jpeg
+        from ..functions.minipdf import build_scanned_pdf
+
+        n_pages = int(rng.integers(1, 3))
+        frames, parts = [], []
+        for _ in range(n_pages):
+            lines = [_pdf_line(rng) for _ in range(int(rng.integers(1, 4)))]
+            img = render_page(lines, dpi=72)
+            enc = rng.random()
+            if enc < 0.34:
+                frames.append(
+                    ("jpeg", encode_jpeg(img, quality=95),
+                     img.shape[1], img.shape[0])
+                )
+            elif enc < 0.67:
+                frames.append(
+                    ("gray", img.mean(axis=2).astype(np.uint8))
+                )
+            else:
+                bil = np.where(img.mean(axis=2) < 128, 0, 255).astype(
+                    np.uint8
+                )
+                frames.append(("g4", bil))
+            parts.append(normalize_ligatures("\n".join(lines)) + "\n")
+        payload = build_scanned_pdf(frames)
+        golden = "".join(parts)
         route, error = "pdf", None
     elif kind == "image":
         payload, golden, n_pages = _make_image_doc(rng)
