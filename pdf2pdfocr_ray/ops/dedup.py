@@ -178,12 +178,14 @@ def dedup_minhash_lsh(
     """
     import functools
 
+    from .grouped import stage_pool
+
     rows_per_band = num_perm // bands
     sigs = ds.map_batches(
         MinHasher,
         fn_constructor_kwargs={"num_perm": num_perm},
         batch_format="pandas",
-        concurrency=(1, 4),
+        concurrency=stage_pool(),
     )
     if text_col != "text":
         raise ValueError("minhash expects a 'text' column")

@@ -39,6 +39,17 @@ def _default_partitions() -> int:
     return int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
 
 
+def stage_pool() -> tuple[int, int]:
+    """Default actor-pool bounds for stateful batch stages: scale the cap
+    with the cluster instead of a fixed 4 (a 4-actor ceiling left a
+    13s-of-CPU MinHash stage running 4-wide on a 32-core node), but stay
+    below full width so the read/shuffle stages never starve."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return (1, max(4, cpus - max(2, cpus // 8)))
+
+
 def combined_groupby_agg(
     ds: "ray.data.Dataset",
     keys: list[str] | str,

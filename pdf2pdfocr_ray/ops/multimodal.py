@@ -287,24 +287,28 @@ def reencode_pages(
     ds: "ray.data.Dataset",
     preset: str | dict = "best",
     image_col: str = "image",
-    concurrency=(1, 4),
+    concurrency=None,
     batch_size: int = 16,
 ) -> "ray.data.Dataset":
+    from .grouped import stage_pool
+
     return ds.map_batches(
         PageReencodeStage,
         fn_constructor_kwargs={"preset": preset, "image_col": image_col},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=concurrency or stage_pool(),
     )
 
 
 def decode_images(ds: "ray.data.Dataset", image_col: str = "image",
-                  concurrency=(1, 4), batch_size: int = 16) -> "ray.data.Dataset":
+                  concurrency=None, batch_size: int = 16) -> "ray.data.Dataset":
+    from .grouped import stage_pool
+
     return ds.map_batches(
         ImageDecodeStage,
         fn_constructor_kwargs={"image_col": image_col},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=concurrency or stage_pool(),
     )

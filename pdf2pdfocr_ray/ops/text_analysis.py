@@ -230,11 +230,17 @@ def add_winnow_fingerprint(
 
 
 def add_quality(ds: "ray.data.Dataset") -> "ray.data.Dataset":
-    return ds.map_batches(QualityScorer, batch_format="pandas", concurrency=(1, 4))
+    from .grouped import stage_pool
+
+    return ds.map_batches(QualityScorer, batch_format="pandas",
+                          concurrency=stage_pool())
 
 
 def add_lang_id(ds: "ray.data.Dataset") -> "ray.data.Dataset":
-    return ds.map_batches(LangId, batch_format="pandas", concurrency=(1, 4))
+    from .grouped import stage_pool
+
+    return ds.map_batches(LangId, batch_format="pandas",
+                          concurrency=stage_pool())
 
 
 # ------------------------------------------------------------- PII scrub
