@@ -133,6 +133,12 @@ BENCH_QUERIES = [
     "paragraph_dedup",
     "events_sliding_window",
     "top_events_per_user",
+    # round-3 additions: exact-verified fuzzy dedup, normalization,
+    # per-source quota, vocabulary build
+    "dedup_jaccard",
+    "normalize_text",
+    "source_cap",
+    "vocab_counts",
 ]
 
 

@@ -104,3 +104,26 @@ def test_scanned_pdf_ccitt_image_extracted():
     from pdf2pdfocr_ray.functions.ocr_core import recognize_page
 
     assert [l.text for l in recognize_page(img, 2)] == ["Fax Encoded Page 42"]
+
+
+# ------------------------------------------------------- property-based
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.data())
+    def test_g4_roundtrip_property(data):
+        h = data.draw(st.integers(1, 24))
+        w = data.draw(st.integers(1, 48))
+        rows = data.draw(
+            st.lists(
+                st.lists(st.booleans(), min_size=w, max_size=w),
+                min_size=h, max_size=h,
+            )
+        )
+        img = np.where(np.array(rows, bool), 0, 255).astype(np.uint8)
+        assert (decode_g4(encode_g4(img), w, h) == img).all()
+
+except ImportError:  # pragma: no cover
+    pass

@@ -363,3 +363,28 @@ def test_decode_stage_accepts_webp():
     assert out.column("width").to_pylist() == [9]
     assert out.column("height").to_pylist() == [12]
     assert out.column("decode_error").to_pylist() == [None]
+
+
+# ------------------------------------------------------- property-based
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.data())
+    def test_vp8l_roundtrip_property(data):
+        h = data.draw(st.integers(1, 16))
+        w = data.draw(st.integers(1, 16))
+        seed = data.draw(st.integers(0, 2**31))
+        n_colors = data.draw(st.integers(1, 300))
+        palette = data.draw(st.booleans())
+        sub_green = data.draw(st.booleans())
+        rng = np.random.default_rng(seed)
+        pal = rng.integers(0, 256, (n_colors, 3)).astype(np.uint8)
+        img = pal[rng.integers(0, n_colors, (h, w))]
+        out = decode_webp(encode_webp(img, palette=palette,
+                                      subtract_green=sub_green and not palette))
+        assert (out == img).all()
+
+except ImportError:  # pragma: no cover
+    pass
