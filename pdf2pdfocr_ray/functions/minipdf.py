@@ -359,8 +359,10 @@ def build_scanned_pdf(
 
     ``frames``: per page, ``("jpeg", jpeg_bytes, w, h)`` -> /DCTDecode
     XObject carrying the JPEG verbatim, ``("gray", ndarray)`` ->
-    8-bit /DeviceGray /FlateDecode samples, or ``("g4", bilevel_ndarray)``
-    -> 1-bit /CCITTFaxDecode K=-1 (Group 4) via the in-repo T.6 coder."""
+    8-bit /DeviceGray /FlateDecode samples, ``("g4", bilevel_ndarray)``
+    -> 1-bit /CCITTFaxDecode K=-1 (Group 4) via the in-repo T.6 coder,
+    or ``("jbig2", bilevel_ndarray)`` -> /JBIG2Decode embedded generic
+    region (MQ template-0 arithmetic, functions/jbig2.py)."""
     import zlib as _zlib
 
     objs: list[bytes] = []
@@ -407,6 +409,20 @@ def build_scanned_pdf(
                 b"/Filter /CCITTFaxDecode "
                 b"/DecodeParms << /K -1 /Columns %d /Rows %d >> "
                 b"/Length %d >>\nstream\n" % (w, h, w, h, len(payload))
+                + payload
+                + b"\nendstream"
+            )
+        elif frame[0] == "jbig2":
+            from .jbig2 import encode_jbig2_embedded
+
+            arr = frame[1]
+            h, w = arr.shape[:2]
+            payload = encode_jbig2_embedded(arr)
+            img_no = add(
+                b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "
+                b"/ColorSpace /DeviceGray /BitsPerComponent 1 "
+                b"/Filter /JBIG2Decode /Length %d >>\nstream\n"
+                % (w, h, len(payload))
                 + payload
                 + b"\nendstream"
             )

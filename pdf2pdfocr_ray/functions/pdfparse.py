@@ -684,8 +684,35 @@ class PdfDocument:
                         encode_raw(np.repeat(gray[:, :, None], 3, axis=2))
                     )
                     continue
+                if filters and filters[-1] == "JBIG2Decode":
+                    parms = self.resolve(s.dict.get("DecodeParms")) or {}
+                    if isinstance(parms, list):
+                        parms = self.resolve(parms[-1]) or {}
+                    gstream = self.resolve(parms.get("JBIG2Globals"))
+                    gdata = (
+                        gstream.data()
+                        if isinstance(gstream, PdfStream)
+                        else b""
+                    )
+                    raw = s.raw
+                    for f in filters[:-1]:
+                        if f != "FlateDecode":
+                            raise ValueError(f"unsupported pre-filter /{f}")
+                        raw = zlib.decompress(raw)
+                    import numpy as np
+
+                    from .imagecodec import encode_raw
+                    from .jbig2 import decode_jbig2_embedded
+
+                    # generic regions decode; symbol/text-coded streams
+                    # raise and fall through to the skip path
+                    gray = decode_jbig2_embedded(raw, gdata)
+                    out.append(
+                        encode_raw(np.repeat(gray[:, :, None], 3, axis=2))
+                    )
+                    continue
                 if any(f != "FlateDecode" for f in filters):
-                    continue  # JBIG2/...: not supported, skip
+                    continue  # unsupported filter: skip
                 samples = s.data()
                 w = int(self.resolve(s.dict.get("Width")) or 0)
                 h = int(self.resolve(s.dict.get("Height")) or 0)

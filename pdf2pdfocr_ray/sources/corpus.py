@@ -201,8 +201,8 @@ GIANT_EVERY = 150  # every 150th doc is a skewed giant PDF (repartition/skew pat
 
 # Bump when generated content changes — cache keys (bench corpus dirs)
 # embed it so stale corpora from earlier generators never get reused.
-CORPUS_VERSION = "r3b"  # r3: WebP image docs; r3b: scanned-page PDFs
-# (DCT / gray-Flate / CCITT-G4 embedded images, 2% of docs)
+CORPUS_VERSION = "r3c"  # r3: WebP image docs; r3b/c: scanned-page PDFs
+# (DCT / gray-Flate / CCITT-G4 / JBIG2 embedded images, 2% of docs)
 
 
 def _gen_doc(i: int, seed: int):
@@ -257,9 +257,10 @@ def _gen_doc(i: int, seed: int):
         route, error = "pdf", None
     elif kind == "pdf_scanned":
         # scanned-page PDF: every page is one embedded image XObject
-        # (no text) in one of the three real-world encodings — DCTDecode
-        # JPEG, 8-bit gray Flate, or CCITT Group 4 — exercising
-        # pdfparse.page_image_payloads end-to-end in the flagship.
+        # (no text) in one of the four real-world encodings — DCTDecode
+        # JPEG, 8-bit gray Flate, CCITT Group 4, or JBIG2 generic region
+        # — exercising pdfparse.page_image_payloads end-to-end in the
+        # flagship.
         from ..functions.jpegcodec import encode_jpeg
         from ..functions.minipdf import build_scanned_pdf
 
@@ -269,12 +270,12 @@ def _gen_doc(i: int, seed: int):
             lines = [_pdf_line(rng) for _ in range(int(rng.integers(1, 4)))]
             img = render_page(lines, dpi=72)
             enc = rng.random()
-            if enc < 0.34:
+            if enc < 0.25:
                 frames.append(
                     ("jpeg", encode_jpeg(img, quality=95),
                      img.shape[1], img.shape[0])
                 )
-            elif enc < 0.67:
+            elif enc < 0.5:
                 frames.append(
                     ("gray", img.mean(axis=2).astype(np.uint8))
                 )
@@ -282,7 +283,7 @@ def _gen_doc(i: int, seed: int):
                 bil = np.where(img.mean(axis=2) < 128, 0, 255).astype(
                     np.uint8
                 )
-                frames.append(("g4", bil))
+                frames.append(("g4" if enc < 0.75 else "jbig2", bil))
             parts.append(normalize_ligatures("\n".join(lines)) + "\n")
         payload = build_scanned_pdf(frames)
         golden = "".join(parts)

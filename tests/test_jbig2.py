@@ -1,0 +1,119 @@
+"""JBIG2 generic regions + MQ coder: roundtrips, TPGDON decode,
+segment-layer behavior, and the scanned-PDF extraction path."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from pdf2pdfocr_ray.functions.jbig2 import (
+    decode_generic_arith,
+    decode_jbig2_embedded,
+    encode_generic_arith,
+    encode_jbig2_embedded,
+)
+from pdf2pdfocr_ray.functions.mq import MQDecoder, MQEncoder
+
+
+def test_mq_roundtrip_mixed_contexts():
+    rng = np.random.default_rng(11)
+    for p in (0.02, 0.3, 0.5, 0.97):
+        bits = (rng.random(4000) < p).astype(int)
+        cxs = rng.integers(0, 9, 4000).astype(int)
+        enc = MQEncoder(9)
+        for c, b in zip(cxs, bits):
+            enc.encode(int(c), int(b))
+        dec = MQDecoder(enc.flush(), 9)
+        assert [dec.decode(int(c)) for c in cxs] == bits.tolist()
+
+
+def test_generic_region_roundtrip_shapes():
+    rng = np.random.default_rng(2)
+    for h, w, p in [(1, 1, 0.5), (3, 40, 0.2), (25, 25, 0.5), (12, 7, 0.9)]:
+        bits = (rng.random((h, w)) < p).astype(np.uint8)
+        assert (
+            decode_generic_arith(encode_generic_arith(bits), w, h) == bits
+        ).all()
+
+
+def test_tpgdon_typical_rows():
+    """Hand-encode a TPGDON stream: LTP toggles decoded from context
+    0x9B25, a typical row copies the row above."""
+    from pdf2pdfocr_ray.functions.jbig2 import _TPGDON_CTX, _context0
+
+    bits = np.array([[1, 0, 1, 0], [1, 0, 1, 0], [0, 1, 1, 0]], np.uint8)
+    enc = MQEncoder(1 << 16)
+    ltp = 0
+    for y in range(3):
+        typical = y == 1  # row 1 == row 0
+        if typical != ltp:
+            enc.encode(_TPGDON_CTX, 1)
+            ltp = typical
+        else:
+            enc.encode(_TPGDON_CTX, 0)
+        if not typical:
+            for x in range(4):
+                enc.encode(_context0(bits, x, y, ((3,-1),(-3,-1),(2,-2),(-2,-2))), int(bits[y, x]))
+    out = decode_generic_arith(enc.flush(), 4, 3, tpgdon=True)
+    assert (out == bits).all()
+
+
+@pytest.mark.parametrize("mmr", [False, True])
+def test_embedded_roundtrip(mmr):
+    rng = np.random.default_rng(4)
+    img = np.where(rng.random((21, 33)) < 0.3, 0, 255).astype(np.uint8)
+    out = decode_jbig2_embedded(encode_jbig2_embedded(img, mmr=mmr))
+    assert (out == img).all()
+
+
+def test_unsupported_segment_types_raise():
+    # symbol dictionary (type 0) must raise, not mis-decode
+    seg = struct.pack(">IB", 0, 0) + b"\x00\x01" + struct.pack(">I", 2) + b"\x00\x00"
+    with pytest.raises(ValueError, match="symbol/text"):
+        decode_jbig2_embedded(seg)
+    with pytest.raises(ValueError):
+        decode_jbig2_embedded(b"\x00\x01")  # truncated header
+
+
+def test_region_offset_compositions():
+    """Region placed at (x, y) inside a larger page ORs onto the page."""
+    inner = np.zeros((2, 3), np.uint8)
+    inner[0, 0] = inner[1, 2] = 1
+
+    def segment(num, stype, body):
+        return (
+            struct.pack(">IB", num, stype) + b"\x00\x01"
+            + struct.pack(">I", len(body)) + body
+        )
+
+    page_body = struct.pack(">IIII", 8, 6, 0, 0) + struct.pack(">BH", 0, 0)
+    at = b"".join(bytes([a & 0xFF, b & 0xFF]) for a, b in
+                  ((3, -1), (-3, -1), (2, -2), (-2, -2)))
+    region_body = (
+        struct.pack(">IIII", 3, 2, 4, 3) + b"\x00" + b"\x00" + at
+        + encode_generic_arith(inner)
+    )
+    data = segment(0, 48, page_body) + segment(1, 39, region_body)
+    out = decode_jbig2_embedded(data)
+    assert out.shape == (6, 8)
+    exp = np.full((6, 8), 255, np.uint8)
+    exp[3, 4] = 0
+    exp[4, 6] = 0
+    assert (out == exp).all()
+
+
+def test_scanned_pdf_jbig2_extracted():
+    from pdf2pdfocr_ray.functions.imagecodec import decode_image
+    from pdf2pdfocr_ray.functions.minipdf import build_scanned_pdf, parse_pdf
+    from pdf2pdfocr_ray.functions.ocr_core import recognize_page
+    from pdf2pdfocr_ray.functions.pagerender import render_page
+
+    page = render_page(["Jbig Two Page 7"], dpi=72)
+    bil = np.where(page.mean(axis=2) < 128, 0, 255).astype(np.uint8)
+    pdf = build_scanned_pdf([("jbig2", bil)])
+    doc = parse_pdf(pdf)
+    payload = doc.pages[0].image_bytes
+    assert payload is not None
+    img = decode_image(payload)
+    assert (img == np.repeat(bil[:, :, None], 3, axis=2)).all()
+    assert [l.text for l in recognize_page(img, 2)] == ["Jbig Two Page 7"]
