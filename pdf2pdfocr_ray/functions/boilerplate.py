@@ -9,7 +9,10 @@ Algorithm (deterministic, jusText/readability-style, stdlib-only):
    blocks never double-count their children's text;
 3. a closed block is classified **content** iff
    - no ancestor is a boilerplate container (nav/header/footer/aside/form/
-     script/style/noscript/template/button/select/option/iframe), and
+     script/style/noscript/template/button/select/option/iframe) — and text
+     that ARRIVES while inside a boilerplate tag is never attributed at
+     all, so junk nested inside a content container can't leak into it —
+     and
    - its collapsed text has >= MIN_CHARS characters, and
    - its link density (chars inside <a> / total chars) < MAX_LINK_DENSITY;
 4. output = content blocks in document order joined by "\\n\\n", each block's
@@ -136,7 +139,11 @@ class _Extractor(HTMLParser):
         self.kept.append((blk.order, text))
 
     def handle_data(self, data):
-        if not data or not self.block_stack:
+        # text arriving inside a boilerplate ancestor (a <script> nested
+        # in an <article>, style rules, nav text) is never attributed —
+        # without this, junk nested inside a content container leaks into
+        # the container's own block
+        if not data or not self.block_stack or self.bad_depth > 0:
             return
         blk = self.block_stack[-1]
         blk.chars.append(data)

@@ -173,6 +173,14 @@ def _html_paragraph(rng: np.random.Generator) -> str:
 
 
 def _make_html_doc(rng: np.random.Generator) -> tuple[bytes, str]:
+    """One synthetic web page + its golden main text.
+
+    Pages vary the way real crawl HTML does — inline markup inside
+    paragraphs, script/style/comment junk between blocks, blockquote
+    content, unclosed tags, uppercase tag names, entities — while the
+    golden stays hand-derivable: it is always the collapsed text of the
+    content blocks in document order ("\\n\\n"-joined), never computed by
+    the extractor under test."""
     paras = [_html_paragraph(rng) for _ in range(int(rng.integers(2, 7)))]
     nav_items = "".join(
         f'<li><a href="/{w}">{w}</a></li>' for w in ("home", "about", "contact", "blog")
@@ -181,28 +189,60 @@ def _make_html_doc(rng: np.random.Generator) -> tuple[bytes, str]:
         f'<a href="/t/{i}">{_words(rng, HTML_VOCAB, 2)}</a> ' for i in range(6)
     )
     title = _words(rng, HTML_VOCAB, 3)
+    variant = rng.random()
     body = [
         f"<html><head><title>{title}</title></head><body>",
         f"<header><h1>{title}</h1></header>",
         f"<nav><ul>{nav_items}</ul></nav>",
         "<article>",
     ]
+    golden_parts = []
     for p in paras:
-        body.append(f"  <p>\n    {p.replace('&', '&amp;')}\n  </p>")
+        text = p  # golden text of this block (markup-free, collapsed)
+        markup = p.replace("&", "&amp;")
+        if variant < 0.25:
+            # inline markup: bold the first word, em-dash entity appended
+            first, _, rest = markup.partition(" ")
+            markup = f"<b>{first}</b> {rest} &#8212; more"
+            text = f"{p} — more"
+        elif variant < 0.45:
+            # junk between/inside blocks: comments, script, style
+            body.append("<!-- ad slot 3 -->")
+            body.append("<script>var x = '<p>not text</p>';</script>")
+            body.append("<style>p { color: red }</style>")
+        elif variant < 0.6:
+            # messy real-world markup: unclosed <p>, uppercase tags
+            body.append(f"  <P CLASS='lead'>\n    {markup}")
+            golden_parts.append(text)
+            continue
+        body.append(f"  <p>\n    {markup}\n  </p>")
+        golden_parts.append(text)
+    if variant >= 0.6 and variant < 0.8:
+        # blockquote content block after the paragraphs + a short list
+        # (items < MIN_CHARS are dropped by the extractor)
+        q = _html_paragraph(rng)
+        body.append(f"<blockquote>{q.replace('&', '&amp;')}</blockquote>")
+        body.append("<ul><li>tiny</li><li>items</li></ul>")
+        golden_parts.append(q)
     body.append("</article>")
     body.append(f"<aside><div>{farm}</div></aside>")
     body.append("<footer><div>© 2026 example.org</div></footer>")
     body.append("</body></html>")
     html = "\n".join(body)
-    return html.encode("utf-8"), "\n\n".join(paras)
+    payload = html.encode("utf-8")
+    if variant >= 0.8:
+        payload = b"\xef\xbb\xbf\n  " + payload  # BOM + leading whitespace
+    return payload, "\n\n".join(golden_parts)
 
 
 GIANT_EVERY = 150  # every 150th doc is a skewed giant PDF (repartition/skew path)
 
 # Bump when generated content changes — cache keys (bench corpus dirs)
 # embed it so stale corpora from earlier generators never get reused.
-CORPUS_VERSION = "r3c"  # r3: WebP image docs; r3b/c: scanned-page PDFs
-# (DCT / gray-Flate / CCITT-G4 / JBIG2 embedded images, 2% of docs)
+CORPUS_VERSION = "r3d"  # r3: WebP image docs; r3b/c: scanned-page PDFs
+# (DCT / gray-Flate / CCITT-G4 / JBIG2 embedded images, 2% of docs);
+# r3d: realistic HTML variants (inline markup, nested script junk,
+# blockquotes, unclosed tags, BOM payloads)
 
 
 def _gen_doc(i: int, seed: int):

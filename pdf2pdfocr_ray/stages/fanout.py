@@ -119,7 +119,8 @@ class FanOut:
                 continue
             if route == ROUTE_HTML:
                 try:
-                    text = extract_main_text(payload.decode("utf-8"))
+                    # utf-8-sig: crawl payloads often lead with a BOM
+                    text = extract_main_text(payload.decode("utf-8-sig"))
                     emit(url, ts, route, 0, 1, 0, None, text, None)
                 except Exception as e:  # noqa: BLE001 — row-level isolation
                     emit(url, ts, route, 0, 1, 0, None, None, f"html_parse: {e}")

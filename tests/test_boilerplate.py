@@ -66,3 +66,26 @@ def test_charrefs_decoded():
 def test_empty_and_textless():
     assert extract_main_text("") == ""
     assert extract_main_text("<body><nav><a href='/'>x</a></nav></body>") == ""
+
+
+def test_script_nested_in_content_container_never_leaks():
+    """Regression: junk inside <script>/<style> nested WITHIN a content
+    block (here <article>) used to be attributed to the container block
+    and emitted as content."""
+    from pdf2pdfocr_ray.functions.boilerplate import extract_main_text
+
+    html = (
+        "<article>"
+        "<script>var x = '<p>not text</p>'; longer junk here junk</script>"
+        "<style>p { color: red; margin: 0 auto too long }</style>"
+        "<p>The only real paragraph of this page, long enough to keep.</p>"
+        "some stray article tail text that is long enough to keep too"
+        "</article>"
+    )
+    out = extract_main_text(html)
+    # block order is OPEN order: the <article> block (carrying its stray
+    # direct text) opened before the <p>
+    assert out == (
+        "some stray article tail text that is long enough to keep too\n\n"
+        "The only real paragraph of this page, long enough to keep."
+    )
