@@ -956,6 +956,47 @@ def _q_hash_split(sf_dir: str):
     return hash_split(ds, test_permille=100).select_columns(["doc_id", "split"])
 
 
+def _q_url_canonicalize(sf_dir: str):
+    """URL canonicalization (crawl-dedup prerequisite).  URLs are
+    synthesized deterministically from doc_id — the same construction in
+    the DuckDB oracle — so the full rule chain is value-checked, same
+    trick as pii_scrub's augmented text."""
+    import pandas as pd
+
+    from pdf2pdfocr_ray.ops.relational import read
+    from pdf2pdfocr_ray.ops.text_analysis import canonicalize_urls
+
+    ds = read(sf_dir, "documents", ["doc_id"])
+
+    def synth(batch: pd.DataFrame) -> pd.DataFrame:
+        i = batch["doc_id"]
+        batch = batch.copy()
+        batch["url"] = (
+            "https://www.site" + (i % 7).astype(str) + ".org:80/p/"
+            + i.astype(str)
+            + (i % 3).map({0: "/?utm_source=feed&x=1", 1: "#sec2", 2: "/"})
+        )
+        return batch
+
+    out = ds.map_batches(synth, batch_format="pandas").map_batches(
+        canonicalize_urls, batch_format="pandas"
+    )
+    return out.select_columns(["doc_id", "url_canon"])
+
+
+def _q_repetition_signals(sf_dir: str):
+    """Gopher repetition filters (top-bigram / dup-5gram char fractions).
+    Not SQL-expressible (n-gram coverage) -> rows-only; pytest pins
+    exact values on constructed docs."""
+    from pdf2pdfocr_ray.ops.relational import read
+    from pdf2pdfocr_ray.ops.text_analysis import add_repetition_signals
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    return add_repetition_signals(ds).select_columns(
+        ["doc_id", "top_bigram_frac", "dup_5gram_frac"]
+    )
+
+
 def _q_pdf_roundtrip(sf_dir: str):
     """Searchable-PDF sink (true S7 parity, judge r2 #2): the sandwich
     pipeline emits a real PDF (raster + invisible text layer, render mode
@@ -1250,6 +1291,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_jaccard": _q_dedup_jaccard,
         "vocab_counts": _q_vocab_counts,
         "hash_split": _q_hash_split,
+        "url_canonicalize": _q_url_canonicalize,
+        "repetition_signals": _q_repetition_signals,
         "top_events_per_user": _q_top_events_per_user,
         "events_sliding_window": _q_events_sliding_window,
         "orders_rollup": _q_orders_rollup,
@@ -1350,9 +1393,13 @@ def oracle_sql() -> dict[str, str]:
 
 
 def _oracle_sql_static() -> dict[str, str]:
-    from pdf2pdfocr_ray.ops.text_analysis import NORMALIZE_SQL_EXPR
+    from pdf2pdfocr_ray.ops.text_analysis import (
+        NORMALIZE_SQL_EXPR,
+        URL_CANON_SQL_EXPR,
+    )
 
     _NORMALIZE_EXPR = NORMALIZE_SQL_EXPR.format(col="text")
+    _URL_CANON_EXPR = URL_CANON_SQL_EXPR.format(col="url")
     return {
         "doc_filter": (
             "SELECT doc_id, lang, n_chars FROM documents "
@@ -1606,6 +1653,15 @@ def _oracle_sql_static() -> dict[str, str]:
             "SELECT unnest(string_split_regex(lower(text), '\\s+')) AS term "
             "FROM documents) WHERE term <> '' "
             "GROUP BY term HAVING count(*) >= 2"
+        ),
+        # same synthesized URLs + the identical 8-step regexp chain
+        # (text_analysis.URL_CANON_SQL_EXPR)
+        "url_canonicalize": (
+            "WITH u AS (SELECT doc_id, 'https://www.site' || (doc_id % 7) "
+            "|| '.org:80/p/' || doc_id || CASE doc_id % 3 "
+            "WHEN 0 THEN '/?utm_source=feed&x=1' WHEN 1 THEN '#sec2' "
+            "ELSE '/' END AS url FROM documents) "
+            "SELECT doc_id, " + _URL_CANON_EXPR + " AS url_canon FROM u"
         ),
         # md5('split1' || doc_id) first 8 bytes big-endian mod 1000 < 100
         "hash_split": (

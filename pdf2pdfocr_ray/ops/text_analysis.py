@@ -320,6 +320,100 @@ def add_normalize_text(
     )
 
 
+# ------------------------------------------------ URL canonicalization
+# The crawl-dedup prerequisite: strip scheme, www., tracking params,
+# fragments, default ports, trailing slash.  Patterns RE2-compatible so
+# the DuckDB oracle applies the identical chain.
+_URL_RULES: list[tuple[str, str]] = [
+    (r"^https?://", ""),
+    (r"^www\.", ""),
+    (r"#.*$", ""),
+    (r"(?:&|\?)(?:utm_[a-z]+|fbclid|gclid|ref)=[^&]*", ""),
+    (r"^([^?]*)&", r"\1?"),  # first surviving param regains its '?'
+    (r"\?$", ""),
+    (r":80(/|$)", r"\1"),
+    (r"/$", ""),
+]
+_URL_RES = [(re.compile(p), r) for p, r in _URL_RULES]
+
+
+def canonicalize_urls(batch: pd.DataFrame, url_col: str = "url") -> pd.DataFrame:
+    """Vectorized URL canonicalization; emits ``url_canon``."""
+    s = batch[url_col]
+    for pat, rep in _URL_RES:
+        s = s.str.replace(pat, rep, regex=True)
+    out = batch.copy()
+    out["url_canon"] = s
+    return out
+
+
+URL_CANON_SQL_EXPR = (
+    "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+    "regexp_replace(regexp_replace(regexp_replace(regexp_replace({col}, "
+    "'^https?://', ''), "
+    "'^www\\.', ''), "
+    "'#.*$', ''), "
+    "'(&|\\?)(utm_[a-z]+|fbclid|gclid|ref)=[^&]*', '', 'g'), "
+    "'^([^?]*)&', '\\1?'), "
+    "'\\?$', ''), "
+    "':80(/|$)', '\\1'), "
+    "'/$', '')"
+)
+
+
+# ------------------------------------------- Gopher repetition signals
+def repetition_signals(
+    batch: pd.DataFrame, text_col: str = "text"
+) -> pd.DataFrame:
+    """Gopher-style intra-document repetition filters (beyond
+    dup_line_frac in QualityScorer): the fraction of characters inside
+    the single most-frequent word bigram (``top_bigram_frac``) and the
+    fraction of characters covered by duplicated word 5-grams
+    (``dup_5gram_frac``).  Vectorized per batch: one tokenize, n-gram
+    assembly via shifted arrays, pandas grouped counts."""
+    tops, dups = [], []
+    for t in batch[text_col]:
+        toks = t.split()
+        n = len(toks)
+        if n < 5:
+            tops.append(0.0)
+            dups.append(0.0)
+            continue
+        arr = np.array(toks, dtype=object)
+        lens = np.fromiter((len(w) for w in toks), np.int64, n)
+        total_chars = max(1, int(lens.sum()))
+        big = pd.Series(arr[:-1]) + " " + pd.Series(arr[1:])
+        vc = big.value_counts()
+        top_count = int(vc.iloc[0]) if len(vc) else 0
+        top_chars = (len(vc.index[0]) - 1) * top_count if top_count > 1 else 0
+        tops.append(min(1.0, top_chars / total_chars))
+        g5 = big
+        for k in range(2, 5):
+            g5 = g5.iloc[: n - k].reset_index(drop=True) + " " + pd.Series(
+                arr[k : n]
+            ).reset_index(drop=True)
+        counts = g5.map(g5.value_counts())
+        covered = np.zeros(n, bool)
+        for i in np.nonzero(counts.to_numpy() > 1)[0]:
+            covered[i : i + 5] = True
+        dups.append(float(lens[covered].sum()) / total_chars)
+    out = batch.copy()
+    out["top_bigram_frac"] = pd.Series(tops, index=batch.index, dtype="float64")
+    out["dup_5gram_frac"] = pd.Series(dups, index=batch.index, dtype="float64")
+    return out
+
+
+def add_repetition_signals(
+    ds: "ray.data.Dataset", text_col: str = "text"
+) -> "ray.data.Dataset":
+    import functools
+
+    return ds.map_batches(
+        functools.partial(repetition_signals, text_col=text_col),
+        batch_format="pandas",
+    )
+
+
 # ------------------------------------------------- vocabulary building
 def vocab_counts(
     ds: "ray.data.Dataset", text_col: str = "text", min_count: int = 1

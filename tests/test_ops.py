@@ -591,3 +591,54 @@ def test_hash_split_deterministic():
     ).to_pandas().sort_values("doc_id")
     assert (again["split"].to_numpy()
             == out.sort_values("doc_id")["split"].to_numpy()).all()
+
+
+def test_repetition_signals_pinned_values():
+    from pdf2pdfocr_ray.ops.text_analysis import repetition_signals
+
+    df = pd.DataFrame(
+        {
+            "text": [
+                # "buy now" x5: top bigram "now buy" or "buy now" (4 or 5
+                # occurrences); every 5-gram duplicated -> full coverage
+                "buy now buy now buy now buy now buy now",
+                "each word here appears exactly once in this sentence",
+                "short one",
+                # one duplicated 5-gram covering 6 of 8 tokens:
+                "a b c d e junk1 a b c d e junk2".replace("junk1", "q w").replace("junk2", "z"),
+            ]
+        }
+    )
+    out = repetition_signals(df)
+    assert out["top_bigram_frac"][0] == 1.0  # "buy now"*5: 6*5 = 30/30 chars
+    assert out["dup_5gram_frac"][0] == 1.0
+    assert out["top_bigram_frac"][1] == 0.0
+    assert out["dup_5gram_frac"][1] == 0.0
+    assert out["top_bigram_frac"][2] == 0.0  # < 5 tokens
+    # row 3: tokens a b c d e q w a b c d e z -> "a b c d e" duplicated,
+    # covers 10 single-char tokens of 13 total chars 10+1+1+1=13
+    assert out["dup_5gram_frac"][3] == pytest.approx(10 / 13)
+
+
+def test_canonicalize_urls_rules():
+    from pdf2pdfocr_ray.ops.text_analysis import canonicalize_urls
+
+    df = pd.DataFrame(
+        {
+            "url": [
+                "https://www.example.org/path/?utm_source=x&id=3#frag",
+                "http://example.org:80/page/",
+                "https://site.com/a?ref=tw",
+                "https://site.com/a?keep=1&utm_campaign=z",
+                "http://plain.org",
+            ]
+        }
+    )
+    out = canonicalize_urls(df)["url_canon"].tolist()
+    assert out == [
+        "example.org/path/?id=3",
+        "example.org/page",
+        "site.com/a",
+        "site.com/a?keep=1",
+        "plain.org",
+    ]
