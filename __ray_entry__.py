@@ -938,6 +938,14 @@ def _q_dedup_jaccard(sf_dir: str):
     return dedup_jaccard(ds, threshold=0.5, candidate_threshold=0.4)
 
 
+def _q_crawl_delta(sf_dir: str):
+    """Snapshot diff between two derived crawls: added / deleted /
+    changed / unchanged per url, digests-only shuffle."""
+    from pdf2pdfocr_ray.ops.relational import crawl_delta
+
+    return crawl_delta(sf_dir)
+
+
 def _q_vocab_counts(sf_dir: str):
     """Corpus vocabulary with map-side combining (wordcount shape)."""
     from pdf2pdfocr_ray.ops.relational import read
@@ -1413,6 +1421,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_cap": _q_source_cap,
         "dedup_jaccard": _q_dedup_jaccard,
         "vocab_counts": _q_vocab_counts,
+        "crawl_delta": _q_crawl_delta,
         "hash_split": _q_hash_split,
         "url_canonicalize": _q_url_canonicalize,
         "repetition_signals": _q_repetition_signals,
@@ -1786,6 +1795,23 @@ def _oracle_sql_static() -> dict[str, str]:
             "WHEN 0 THEN '/?utm_source=feed&x=1' WHEN 1 THEN '#sec2' "
             "ELSE '/' END AS url FROM documents) "
             "SELECT doc_id, " + _URL_CANON_EXPR + " AS url_canon FROM u"
+        ),
+        # CDC snapshot diff: both snapshots derive from documents by
+        # doc_id arithmetic; digests are md5 over utf-8 text (DuckDB md5()
+        # hashes the same bytes), so the status column is fully
+        # SQL-reproducible.
+        "crawl_delta": (
+            "WITH a AS (SELECT doc_id, md5(text) AS dig FROM documents "
+            "WHERE doc_id % 7 <> 0), "
+            "b AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 "
+            "THEN md5(text || 'v2') ELSE md5(text) END AS dig "
+            "FROM documents WHERE doc_id % 11 <> 3) "
+            "SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id, "
+            "CASE WHEN a.doc_id IS NULL THEN 'added' "
+            "WHEN b.doc_id IS NULL THEN 'deleted' "
+            "WHEN a.dig <> b.dig THEN 'changed' "
+            "ELSE 'unchanged' END AS status "
+            "FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id"
         ),
         # md5('split1' || doc_id) first 8 bytes big-endian mod 1000 < 100
         "hash_split": (

@@ -1112,3 +1112,79 @@ def orders_rollup(sf_dir: str) -> "ray.data.Dataset":
     # because the concat'd object column holds pd.NA, which astype rejects
     out["year"] = pd.to_numeric(out["year"], errors="coerce").astype("float64")
     return out[["o_orderpriority", "year", "n_orders", "sum_price"]]
+
+
+# ----------------------------------------------------- crawl snapshot delta
+def crawl_delta(sf_dir: str) -> "ray.data.Dataset":
+    """Snapshot diff between two crawls of the same url space (the CDC
+    step a recurring Common-Crawl ingest needs before re-extracting: only
+    'added'/'changed' rows re-enter the OCR/strip pipeline).
+
+    Two snapshots are derived deterministically from ``documents``:
+      old  = docs with doc_id % 7 != 0,  digest = md5(text)
+      new  = docs with doc_id % 11 != 3, digest = md5(text || 'v2') when
+             doc_id % 5 == 0 (a simulated content edit) else md5(text)
+
+    Physical plan: each side is a pure map emitting (doc_id, digest, side)
+    — 33-byte rows regardless of document size (the text NEVER shuffles) —
+    then ONE sorted_groupby on doc_id classifies each url group (1-2 rows)
+    into added / deleted / changed / unchanged with a vectorized outer
+    merge.  At 10^12 rows this is a single hash-range exchange of fixed
+    ~50B/row; the expensive re-extraction downstream then touches only the
+    delta.  (The reference has no incremental mode — its safe-mode skip,
+    pdf2pdfocr.py:1161-1167, is the single-file analog.)
+    """
+    import hashlib
+
+    from .grouped import sorted_groupby
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def snapshots(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy()
+        digs = np.array(
+            [hashlib.md5(t.encode("utf-8")).hexdigest() for t in df["text"]],
+            dtype=object,
+        )
+        new_digs = digs.copy()
+        for i in np.flatnonzero(ids % 5 == 0):
+            new_digs[i] = hashlib.md5(
+                (df["text"].iat[i] + "v2").encode("utf-8")
+            ).hexdigest()
+        old_mask = ids % 7 != 0
+        new_mask = ids % 11 != 3
+        return pd.concat(
+            [
+                pd.DataFrame(
+                    {"doc_id": ids[old_mask], "dig": digs[old_mask], "side": "old"}
+                ),
+                pd.DataFrame(
+                    {"doc_id": ids[new_mask], "dig": new_digs[new_mask], "side": "new"}
+                ),
+            ],
+            ignore_index=True,
+        )
+
+    def classify(df: pd.DataFrame) -> pd.DataFrame:
+        old = df.loc[df["side"] == "old", ["doc_id", "dig"]].rename(
+            columns={"dig": "old_dig"}
+        )
+        new = df.loc[df["side"] == "new", ["doc_id", "dig"]].rename(
+            columns={"dig": "new_dig"}
+        )
+        m = old.merge(new, on="doc_id", how="outer")
+        status = np.select(
+            [
+                m["old_dig"].isna().to_numpy(),
+                m["new_dig"].isna().to_numpy(),
+                (m["old_dig"] != m["new_dig"]).to_numpy(),
+            ],
+            ["added", "deleted", "changed"],
+            default="unchanged",
+        )
+        return pd.DataFrame(
+            {"doc_id": m["doc_id"].astype("int64"), "status": status}
+        )
+
+    tagged = ds.map_batches(snapshots, batch_format="pandas")
+    return sorted_groupby(tagged, "doc_id", classify)

@@ -642,3 +642,35 @@ def test_canonicalize_urls_rules():
         "site.com/a?keep=1",
         "plain.org",
     ]
+
+
+def test_crawl_delta_statuses(ray_session):
+    """Every status must be re-derivable from the doc_id arithmetic that
+    defines the two snapshots; text edits (doc_id%5==0) show as 'changed'
+    only where BOTH snapshots contain the url."""
+    import pandas as pd
+
+    from pdf2pdfocr_ray.ops.relational import crawl_delta, read
+
+    out = crawl_delta("/root/testdata/sf0.001").to_pandas()
+    ids = read("/root/testdata/sf0.001", "documents", ["doc_id"]).to_pandas()[
+        "doc_id"
+    ]
+    in_old = set(ids[ids % 7 != 0])
+    in_new = set(ids[ids % 11 != 3])
+    assert set(out["doc_id"]) == in_old | in_new
+    by_id = dict(zip(out["doc_id"], out["status"]))
+    for i in in_new - in_old:
+        assert by_id[i] == "added"
+    for i in in_old - in_new:
+        assert by_id[i] == "deleted"
+    both = in_old & in_new
+    # an edited doc in both snapshots is 'changed'; an unedited one is
+    # 'unchanged' unless another doc shares its text (md5 equality is
+    # content-based, and edits append 'v2' so digests always differ)
+    for i in both:
+        if i % 5 == 0:
+            assert by_id[i] == "changed"
+        else:
+            assert by_id[i] == "unchanged"
+    assert (out.groupby("doc_id").size() == 1).all()
