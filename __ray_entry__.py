@@ -938,6 +938,14 @@ def _q_dedup_jaccard(sf_dir: str):
     return dedup_jaccard(ds, threshold=0.5, candidate_threshold=0.4)
 
 
+def _q_doc_blocklist(sf_dir: str):
+    """Content-hash blocklist purge via Bloom-prefiltered exact anti-join
+    (definitely-clean rows bypass the join; candidates exact-verified)."""
+    from pdf2pdfocr_ray.ops.relational import doc_blocklist_filter
+
+    return doc_blocklist_filter(sf_dir)
+
+
 def _q_crawl_delta(sf_dir: str):
     """Snapshot diff between two derived crawls: added / deleted /
     changed / unchanged per url, digests-only shuffle."""
@@ -1422,6 +1430,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_jaccard": _q_dedup_jaccard,
         "vocab_counts": _q_vocab_counts,
         "crawl_delta": _q_crawl_delta,
+        "doc_blocklist": _q_doc_blocklist,
         "hash_split": _q_hash_split,
         "url_canonicalize": _q_url_canonicalize,
         "repetition_signals": _q_repetition_signals,
@@ -1795,6 +1804,13 @@ def _oracle_sql_static() -> dict[str, str]:
             "WHEN 0 THEN '/?utm_source=feed&x=1' WHEN 1 THEN '#sec2' "
             "ELSE '/' END AS url FROM documents) "
             "SELECT doc_id, " + _URL_CANON_EXPR + " AS url_canon FROM u"
+        ),
+        # Bloom prefilter + exact verify == plain anti-join (no false
+        # negatives; false positives removed by the exact step), so the
+        # oracle is the straight NOT IN over content hashes.
+        "doc_blocklist": (
+            "SELECT doc_id FROM documents WHERE md5(text) NOT IN "
+            "(SELECT md5(text) FROM documents WHERE doc_id % 13 = 0)"
         ),
         # CDC snapshot diff: both snapshots derive from documents by
         # doc_id arithmetic; digests are md5 over utf-8 text (DuckDB md5()

@@ -1188,3 +1188,89 @@ def crawl_delta(sf_dir: str) -> "ray.data.Dataset":
 
     tagged = ds.map_batches(snapshots, batch_format="pandas")
     return sorted_groupby(tagged, "doc_id", classify)
+
+
+# ------------------------------------------------- bloom-prefiltered anti-join
+def bloom_anti_join(
+    fact_ds_fn,
+    fact_key: str,
+    keys_ds: "ray.data.Dataset",
+    key_col: str,
+    m_bits: int = 1 << 23,
+    k: int = 5,
+    max_broadcast_rows: int = 2_000_000,
+) -> "ray.data.Dataset":
+    """Exact blocklist anti-join with a Bloom prefilter (the scale path
+    when the key side exceeds broadcast size): a distributed-built Bloom
+    bitmap (``sketches.bloom_build``) is broadcast once via ``ray.put``;
+    rows probing negative are DEFINITELY clean (no false negatives) and
+    bypass the join entirely; only positive-probing rows — true members
+    plus the small FP fraction — enter the exact ``anti_join``, so the
+    wide path (broadcast is_in or SMJ shuffle) sees ~|blocked| rows, not
+    |fact|.  Exactness: FPs are removed by the exact verify, FNs don't
+    exist, so the result equals a plain anti-join.
+
+    ``fact_ds_fn`` is a zero-arg constructor for the fact Dataset: the op
+    intentionally scans the (column-pruned) fact input twice — once for
+    the clean branch, once for candidates — because at cluster scale two
+    pruned scans are far cheaper than shuffling the full fact table, and
+    sharing one scan across both branches would force a mid-pipeline
+    materialization of the whole input.
+    """
+    import ray
+
+    from .sketches import bloom_build, bloom_contains
+
+    regs_ref = ray.put(bloom_build(keys_ds, key_col, m_bits, k))
+
+    def split(flagged: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            hit = bloom_contains(
+                ray.get(regs_ref), t.column(fact_key).to_pylist(), m_bits, k
+            )
+            return t.filter(pa.array(hit if flagged else ~hit))
+
+        return fn
+
+    clean = fact_ds_fn().map_batches(split(False), batch_format="pyarrow")
+    candidates = fact_ds_fn().map_batches(split(True), batch_format="pyarrow")
+    survivors = anti_join(
+        candidates, keys_ds, fact_key, key_col, max_broadcast_rows
+    )
+    return clean.union(survivors)
+
+
+def doc_blocklist_filter(sf_dir: str) -> "ray.data.Dataset":
+    """Content-hash blocklist purge: drop every document whose md5(text)
+    appears in a blocklist built from docs with doc_id % 13 == 0 (so
+    docs sharing text with a blocked doc are removed too — the semantics
+    of an NCMEC/spam hash-list filter).  Bloom-prefiltered exact path."""
+    import hashlib
+
+    import ray.data
+
+    def with_digest(t: pa.Table) -> pa.Table:
+        digs = [
+            hashlib.md5(x.encode("utf-8")).hexdigest()
+            for x in t.column("text").to_pylist()
+        ]
+        return t.append_column("dig", pa.array(digs, pa.string()))
+
+    def fact():
+        return (
+            ray.data.read_parquet(
+                f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+            )
+            .map_batches(with_digest, batch_format="pyarrow")
+            .select_columns(["doc_id", "dig"])
+        )
+
+    def blocked_only(t: pa.Table) -> pa.Table:
+        t = t.filter(pa.array(t.column("doc_id").to_numpy() % 13 == 0))
+        return with_digest(t).select(["dig"])
+
+    block = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(blocked_only, batch_format="pyarrow")
+    out = bloom_anti_join(fact, "dig", block, "dig")
+    return out.select_columns(["doc_id"])

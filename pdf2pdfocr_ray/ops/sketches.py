@@ -17,6 +17,7 @@ from typing import TYPE_CHECKING
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 if TYPE_CHECKING:
     import ray.data
@@ -450,3 +451,67 @@ def group_quantile_sketch(
     return sorted_groupby(
         ds.map_batches(partial, batch_format="pandas"), key, merge_block
     )
+
+
+# ------------------------------------------------------------ Bloom filter
+def _bloom_positions(values, m_bits: int, k: int) -> np.ndarray:
+    """(k, n) bit positions via double hashing: pos_i = h1 + i*h2 mod m.
+    h1 carries the full 64-bit blake2b entropy; h2 is an odd derivative so
+    the k probes cycle through distinct slots."""
+    h1 = _hash64(values)
+    h2 = (h1 >> np.uint64(17)) | np.uint64(1)
+    i = np.arange(k, dtype=np.uint64)[:, None]
+    return (h1[None, :] + i * h2[None, :]) % np.uint64(m_bits)
+
+
+def bloom_build(
+    ds: "ray.data.Dataset", col: str, m_bits: int = 1 << 23, k: int = 5
+) -> np.ndarray:
+    """Distributed Bloom-filter build: map-side partial bitmaps (one
+    ``m_bits/8``-byte uint64 array per input block, bits set vectorized),
+    a combiner level OR-merging 32 partials per task, final OR on the
+    driver.  Driver traffic is ``ceil(blocks/32)`` bitmaps of m_bits/8
+    bytes — at 2^23 bits that is 1 MiB per 32 input blocks, independent of
+    row count.  No false negatives ever; FP rate ≈ (1-e^(-k*n/m))^k.
+    """
+    words = m_bits >> 6
+
+    def partial(t: pa.Table) -> pa.Table:
+        regs = np.zeros(words, np.uint64)
+        if len(t):
+            pos = _bloom_positions(t.column(col).to_pylist(), m_bits, k).ravel()
+            np.bitwise_or.at(
+                regs,
+                (pos >> np.uint64(6)).astype(np.int64),
+                np.uint64(1) << (pos & np.uint64(63)),
+            )
+        return pa.table({"regs": pa.array([regs.tobytes()], pa.large_binary())})
+
+    def or_merge(t: pa.Table) -> pa.Table:
+        acc = np.zeros(words, np.uint64)
+        for buf in t.column("regs").to_pylist():
+            acc |= np.frombuffer(buf, np.uint64)
+        return pa.table({"regs": pa.array([acc.tobytes()], pa.large_binary())})
+
+    parts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .map_batches(or_merge, batch_format="pyarrow", batch_size=32)
+        .take_all()
+    )
+    out = np.zeros(words, np.uint64)
+    for row in parts:
+        out |= np.frombuffer(row["regs"], np.uint64)
+    return out
+
+
+def bloom_contains(
+    regs: np.ndarray, values, m_bits: int, k: int
+) -> np.ndarray:
+    """Vectorized membership probe: True = possibly present (FP rate per
+    ``bloom_build``), False = DEFINITELY absent."""
+    n = len(values)
+    if n == 0:
+        return np.zeros(0, bool)
+    pos = _bloom_positions(values, m_bits, k)
+    bits = (regs[(pos >> np.uint64(6)).astype(np.int64)] >> (pos & np.uint64(63))) & np.uint64(1)
+    return bits.all(axis=0)

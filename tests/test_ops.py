@@ -674,3 +674,58 @@ def test_crawl_delta_statuses(ray_session):
         else:
             assert by_id[i] == "unchanged"
     assert (out.groupby("doc_id").size() == 1).all()
+
+
+def test_bloom_filter_mechanics(ray_session):
+    """No false negatives ever; FP rate within ~4x of the analytic bound;
+    merge is order-free (bitmap OR)."""
+    import math
+
+    import numpy as np
+    import ray.data
+
+    from pdf2pdfocr_ray.ops.sketches import bloom_build, bloom_contains
+
+    members = [f"key-{i}" for i in range(5000)]
+    ds = ray.data.from_items([{"k": m} for m in members]).repartition(8)
+    m_bits, k = 1 << 17, 5
+    regs = bloom_build(ds, "k", m_bits=m_bits, k=k)
+    assert bloom_contains(regs, members, m_bits, k).all()  # zero FN
+    probes = [f"other-{i}" for i in range(20000)]
+    fp = bloom_contains(regs, probes, m_bits, k).mean()
+    bound = (1 - math.exp(-k * len(members) / m_bits)) ** k
+    assert fp <= 4 * bound + 1e-9, (fp, bound)
+
+
+def test_bloom_anti_join_equals_exact(ray_session):
+    """bloom_anti_join(fact, keys) must equal the plain exact anti_join,
+    FPs and all — including with a broadcast threshold of 0 (forcing the
+    SMJ fallback for the candidate branch)."""
+    import ray.data
+
+    from pdf2pdfocr_ray.ops.relational import anti_join, bloom_anti_join
+
+    fact_rows = [{"fk": f"v{i % 700}", "payload": i} for i in range(3000)]
+    key_rows = [{"kc": f"v{i}"} for i in range(0, 700, 3)]
+
+    def fact():
+        return ray.data.from_items(fact_rows).repartition(4)
+
+    keys = ray.data.from_items(key_rows).repartition(2)
+    expect = (
+        anti_join(fact(), keys, "fk", "kc")
+        .to_pandas()
+        .sort_values("payload")
+        .reset_index(drop=True)
+    )
+    for mbr in (2_000_000, 0):  # broadcast path, then forced SMJ fallback
+        got = (
+            bloom_anti_join(fact, "fk", keys, "kc", m_bits=1 << 12, k=3,
+                            max_broadcast_rows=mbr)
+            .to_pandas()
+            .sort_values("payload")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got[expect.columns.tolist()], expect, check_dtype=False
+        )
