@@ -938,6 +938,30 @@ def _q_dedup_jaccard(sf_dir: str):
     return dedup_jaccard(ds, threshold=0.5, candidate_threshold=0.4)
 
 
+def _q_compression_signal(sf_dir: str):
+    """zlib compressibility quality signal (CCNet-style).  No SQL zlib ->
+    rows-only driver check; pinned values live in pytest."""
+    from pdf2pdfocr_ray.ops.relational import read
+    from pdf2pdfocr_ray.ops.text_analysis import add_compression_signals
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    return add_compression_signals(ds).select_columns(
+        ["doc_id", "compress_ratio", "is_repetitive"]
+    )
+
+
+def _q_lm_score(sf_dir: str):
+    """Char-trigram LM perplexity scoring (model built once per actor).
+    Model inference is not SQL-expressible -> rows-only driver check."""
+    from pdf2pdfocr_ray.ops.relational import read
+    from pdf2pdfocr_ray.ops.text_analysis import add_lm_score
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    return add_lm_score(ds).select_columns(
+        ["doc_id", "lm_logprob_per_char", "lm_ppl"]
+    )
+
+
 def _q_doc_blocklist(sf_dir: str):
     """Content-hash blocklist purge via Bloom-prefiltered exact anti-join
     (definitely-clean rows bypass the join; candidates exact-verified)."""
@@ -1431,6 +1455,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_counts": _q_vocab_counts,
         "crawl_delta": _q_crawl_delta,
         "doc_blocklist": _q_doc_blocklist,
+        "compression_signal": _q_compression_signal,
+        "lm_score": _q_lm_score,
         "hash_split": _q_hash_split,
         "url_canonicalize": _q_url_canonicalize,
         "repetition_signals": _q_repetition_signals,

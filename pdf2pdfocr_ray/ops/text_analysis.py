@@ -562,3 +562,115 @@ def benchmark_overlap(
         return out
 
     return ds.map_batches(fn, batch_format="pandas")
+
+
+# ------------------------------------------- compression-ratio signal
+def compression_signals(
+    batch: pd.DataFrame, text_col: str = "text", level: int = 6
+) -> pd.DataFrame:
+    """CCNet/RefinedWeb-style compressibility signal: zlib(level 6) bytes
+    out / bytes in per document.  Highly repetitive or templated text
+    compresses far below natural prose (~0.4-0.6); near-random or already
+    compressed payloads sit near 1.0.  The per-row zlib call is C-speed
+    (the Python loop only dispatches); deterministic across platforms for
+    a fixed level because zlib's output is fully specified by input+level.
+    Emits ``compress_ratio`` and ``is_repetitive`` (ratio < 0.35)."""
+    import zlib
+
+    ratios = np.fromiter(
+        (
+            len(zlib.compress(t.encode("utf-8"), level)) / max(1, len(t.encode("utf-8")))
+            for t in batch[text_col]
+        ),
+        dtype=np.float64,
+        count=len(batch),
+    )
+    out = batch.copy()
+    out["compress_ratio"] = ratios
+    out["is_repetitive"] = ratios < 0.35
+    return out
+
+
+# ------------------------------------------- char-trigram LM perplexity
+# Deterministic in-module training corpus (hand-written; public words
+# only).  A real deployment swaps `_LM_TRAIN` for a trained model file
+# loaded in TrigramLM.__init__ — the actor plumbing is identical.
+_LM_TRAIN = (
+    "the quick brown fox jumps over the lazy dog while the rain in spain "
+    "falls mainly on the plain and every good boy deserves fruit because "
+    "a stitch in time saves nine but all that glitters is not gold so "
+    "practice makes perfect when actions speak louder than words yet "
+    "absence makes the heart grow fonder although the early bird catches "
+    "the worm and birds of a feather flock together since beauty is in "
+    "the eye of the beholder better late than never cleanliness is next "
+    "to godliness do not count your chickens before they hatch every "
+    "cloud has a silver lining familiarity breeds contempt fortune "
+    "favors the bold good things come to those who wait honesty is the "
+    "best policy if it is not broken do not fix it knowledge is power "
+    "laughter is the best medicine look before you leap money does not "
+    "grow on trees necessity is the mother of invention no news is good "
+    "news one good turn deserves another the pen is mightier than the "
+    "sword rome was not built in a day slow and steady wins the race "
+    "there is no place like home time heals all wounds two heads are "
+    "better than one when in rome do as the romans do you cannot judge "
+    "a book by its cover "
+) * 4
+
+
+class TrigramLM:
+    """Character-trigram language-model scoring actor (the KenLM-shaped
+    quality signal of CCNet): perplexity under a smoothed char LM trained
+    once per actor in ``__init__`` (model build ~V^3 dense log-prob table,
+    V = training alphabet + OOV bucket).  Scoring is pure numpy gathers —
+    chars -> vocab ids (searchsorted), trigram ids, one table lookup —
+    no interpreted per-char work.  Emits ``lm_logprob_per_char`` (log2)
+    and ``lm_ppl``; junk/code/gibberish scores high ppl, natural prose
+    low, which is the standard keep/drop curation axis."""
+
+    def __init__(self, train_text: str | None = None) -> None:
+        text = (train_text or _LM_TRAIN).lower()
+        codes = np.frombuffer(text.encode("utf-32-le"), np.uint32)
+        self.vocab = np.unique(codes)  # sorted
+        v = len(self.vocab) + 1  # +1 OOV id
+        self.v = v
+        ids = np.searchsorted(self.vocab, codes).astype(np.int64)
+        tri = (ids[:-2] * v + ids[1:-1]) * v + ids[2:]
+        bi = ids[:-2] * v + ids[1:-1]
+        tri_counts = np.bincount(tri, minlength=v * v * v).astype(np.float64)
+        bi_counts = np.bincount(bi, minlength=v * v).astype(np.float64)
+        # add-one smoothing: P(c3|c1c2) = (tri+1) / (bi + V)
+        self.logp = np.log2(
+            (tri_counts + 1.0) / (np.repeat(bi_counts, v) + float(v))
+        )
+
+    def _ids(self, t: str) -> np.ndarray:
+        codes = np.frombuffer(t.lower().encode("utf-32-le"), np.uint32)
+        pos = np.searchsorted(self.vocab, codes)
+        pos[pos >= len(self.vocab)] = len(self.vocab) - 1
+        ids = np.where(self.vocab[pos] == codes, pos, len(self.vocab))
+        return ids.astype(np.int64)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        v = self.v
+        lp = np.zeros(len(batch), np.float64)
+        for i, t in enumerate(batch["text"]):
+            ids = self._ids(t)
+            if len(ids) < 3:
+                continue
+            tri = (ids[:-2] * v + ids[1:-1]) * v + ids[2:]
+            lp[i] = self.logp[tri].mean()
+        out = batch.copy()
+        out["lm_logprob_per_char"] = lp
+        out["lm_ppl"] = np.exp2(-lp)
+        return out
+
+
+def add_lm_score(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    from .grouped import stage_pool
+
+    return ds.map_batches(TrigramLM, batch_format="pandas",
+                          concurrency=stage_pool())
+
+
+def add_compression_signals(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    return ds.map_batches(compression_signals, batch_format="pandas")

@@ -729,3 +729,49 @@ def test_bloom_anti_join_equals_exact(ray_session):
         pd.testing.assert_frame_equal(
             got[expect.columns.tolist()], expect, check_dtype=False
         )
+
+
+def test_compression_signals_pinned():
+    from pdf2pdfocr_ray.ops.text_analysis import compression_signals
+
+    df = pd.DataFrame(
+        {
+            "text": [
+                "the quick brown fox jumps over the lazy dog",
+                "spam spam spam spam " * 50,
+                "",
+            ]
+        }
+    )
+    out = compression_signals(df)
+    assert not out["is_repetitive"].iloc[0]  # natural prose
+    assert out["is_repetitive"].iloc[1]  # templated repetition
+    assert out["compress_ratio"].iloc[1] < 0.1
+    assert out["compress_ratio"].iloc[2] > 1.0  # empty -> header overhead only
+    # determinism (zlib output is fully specified by input+level)
+    assert compression_signals(df)["compress_ratio"].equals(out["compress_ratio"])
+
+
+def test_trigram_lm_orders_prose_before_junk():
+    """Model state built once in __init__ (actor pattern); natural prose
+    must score materially lower perplexity than gibberish, OOV-heavy text
+    scores worst, and scoring is deterministic."""
+    from pdf2pdfocr_ray.ops.text_analysis import TrigramLM
+
+    lm = TrigramLM()
+    df = pd.DataFrame(
+        {
+            "text": [
+                "time heals all wounds and knowledge is power",
+                "qzxv jkqp wvxz qqjj zzxkv pqw zxjq kvpz",
+                "éèêë 中文文本 ßøå",  # all-OOV
+                "ab",  # shorter than one trigram -> logprob 0, ppl 1
+            ]
+        }
+    )
+    out = lm(df)
+    ppl = out["lm_ppl"].to_numpy()
+    assert ppl[0] < 10  # natural prose
+    assert ppl[1] > 20 and ppl[2] > 20  # gibberish and all-OOV both poor
+    assert ppl[3] == 1.0
+    assert lm(df)["lm_ppl"].equals(out["lm_ppl"])
