@@ -938,6 +938,18 @@ def _q_dedup_jaccard(sf_dir: str):
     return dedup_jaccard(ds, threshold=0.5, candidate_threshold=0.4)
 
 
+def _q_stratified_sample(sf_dir: str):
+    """Per-language quota sampling (training-mix rebalance): en down to
+    10%, zh up-weighted to 90%, others at the 20% default."""
+    from pdf2pdfocr_ray.ops.relational import read
+    from pdf2pdfocr_ray.ops.text_analysis import stratified_sample
+
+    ds = read(sf_dir, "documents", ["doc_id", "lang"])
+    return stratified_sample(
+        ds, rates_permille={"en": 100, "zh": 900}
+    ).select_columns(["doc_id", "lang"])
+
+
 def _q_compression_signal(sf_dir: str):
     """zlib compressibility quality signal (CCNet-style).  No SQL zlib ->
     rows-only driver check; pinned values live in pytest."""
@@ -1456,6 +1468,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_delta": _q_crawl_delta,
         "doc_blocklist": _q_doc_blocklist,
         "compression_signal": _q_compression_signal,
+        "stratified_sample": _q_stratified_sample,
         "lm_score": _q_lm_score,
         "hash_split": _q_hash_split,
         "url_canonicalize": _q_url_canonicalize,
@@ -1830,6 +1843,12 @@ def _oracle_sql_static() -> dict[str, str]:
             "WHEN 0 THEN '/?utm_source=feed&x=1' WHEN 1 THEN '#sec2' "
             "ELSE '/' END AS url FROM documents) "
             "SELECT doc_id, " + _URL_CANON_EXPR + " AS url_canon FROM u"
+        ),
+        # same md5-bucket hash as hash_split, per-stratum thresholds
+        "stratified_sample": (
+            "SELECT doc_id, lang FROM documents WHERE "
+            "('0x' || substr(md5('strat1' || doc_id), 1, 16))::UBIGINT % 1000 "
+            "< CASE lang WHEN 'en' THEN 100 WHEN 'zh' THEN 900 ELSE 200 END"
         ),
         # Bloom prefilter + exact verify == plain anti-join (no false
         # negatives; false positives removed by the exact step), so the

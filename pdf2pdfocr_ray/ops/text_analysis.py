@@ -674,3 +674,40 @@ def add_lm_score(ds: "ray.data.Dataset") -> "ray.data.Dataset":
 
 def add_compression_signals(ds: "ray.data.Dataset") -> "ray.data.Dataset":
     return ds.map_batches(compression_signals, batch_format="pandas")
+
+
+# ------------------------------------------- stratified quota sampling
+def stratified_sample(
+    ds: "ray.data.Dataset",
+    strata_col: str = "lang",
+    rates_permille: dict[str, int] | None = None,
+    default_permille: int = 200,
+    id_col: str = "doc_id",
+    seed: str = "strat1",
+) -> "ray.data.Dataset":
+    """Language-rebalancing sampler (the training-mix construction step):
+    keep a row iff ``md5(seed || id) mod 1000 < rate[stratum]``.  A pure
+    map — deterministic, reshard-stable, no shuffle, and independent of
+    row order, unlike reservoir sampling which needs coordinated state.
+    Rates are per-stratum permille; strata absent from ``rates_permille``
+    use ``default_permille``."""
+    rates = rates_permille or {}
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        buckets = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.md5((seed + str(i)).encode()).digest()[:8], "big"
+                )
+                % 1000
+                for i in df[id_col]
+            ),
+            dtype=np.int64,
+            count=len(df),
+        )
+        limits = (
+            df[strata_col].map(rates).fillna(default_permille).to_numpy(np.int64)
+        )
+        return df[buckets < limits]
+
+    return ds.map_batches(keep, batch_format="pandas")

@@ -775,3 +775,29 @@ def test_trigram_lm_orders_prose_before_junk():
     assert ppl[1] > 20 and ppl[2] > 20  # gibberish and all-OOV both poor
     assert ppl[3] == 1.0
     assert lm(df)["lm_ppl"].equals(out["lm_ppl"])
+
+
+def test_stratified_sample_rates(ray_session):
+    """Kept fraction per stratum tracks its permille; deterministic and
+    reshard-stable (same kept set at 2 and 8 partitions)."""
+    import ray.data
+
+    from pdf2pdfocr_ray.ops.text_analysis import stratified_sample
+
+    df = pd.DataFrame(
+        {
+            "doc_id": range(20000),
+            "lang": np.where(np.arange(20000) % 2 == 0, "en", "zh"),
+        }
+    )
+    rates = {"en": 100, "zh": 800}
+    kept2 = stratified_sample(
+        ray.data.from_pandas(df).repartition(2), rates_permille=rates
+    ).to_pandas()
+    kept8 = stratified_sample(
+        ray.data.from_pandas(df).repartition(8), rates_permille=rates
+    ).to_pandas()
+    assert set(kept2["doc_id"]) == set(kept8["doc_id"])
+    frac = kept2.groupby("lang").size() / df.groupby("lang").size()
+    assert abs(frac["en"] - 0.1) < 0.02
+    assert abs(frac["zh"] - 0.8) < 0.02
