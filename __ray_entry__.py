@@ -938,6 +938,29 @@ def _q_dedup_jaccard(sf_dir: str):
     return dedup_jaccard(ds, threshold=0.5, candidate_threshold=0.4)
 
 
+def _q_kmeans_clusters(sf_dir: str):
+    """Distributed Lloyd k-means over the embeddings table (iterative:
+    per-pass partial sums, broadcast centroids) -> per-cluster sizes.
+    Iterative model fit, not SQL-expressible -> rows-only driver check;
+    blob-recovery correctness is pinned in pytest."""
+    import ray.data
+
+    from pdf2pdfocr_ray.ops.grouped import combined_groupby_agg
+    from pdf2pdfocr_ray.ops.similarity import kmeans_assign, kmeans_fit
+
+    # materialize once: Lloyd re-scans the training set every iteration,
+    # so pin the (column-pruned) blocks in the object store instead of
+    # re-reading parquet per pass — the same trick a cluster run uses
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).materialize()
+    cent, _sse = kmeans_fit(ds, k=8, iters=6, seed=7)
+    assigned = kmeans_assign(ds, cent).select_columns(["vec_id", "cluster"])
+    return combined_groupby_agg(
+        assigned, "cluster", {"n_vecs": ("vec_id", "count")}
+    )
+
+
 def _q_stratified_sample(sf_dir: str):
     """Per-language quota sampling (training-mix rebalance): en down to
     10%, zh up-weighted to 90%, others at the 20% default."""
@@ -1469,6 +1492,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_blocklist": _q_doc_blocklist,
         "compression_signal": _q_compression_signal,
         "stratified_sample": _q_stratified_sample,
+        "kmeans_clusters": _q_kmeans_clusters,
         "lm_score": _q_lm_score,
         "hash_split": _q_hash_split,
         "url_canonicalize": _q_url_canonicalize,

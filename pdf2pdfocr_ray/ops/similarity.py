@@ -22,8 +22,12 @@ if TYPE_CHECKING:
     import ray.data
 
 
+def _to_raw_matrix(col) -> np.ndarray:
+    return np.asarray([np.asarray(v, dtype=np.float64) for v in col])
+
+
 def _to_matrix(col) -> np.ndarray:
-    m = np.asarray([np.asarray(v, dtype=np.float64) for v in col])
+    m = _to_raw_matrix(col)
     return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
 
 
@@ -212,3 +216,118 @@ def topk_lsh(
         ["query_id", "cosine", id_col], ascending=[True, False, True]
     )
     return candidates.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+
+
+# ------------------------------------------------ distributed k-means
+def _kmeanspp_init(sample: np.ndarray, k: int, seed: int) -> np.ndarray:
+    """Deterministic k-means++ on a driver-side sample (seeded greedy:
+    first center = seeded choice, then farthest-point-by-D2 with the rng
+    drawn from the classic D2 distribution)."""
+    rng = np.random.default_rng(seed)
+    n = len(sample)
+    k = min(k, n)
+    first = int(rng.integers(n))
+    cents = [sample[first]]
+    d2 = ((sample - cents[0]) ** 2).sum(axis=1)
+    for _ in range(1, k):
+        p = d2 / max(d2.sum(), 1e-12)
+        nxt = int(rng.choice(n, p=p))
+        cents.append(sample[nxt])
+        d2 = np.minimum(d2, ((sample - cents[-1]) ** 2).sum(axis=1))
+    return np.asarray(cents, dtype=np.float64)
+
+
+def kmeans_fit(
+    ds: "ray.data.Dataset",
+    k: int = 8,
+    iters: int = 10,
+    vec_col: str = "embedding",
+    sample_rows: int = 4096,
+    seed: int = 7,
+    tol: float = 1e-6,
+) -> tuple[np.ndarray, float]:
+    """Distributed Lloyd's algorithm (the iterative-ML representative):
+    k-means++ init on a driver-side sample, then per iteration ONE
+    streaming pass — each batch emits its (k, d) partial sums + counts +
+    SSE (a few KB regardless of batch rows), the driver merges the tiny
+    partials and updates centroids, which re-broadcast via ``ray.put``.
+    Per-iteration network cost is O(blocks * k * d) bytes, never O(rows);
+    at 10^12 rows one would train on a sampled subset and run a single
+    full assign pass — both paths are this same code.  Deterministic for
+    a fixed seed (partial-sum merge is float-order-stable because the
+    driver sums block partials in block order).  Returns (centroids,
+    final SSE).  Empty clusters keep their previous centroid."""
+    import ray
+
+    sample = _to_raw_matrix(ds.limit(sample_rows).to_pandas()[vec_col])
+    cent = _kmeanspp_init(sample, k, seed)
+    kk, d = cent.shape
+    sse_prev = np.inf
+
+    for _ in range(iters):
+        ref = ray.put(cent)
+
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            c = ray.get(ref)
+            mat = _to_raw_matrix(df[vec_col])
+            d2 = (
+                (mat * mat).sum(axis=1)[:, None]
+                - 2.0 * (mat @ c.T)
+                + (c * c).sum(axis=1)[None, :]
+            )
+            a = np.argmin(d2, axis=1)
+            sums = np.zeros_like(c)
+            np.add.at(sums, a, mat)
+            counts = np.bincount(a, minlength=len(c)).astype(np.int64)
+            sse = float(d2[np.arange(len(a)), a].sum())
+            return pd.DataFrame(
+                {
+                    "sums": [sums.tobytes()],
+                    "counts": [counts.tobytes()],
+                    "sse": [sse],
+                }
+            )
+
+        parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+        sums = np.zeros((kk, d))
+        counts = np.zeros(kk, np.int64)
+        for s, c in zip(parts["sums"], parts["counts"]):
+            sums += np.frombuffer(s, np.float64).reshape(kk, d)
+            counts += np.frombuffer(c, np.int64)
+        sse = float(parts["sse"].sum())
+        nonempty = counts > 0
+        new_cent = cent.copy()
+        new_cent[nonempty] = sums[nonempty] / counts[nonempty, None]
+        shift = float(np.abs(new_cent - cent).max())
+        cent = new_cent
+        if shift < tol or abs(sse_prev - sse) <= tol * max(sse_prev, 1.0):
+            sse_prev = sse
+            break
+        sse_prev = sse
+    return cent, sse_prev
+
+
+def kmeans_assign(
+    ds: "ray.data.Dataset",
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    out_col: str = "cluster",
+) -> "ray.data.Dataset":
+    """Pure-map cluster assignment against broadcast centroids."""
+    import ray
+
+    ref = ray.put(np.asarray(centroids, dtype=np.float64))
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(ref)
+        mat = _to_raw_matrix(df[vec_col])
+        d2 = (
+            (mat * mat).sum(axis=1)[:, None]
+            - 2.0 * (mat @ c.T)
+            + (c * c).sum(axis=1)[None, :]
+        )
+        out = df.copy()
+        out[out_col] = np.argmin(d2, axis=1).astype(np.int32)
+        return out
+
+    return ds.map_batches(assign, batch_format="pandas")

@@ -801,3 +801,38 @@ def test_stratified_sample_rates(ray_session):
     frac = kept2.groupby("lang").size() / df.groupby("lang").size()
     assert abs(frac["en"] - 0.1) < 0.02
     assert abs(frac["zh"] - 0.8) < 0.02
+
+
+def test_kmeans_recovers_blobs(ray_session):
+    """Three well-separated gaussian blobs: distributed Lloyd must
+    recover the partition exactly (cluster <-> blob bijection), centroids
+    within noise of the true means, and the result must be stable across
+    repartitioning."""
+    import ray.data
+
+    from pdf2pdfocr_ray.ops.similarity import kmeans_assign, kmeans_fit
+
+    rng = np.random.default_rng(3)
+    means = np.array([[0.0, 0.0], [10.0, 0.0], [0.0, 10.0]])
+    pts = np.concatenate(
+        [m + 0.5 * rng.standard_normal((200, 2)) for m in means]
+    )
+    truth = np.repeat([0, 1, 2], 200)
+    df = pd.DataFrame({"vec_id": range(600), "embedding": list(pts)})
+    ds = ray.data.from_pandas(df).repartition(4)
+    cent, sse = kmeans_fit(ds, k=3, iters=12, seed=5)
+    # each true mean has exactly one centroid within 0.2
+    dists = np.linalg.norm(cent[:, None, :] - means[None, :, :], axis=2)
+    assert (dists.min(axis=0) < 0.2).all()
+    assigned = kmeans_assign(ds, cent).to_pandas().sort_values("vec_id")
+    # exact partition recovery: within each blob, one unanimous cluster id
+    for b in range(3):
+        blob = assigned["cluster"].to_numpy()[truth == b]
+        assert (blob == blob[0]).all()
+    # sse ~ n * d * sigma^2 = 600*2*0.25 = 300 (reported against the
+    # pre-update centroids, so somewhat above the converged value)
+    assert 200 < sse < 700
+    cent8, _ = kmeans_fit(
+        ray.data.from_pandas(df).repartition(8), k=3, iters=12, seed=5
+    )
+    assert np.allclose(np.sort(cent, axis=0), np.sort(cent8, axis=0), atol=1e-6)
