@@ -938,6 +938,15 @@ def _q_dedup_jaccard(sf_dir: str):
     return dedup_jaccard(ds, threshold=0.5, candidate_threshold=0.4)
 
 
+def _q_tfidf_top_terms(sf_dir: str):
+    """Per-doc top-3 TF-IDF terms (two-pass broadcast-df-dictionary)."""
+    from pdf2pdfocr_ray.ops.relational import read
+    from pdf2pdfocr_ray.ops.text_analysis import tfidf_top_terms
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    return tfidf_top_terms(ds, k=3)
+
+
 def _q_kmeans_clusters(sf_dir: str):
     """Distributed Lloyd k-means over the embeddings table (iterative:
     per-pass partial sums, broadcast centroids) -> per-cluster sizes.
@@ -1493,6 +1502,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compression_signal": _q_compression_signal,
         "stratified_sample": _q_stratified_sample,
         "kmeans_clusters": _q_kmeans_clusters,
+        "tfidf_top_terms": _q_tfidf_top_terms,
         "lm_score": _q_lm_score,
         "hash_split": _q_hash_split,
         "url_canonicalize": _q_url_canonicalize,
@@ -1867,6 +1877,25 @@ def _oracle_sql_static() -> dict[str, str]:
             "WHEN 0 THEN '/?utm_source=feed&x=1' WHEN 1 THEN '#sec2' "
             "ELSE '/' END AS url FROM documents) "
             "SELECT doc_id, " + _URL_CANON_EXPR + " AS url_canon FROM u"
+        ),
+        # idf = ln((N+1)/(df+1)) + 1; ties by term asc; same [a-z0-9]+
+        # tokenizer on lower(text) both sides
+        "tfidf_top_terms": (
+            "WITH toks AS (SELECT doc_id, unnest(regexp_extract_all("
+            "lower(text), '[a-z0-9]+')) AS term FROM documents), "
+            "tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf "
+            "FROM toks GROUP BY 1, 2), "
+            "df AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df "
+            "FROM toks GROUP BY 1), "
+            "n AS (SELECT count(*)::DOUBLE AS n FROM documents) "
+            "SELECT doc_id, term, tfidf FROM ("
+            "SELECT tf.doc_id, tf.term, "
+            "tf.tf * (ln((n.n + 1) / (df.df + 1)) + 1) AS tfidf, "
+            "ROW_NUMBER() OVER (PARTITION BY tf.doc_id "
+            "ORDER BY tf.tf * (ln((n.n + 1) / (df.df + 1)) + 1) DESC, "
+            "tf.term) AS rk "
+            "FROM tf JOIN df ON tf.term = df.term CROSS JOIN n"
+            ") WHERE rk <= 3"
         ),
         # same md5-bucket hash as hash_split, per-stratum thresholds
         "stratified_sample": (

@@ -15,6 +15,7 @@ from typing import TYPE_CHECKING
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 if TYPE_CHECKING:
     import ray.data
@@ -711,3 +712,84 @@ def stratified_sample(
         return df[buckets < limits]
 
     return ds.map_batches(keep, batch_format="pandas")
+
+
+# ------------------------------------------------------- TF-IDF top terms
+def tfidf_top_terms(
+    ds: "ray.data.Dataset",
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """Per-document top-k TF-IDF terms (keyword extraction / indexing):
+    idf = ln((N+1)/(df+1)) + 1, score = tf * idf, ties broken by term.
+
+    Two-pass broadcast-dictionary shape: pass 1 computes per-doc term
+    frequencies inside each batch (vectorized explode + groupby — exact,
+    since a doc never spans batches) and reduces the DOCUMENT-FREQUENCY
+    table with a map-side-combined groupby whose shuffle carries
+    (term, partial count) rows only; the df table is then assembled
+    worker-side (``build_broadcast``) into a sorted term array + counts
+    consumed via ``searchsorted`` — no pickled dicts, no driver
+    materialization.  Pass 2 scores each doc's terms against the
+    broadcast and keeps the top k per doc inside the batch (exact:
+    whole-doc batches).  The only wide edge is the vocabulary-sized df
+    aggregate."""
+    import ray
+
+    from .grouped import combined_groupby_agg
+    from .relational import build_broadcast
+
+    token_re = re.compile(r"[a-z0-9]+")
+    n_docs = ds.count()
+
+    def tf_explode(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df[text_col].str.lower().str.findall(token_re)
+        ex = pd.DataFrame(
+            {id_col: df[id_col].repeat(toks.str.len()), "term": toks.explode().dropna()}
+        )
+        if not len(ex):
+            return pd.DataFrame(
+                {id_col: pd.Series([], dtype="int64"),
+                 "term": pd.Series([], dtype="object"),
+                 "tf": pd.Series([], dtype="int64")}
+            )
+        return ex.groupby([id_col, "term"], as_index=False).size().rename(
+            columns={"size": "tf"}
+        )
+
+    tf = ds.map_batches(tf_explode, batch_format="pandas").materialize()
+    dfreq = combined_groupby_agg(tf, "term", {"df": (id_col, "count")})
+
+    def build(t: pa.Table | None):
+        if t is None:
+            return None
+        terms = t.column("term").to_numpy(zero_copy_only=False)
+        dfs = t.column("df").to_numpy(zero_copy_only=False).astype(np.float64)
+        order = np.argsort(terms)
+        return terms[order], dfs[order]
+
+    ref = build_broadcast(dfreq, build)
+
+    def score_topk(df: pd.DataFrame) -> pd.DataFrame:
+        bc = ray.get(ref)
+        if bc is None or not len(df):
+            return pd.DataFrame(
+                {id_col: pd.Series([], dtype="int64"),
+                 "term": pd.Series([], dtype="object"),
+                 "tfidf": pd.Series([], dtype="float64")}
+            )
+        terms_sorted, dfs_sorted = bc
+        pos = np.searchsorted(terms_sorted, df["term"].to_numpy())
+        dfv = dfs_sorted[pos]  # every term exists in the global df table
+        score = df["tf"].to_numpy(np.float64) * (
+            np.log((n_docs + 1.0) / (dfv + 1.0)) + 1.0
+        )
+        out = df.assign(tfidf=score).sort_values(
+            [id_col, "tfidf", "term"], ascending=[True, False, True],
+            kind="stable",
+        )
+        out = out.groupby(id_col, as_index=False, sort=False).head(k)
+        return out[[id_col, "term", "tfidf"]]
+
+    return tf.map_batches(score_topk, batch_format="pandas", batch_size=None)

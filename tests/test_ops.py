@@ -836,3 +836,34 @@ def test_kmeans_recovers_blobs(ray_session):
         ray.data.from_pandas(df).repartition(8), k=3, iters=12, seed=5
     )
     assert np.allclose(np.sort(cent, axis=0), np.sort(cent8, axis=0), atol=1e-6)
+
+
+def test_tfidf_top_terms_hand_computed(ray_session):
+    """Tiny corpus with hand-computable scores: a term present in every
+    doc gets the idf floor; a doc-unique term with tf>=2 must win."""
+    import math
+
+    import ray.data
+
+    from pdf2pdfocr_ray.ops.text_analysis import tfidf_top_terms
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                "apple apple banana common",
+                "banana cherry common",
+                "common common cherry",
+            ],
+        }
+    )
+    ds = ray.data.from_pandas(docs).repartition(2)
+    out = tfidf_top_terms(ds, k=2).to_pandas()
+    idf = lambda df_: math.log(4 / (df_ + 1)) + 1
+    top0 = out[out["doc_id"] == 0].sort_values("tfidf", ascending=False)
+    assert top0["term"].iloc[0] == "apple"  # tf=2, df=1
+    assert abs(top0["tfidf"].iloc[0] - 2 * idf(1)) < 1e-12
+    # every doc contributes exactly k=2 rows (all have >=2 distinct terms)
+    assert (out.groupby("doc_id").size() == 2).all()
+    # 'common' appears in all docs -> lowest idf; never the top term of doc 0
+    assert "common" != top0["term"].iloc[0]
