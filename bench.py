@@ -139,6 +139,15 @@ BENCH_QUERIES = [
     "normalize_text",
     "source_cap",
     "vocab_counts",
+    # round-3 third wave: CDC diff, bloom blocklist, model scoring,
+    # keyword extraction, iterative kmeans, quota sampling
+    "crawl_delta",
+    "doc_blocklist",
+    "lm_score",
+    "compression_signal",
+    "tfidf_top_terms",
+    "kmeans_clusters",
+    "stratified_sample",
 ]
 
 

@@ -62,6 +62,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="two-level assembly chunk size (0 = single level)")
     p.add_argument("--num-cpus", type=int, default=0,
                    help="ray.init num_cpus (0 = let Ray decide)")
+    # directory-watch ingest (the reference's unimplemented TODO,
+    # pdf2pdfocr.py:722-723): -i is a drop-zone directory of parquet
+    # shards; each poll extracts only unseen files into ingest_NNNNN/
+    p.add_argument("--watch", action="store_true",
+                   help="poll -i for new *.parquet and ingest incrementally")
+    p.add_argument("--watch-poll-sec", type=float, default=2.0)
+    p.add_argument("--watch-idle-polls", type=int, default=0,
+                   help="exit after N consecutive empty polls (0 = one "
+                        "catch-up scan then exit)")
     return p
 
 
@@ -93,6 +102,18 @@ def main(argv: list[str] | None = None) -> int:
             ocr_concurrency=args.ocr_concurrency or None,
             assembly_chunk_pages=args.chunk_pages,
         )
+
+        if args.watch:
+            from .state.watch import watch_ingest
+
+            ledger = watch_ingest(
+                args.input, args.output, config=cfg,
+                num_shards=args.shards, poll_s=args.watch_poll_sec,
+                max_idle_polls=args.watch_idle_polls,
+            )
+            print(json.dumps(ledger))
+            errs = sum(b["errors"] for b in ledger["batches"])
+            return 0 if errs == 0 else 1
 
         def factory():
             return ray.data.read_parquet(args.input)

@@ -203,3 +203,52 @@ def test_sink_part_names_are_deterministic_and_idempotent(tmp_path):
     files_twice = sorted(glob.glob(os.path.join(out, "shard=*", "*.parquet")))
     assert files_once == files_twice
     assert len(_read_all(out)) == rows_once == 10
+
+
+def test_watch_ingest_incremental(ray_session, tmp_path):
+    """Two drop waves: the second watch call must process ONLY the new
+    file (ledger diff), leave wave-1 outputs untouched, and the combined
+    output must equal both waves' golden texts."""
+    import pyarrow.parquet as pq
+
+    from pdf2pdfocr_ray.state.watch import read_ledger, watch_ingest
+
+    drop = tmp_path / "drop"
+    out = tmp_path / "watch_out"
+    drop.mkdir()
+    pages1, golden1 = generate_corpus(20, seed=41)
+    pq.write_table(pages1, str(drop / "wave1.parquet"))
+
+    led1 = watch_ingest(str(drop), str(out), num_shards=2, max_idle_polls=0)
+    assert len(led1["batches"]) == 1
+    assert led1["batches"][0]["rows"] == 20
+
+    # wave 2 = docs 20-34 of the same seed (prefix-stable generator), so
+    # urls are disjoint from wave 1
+    pages_all, golden_all = generate_corpus(35, seed=41)
+    pages2, golden2 = pages_all.slice(20), golden_all.slice(20)
+    pq.write_table(pages2, str(drop / "wave2.parquet"))
+    stamp1 = os.path.getmtime(
+        glob.glob(os.path.join(str(out), "ingest_00000", "shard=*", "*.parquet"))[0]
+    )
+    led2 = watch_ingest(str(drop), str(out), num_shards=2, max_idle_polls=0)
+    assert len(led2["batches"]) == 2
+    assert led2["batches"][1]["files"] == [str(drop / "wave2.parquet")]
+    assert led2["batches"][1]["rows"] == 15
+    # wave-1 batch untouched by the second call
+    assert os.path.getmtime(
+        glob.glob(os.path.join(str(out), "ingest_00000", "shard=*", "*.parquet"))[0]
+    ) == stamp1
+    # idempotent catch-up: a third call with nothing new does nothing
+    led3 = watch_ingest(str(drop), str(out), num_shards=2, max_idle_polls=0)
+    assert len(led3["batches"]) == 2
+    assert read_ledger(str(out)) == led3
+    # combined output matches both goldens
+    combined = pd.concat(
+        [_read_all(str(out / "ingest_00000")), _read_all(str(out / "ingest_00001"))]
+    ).set_index("url")["extracted_text"]
+    for gold in (golden1, golden2):
+        g = gold.to_pandas()
+        for url, text in zip(g["url"], g["extracted_text"]):
+            a = combined[url]
+            assert (a == text) or (pd.isna(a) and pd.isna(text))
