@@ -643,23 +643,35 @@ class TrigramLM:
         self.logp = np.log2(
             (tri_counts + 1.0) / (np.repeat(bi_counts, v) + float(v))
         )
+        # codepoint -> vocab id lookup table (4 MB int32, built once per
+        # actor): one gather per char, ~6x faster than searchsorted
+        self.lut = np.full(0x110000, len(self.vocab), np.int32)
+        self.lut[self.vocab.astype(np.int64)] = np.arange(
+            len(self.vocab), dtype=np.int32
+        )
 
     def _ids(self, t: str) -> np.ndarray:
         codes = np.frombuffer(t.lower().encode("utf-32-le"), np.uint32)
-        pos = np.searchsorted(self.vocab, codes)
-        pos[pos >= len(self.vocab)] = len(self.vocab) - 1
-        ids = np.where(self.vocab[pos] == codes, pos, len(self.vocab))
-        return ids.astype(np.int64)
+        return self.lut[codes]  # int32: v^3 < 2^31 for any sane alphabet
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        # ONE numpy pass over the whole batch (no per-doc Python loop):
+        # concatenate all docs, score every trigram position, then read
+        # per-doc sums out of a cumsum — trigrams spanning doc boundaries
+        # are simply never inside any doc's [start, start+n-3] range.
         v = self.v
+        texts = batch["text"].tolist()
+        lens = np.fromiter((len(t) for t in texts), np.int64, len(texts))
         lp = np.zeros(len(batch), np.float64)
-        for i, t in enumerate(batch["text"]):
-            ids = self._ids(t)
-            if len(ids) < 3:
-                continue
-            tri = (ids[:-2] * v + ids[1:-1]) * v + ids[2:]
-            lp[i] = self.logp[tri].mean()
+        if lens.sum() >= 3:
+            ids = self._ids("".join(texts))
+            tri_lp = self.logp[(ids[:-2] * v + ids[1:-1]) * v + ids[2:]]
+            cs = np.concatenate([[0.0], np.cumsum(tri_lp)])
+            starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+            n_tri = np.maximum(lens - 2, 0)
+            ok = n_tri > 0
+            hi = np.minimum(starts + n_tri, len(tri_lp))
+            lp[ok] = (cs[hi[ok]] - cs[starts[ok]]) / n_tri[ok]
         out = batch.copy()
         out["lm_logprob_per_char"] = lp
         out["lm_ppl"] = np.exp2(-lp)
