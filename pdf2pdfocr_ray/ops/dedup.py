@@ -450,10 +450,14 @@ def dedup_jaccard(
     from .grouped import sorted_groupby
     from .relational import semi_join
 
+    # materialize: the candidate-pair list is tiny (pairs, not corpus) but
+    # feeds TWO consumers (slot explode + the id set for the text
+    # semi-join) — without pinning it, Ray re-executes the whole LSH
+    # phase once per consumer (measured 3.3x the LSH cost at sf0.1)
     pairs = dedup_minhash_lsh(
         ds, text_col=text_col, id_col=id_col,
         threshold=candidate_threshold, **lsh_kwargs,
-    )
+    ).materialize()
 
     def pair_slots(df: pd.DataFrame) -> pd.DataFrame:
         # each pair -> two rows keyed by the doc whose text it needs
