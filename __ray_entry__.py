@@ -938,6 +938,30 @@ def _q_dedup_jaccard(sf_dir: str):
     return dedup_jaccard(ds, threshold=0.5, candidate_threshold=0.4)
 
 
+def _q_lm_train_score(sf_dir: str):
+    """Distributed char-trigram LM TRAINING on the corpus itself (sparse
+    count shuffle), then broadcast-model scoring of every doc — the
+    CCNet train-your-filter loop.  Iterative/model op -> rows-only."""
+    import ray.data
+
+    from pdf2pdfocr_ray.ops.relational import read
+    from pdf2pdfocr_ray.ops.text_analysis import lm_score_with_model, lm_train
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"]).materialize()
+    model = lm_train(ds, vocab_cap=128)
+    return lm_score_with_model(ds, model).select_columns(
+        ["doc_id", "lm_logprob_per_char", "lm_ppl"]
+    )
+
+
+def _q_length_outlier_filter(sf_dir: str):
+    """Quantile-gated length filter (cut the p05/p95 tails): exact
+    distributed quantiles -> two scalars -> pure-map filter."""
+    from pdf2pdfocr_ray.ops.relational import length_outlier_filter
+
+    return length_outlier_filter(sf_dir)
+
+
 def _q_tfidf_top_terms(sf_dir: str):
     """Per-doc top-3 TF-IDF terms (two-pass broadcast-df-dictionary)."""
     from pdf2pdfocr_ray.ops.relational import read
@@ -1503,6 +1527,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": _q_stratified_sample,
         "kmeans_clusters": _q_kmeans_clusters,
         "tfidf_top_terms": _q_tfidf_top_terms,
+        "length_outlier_filter": _q_length_outlier_filter,
+        "lm_train_score": _q_lm_train_score,
         "lm_score": _q_lm_score,
         "hash_split": _q_hash_split,
         "url_canonicalize": _q_url_canonicalize,
@@ -1877,6 +1903,14 @@ def _oracle_sql_static() -> dict[str, str]:
             "WHEN 0 THEN '/?utm_source=feed&x=1' WHEN 1 THEN '#sec2' "
             "ELSE '/' END AS url FROM documents) "
             "SELECT doc_id, " + _URL_CANON_EXPR + " AS url_canon FROM u"
+        ),
+        # exact distributed quantiles == quantile_cont (both linear-
+        # interpolation); the filter is then a plain BETWEEN
+        "length_outlier_filter": (
+            "WITH q AS (SELECT quantile_cont(n_chars, 0.05) AS lo, "
+            "quantile_cont(n_chars, 0.95) AS hi FROM documents) "
+            "SELECT doc_id, n_chars FROM documents, q "
+            "WHERE n_chars >= q.lo AND n_chars <= q.hi"
         ),
         # idf = ln((N+1)/(df+1)) + 1; ties by term asc; same [a-z0-9]+
         # tokenizer on lower(text) both sides

@@ -1289,3 +1289,26 @@ def doc_blocklist_filter(sf_dir: str) -> "ray.data.Dataset":
     ).map_batches(blocked_only, batch_format="pyarrow")
     out = bloom_anti_join(fact, "dig", block, "dig")
     return out.select_columns(["doc_id"])
+
+
+# ------------------------------------------- quantile-based outlier filter
+def length_outlier_filter(
+    sf_dir: str, lo: float = 0.05, hi: float = 0.95
+) -> "ray.data.Dataset":
+    """Quantile-gated length filter (the Gopher/CCNet 'cut the tails'
+    step): keep documents whose n_chars lies within [p_lo, p_hi] of the
+    corpus distribution.  Two passes — the exact distributed quantile
+    computation (3-pass histogram refine, no global sort) produces two
+    scalars; the filter is then a pure map.  DuckDB oracle uses
+    quantile_cont over the same column."""
+    from .sketches import exact_quantiles
+
+    ds = read(sf_dir, "documents", ["doc_id", "n_chars"])
+    qs = exact_quantiles(ds, "n_chars", [lo, hi])
+    qlo, qhi = qs[lo], qs[hi]
+
+    def keep(t: pa.Table) -> pa.Table:
+        v = t.column("n_chars").to_numpy()
+        return t.filter(pa.array((v >= qlo) & (v <= qhi)))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

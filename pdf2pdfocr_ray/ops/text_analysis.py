@@ -805,3 +805,156 @@ def tfidf_top_terms(
         return out[[id_col, "term", "tfidf"]]
 
     return tf.map_batches(score_topk, batch_format="pandas", batch_size=None)
+
+
+# --------------------------------------- distributed char-LM training
+class TrigramLMModel:
+    """Fitted char-trigram LM artifact: capped char vocab + SPARSE seen-
+    trigram log-probs + dense bigram context counts (v^2).  Small enough
+    to ``ray.put`` whole (vocab<=129 -> bi table 133 kB; sparse trigrams
+    bounded by distinct-trigram count).  Unseen trigrams fall back to the
+    add-one floor log2(1/(bi(c1,c2) + v)) — identical math to the dense
+    in-module model, just sparse."""
+
+    def __init__(self, vocab: np.ndarray, tri_ids: np.ndarray,
+                 tri_counts: np.ndarray) -> None:
+        self.vocab = vocab  # sorted codepoints, <= cap
+        v = len(vocab) + 1
+        self.v = v
+        order = np.argsort(tri_ids)
+        self.tri_ids = tri_ids[order].astype(np.int64)
+        tc = tri_counts[order].astype(np.float64)
+        # bigram context count = sum over c3 of tri counts
+        bi = np.zeros(v * v, np.float64)
+        np.add.at(bi, self.tri_ids // v, tc)
+        self.bi = bi
+        self.tri_logp = np.log2((tc + 1.0) / (bi[self.tri_ids // v] + v))
+        self.lut = np.full(0x110000, len(vocab), np.int32)
+        self.lut[vocab.astype(np.int64)] = np.arange(len(vocab), dtype=np.int32)
+
+    def logp_of(self, tri: np.ndarray) -> np.ndarray:
+        """Vectorized trigram log-prob: sparse hit else smoothing floor."""
+        pos = np.searchsorted(self.tri_ids, tri)
+        pos_c = np.minimum(pos, len(self.tri_ids) - 1) if len(self.tri_ids) else pos * 0
+        hit = (
+            self.tri_ids[pos_c] == tri
+            if len(self.tri_ids)
+            else np.zeros(len(tri), bool)
+        )
+        out = -np.log2(self.bi[tri // self.v] + self.v)
+        if len(self.tri_ids):
+            out[hit] = self.tri_logp[pos_c[hit]]
+        return out
+
+
+def lm_train(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    vocab_cap: int = 128,
+) -> TrigramLMModel:
+    """Distributed char-trigram LM training (the CCNet train-your-filter
+    step, done on the corpus itself):
+
+    1. char vocabulary: per-batch codepoint bincounts (sparse rows) ->
+       map-side-combined groupby -> top ``vocab_cap`` chars by count
+       (ties: lower codepoint), everything else OOV;
+    2. trigram counts: per-batch ``np.unique`` over trigram ids of the
+       batch's concatenated text (doc boundaries excluded the same way
+       scoring excludes them) -> (tri_id, partial count) rows ->
+       map-side-combined groupby sum — the shuffle carries SPARSE
+       (int64, int64) pairs only, never text.
+
+    Returns a :class:`TrigramLMModel` for ``lm_score_with_model``.  Both
+    phases are exact — distributed counts equal a single-process count."""
+    from .grouped import combined_groupby_agg
+
+    # ---- phase 1: corpus character vocabulary
+    def char_partial(df: pd.DataFrame) -> pd.DataFrame:
+        codes = np.frombuffer(
+            "".join(df[text_col].tolist()).lower().encode("utf-32-le"),
+            np.uint32,
+        )
+        uniq, cnt = np.unique(codes, return_counts=True)
+        return pd.DataFrame({"cp": uniq.astype(np.int64), "n": cnt.astype(np.int64)})
+
+    char_counts = combined_groupby_agg(
+        ds.map_batches(char_partial, batch_format="pandas"),
+        "cp",
+        {"n": ("n", "sum")},
+    ).to_pandas()  # tiny: one row per distinct codepoint in the corpus
+    char_counts = char_counts.sort_values(
+        ["n", "cp"], ascending=[False, True], kind="stable"
+    )
+    vocab = np.sort(char_counts["cp"].to_numpy()[:vocab_cap]).astype(np.uint32)
+
+    v = len(vocab) + 1
+    lut = np.full(0x110000, len(vocab), np.int32)
+    lut[vocab.astype(np.int64)] = np.arange(len(vocab), dtype=np.int32)
+
+    # ---- phase 2: sparse trigram counts
+    def tri_partial(df: pd.DataFrame) -> pd.DataFrame:
+        texts = df[text_col].tolist()
+        lens = np.fromiter((len(t) for t in texts), np.int64, len(texts))
+        if lens.sum() < 3:
+            return pd.DataFrame(
+                {"tri": pd.Series([], dtype="int64"),
+                 "n": pd.Series([], dtype="int64")}
+            )
+        ids = lut[
+            np.frombuffer("".join(texts).lower().encode("utf-32-le"), np.uint32)
+        ].astype(np.int64)
+        tri = (ids[:-2] * v + ids[1:-1]) * v + ids[2:]
+        # drop trigrams that span document boundaries
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        valid = np.zeros(len(tri) + 1, np.int64)
+        n_tri = np.maximum(lens - 2, 0)
+        np.add.at(valid, starts[n_tri > 0], 1)
+        np.add.at(valid, (starts + n_tri)[n_tri > 0], -1)
+        mask = np.cumsum(valid[:-1]) > 0
+        uniq, cnt = np.unique(tri[mask], return_counts=True)
+        return pd.DataFrame({"tri": uniq, "n": cnt.astype(np.int64)})
+
+    tri_counts = combined_groupby_agg(
+        ds.map_batches(tri_partial, batch_format="pandas"),
+        "tri",
+        {"n": ("n", "sum")},
+    ).to_pandas()  # sparse: one row per distinct trigram
+    return TrigramLMModel(
+        vocab, tri_counts["tri"].to_numpy(), tri_counts["n"].to_numpy()
+    )
+
+
+def lm_score_with_model(
+    ds: "ray.data.Dataset", model: TrigramLMModel, text_col: str = "text"
+) -> "ray.data.Dataset":
+    """Score documents under a fitted model broadcast once via
+    ``ray.put`` (the distributed-train -> broadcast-inference loop)."""
+    import ray
+
+    ref = ray.put(model)
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        m: TrigramLMModel = ray.get(ref)
+        v = m.v
+        texts = batch[text_col].tolist()
+        lens = np.fromiter((len(t) for t in texts), np.int64, len(texts))
+        lp = np.zeros(len(batch), np.float64)
+        if lens.sum() >= 3:
+            ids = m.lut[
+                np.frombuffer(
+                    "".join(texts).lower().encode("utf-32-le"), np.uint32
+                )
+            ].astype(np.int64)
+            tri_lp = m.logp_of((ids[:-2] * v + ids[1:-1]) * v + ids[2:])
+            cs = np.concatenate([[0.0], np.cumsum(tri_lp)])
+            starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+            n_tri = np.maximum(lens - 2, 0)
+            ok = n_tri > 0
+            hi = np.minimum(starts + n_tri, len(tri_lp))
+            lp[ok] = (cs[hi[ok]] - cs[starts[ok]]) / n_tri[ok]
+        out = batch.copy()
+        out["lm_logprob_per_char"] = lp
+        out["lm_ppl"] = np.exp2(-lp)
+        return out
+
+    return ds.map_batches(score, batch_format="pandas")

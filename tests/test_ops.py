@@ -867,3 +867,59 @@ def test_tfidf_top_terms_hand_computed(ray_session):
     assert (out.groupby("doc_id").size() == 2).all()
     # 'common' appears in all docs -> lowest idf; never the top term of doc 0
     assert "common" != top0["term"].iloc[0]
+
+
+def test_lm_train_distributed_counts_exact(ray_session):
+    """Distributed training must equal a single-process count: same
+    vocab, same sparse trigram counts, same scores — independent of
+    partitioning.  Doc-boundary trigrams are excluded from training the
+    same way scoring excludes them."""
+    import ray.data
+
+    from pdf2pdfocr_ray.ops.text_analysis import (
+        TrigramLMModel,
+        lm_score_with_model,
+        lm_train,
+    )
+
+    texts = [
+        "the cat sat on the mat",
+        "the dog ate the bone",
+        "cats and dogs and cats",
+        "zz",  # shorter than a trigram: contributes chars, no trigrams
+    ]
+    df = pd.DataFrame({"doc_id": range(4), "text": texts})
+
+    # local reference counts (per doc, never across boundaries)
+    joined = "".join(texts).lower()
+    codes = np.frombuffer(joined.encode("utf-32-le"), np.uint32)
+    uniq = np.sort(np.unique(codes))
+    v = len(uniq) + 1
+    lut = {c: i for i, c in enumerate(uniq)}
+    from collections import Counter
+
+    ref = Counter()
+    for t in texts:
+        ids = [lut[ord(c)] for c in t.lower()]
+        for i in range(len(ids) - 2):
+            ref[(ids[i] * v + ids[i + 1]) * v + ids[i + 2]] += 1
+
+    for parts in (1, 3):
+        ds = ray.data.from_pandas(df).repartition(parts)
+        m = lm_train(ds, vocab_cap=128)
+        assert np.array_equal(m.vocab, uniq)
+        got = dict(zip(m.tri_ids.tolist(),
+                       np.exp2(m.tri_logp) * (m.bi[m.tri_ids // m.v] + m.v) - 1))
+        assert set(got) == set(ref)
+        for k, n in ref.items():
+            assert abs(got[k] - n) < 1e-9, (k, got[k], n)
+
+    # scoring under the fitted model: training sentences score far better
+    # than gibberish
+    probe = pd.DataFrame(
+        {"text": ["the cat sat on the mat", "qxz wvq jkp zzq xqw"]}
+    )
+    scored = lm_score_with_model(
+        ray.data.from_pandas(probe), m
+    ).to_pandas()
+    assert scored["lm_ppl"].iloc[0] * 2 < scored["lm_ppl"].iloc[1]
