@@ -938,6 +938,19 @@ def _q_dedup_jaccard(sf_dir: str):
     return dedup_jaccard(ds, threshold=0.5, candidate_threshold=0.4)
 
 
+def _q_inverted_index(sf_dir: str):
+    """Posting-list build (term -> delta-varint doc ids).  The packed
+    bytes aren't SQL values, so the oracle checks the summary columns;
+    the byte payload round-trips in pytest."""
+    from pdf2pdfocr_ray.ops.relational import read
+    from pdf2pdfocr_ray.ops.text_analysis import inverted_index
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    return inverted_index(ds).select_columns(
+        ["term", "n_postings", "min_doc", "max_doc"]
+    )
+
+
 def _q_lm_train_score(sf_dir: str):
     """Distributed char-trigram LM TRAINING on the corpus itself (sparse
     count shuffle), then broadcast-model scoring of every doc — the
@@ -1529,6 +1542,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": _q_tfidf_top_terms,
         "length_outlier_filter": _q_length_outlier_filter,
         "lm_train_score": _q_lm_train_score,
+        "inverted_index": _q_inverted_index,
         "lm_score": _q_lm_score,
         "hash_split": _q_hash_split,
         "url_canonicalize": _q_url_canonicalize,
@@ -1903,6 +1917,14 @@ def _oracle_sql_static() -> dict[str, str]:
             "WHEN 0 THEN '/?utm_source=feed&x=1' WHEN 1 THEN '#sec2' "
             "ELSE '/' END AS url FROM documents) "
             "SELECT doc_id, " + _URL_CANON_EXPR + " AS url_canon FROM u"
+        ),
+        # summary columns of the posting-list build (packed bytes are
+        # pytest-verified); same [a-z0-9]+ tokenizer as tfidf
+        "inverted_index": (
+            "SELECT term, count(DISTINCT doc_id)::BIGINT AS n_postings, "
+            "min(doc_id) AS min_doc, max(doc_id) AS max_doc "
+            "FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), "
+            "'[a-z0-9]+')) AS term FROM documents) GROUP BY term"
         ),
         # exact distributed quantiles == quantile_cont (both linear-
         # interpolation); the filter is then a plain BETWEEN

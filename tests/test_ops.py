@@ -923,3 +923,38 @@ def test_lm_train_distributed_counts_exact(ray_session):
         ray.data.from_pandas(probe), m
     ).to_pandas()
     assert scored["lm_ppl"].iloc[0] * 2 < scored["lm_ppl"].iloc[1]
+
+
+def test_inverted_index_postings_roundtrip(ray_session):
+    """Posting lists must decode to the exact ascending doc-id sets, and
+    the index must be identical under different input partitioning."""
+    import ray.data
+
+    from pdf2pdfocr_ray.ops.text_analysis import decode_postings, inverted_index
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [3, 1, 500, 10],
+            "text": [
+                "apple banana apple",
+                "banana cherry",
+                "apple date",
+                "banana banana date",
+            ],
+        }
+    )
+    expect = {
+        "apple": [3, 500],
+        "banana": [1, 3, 10],
+        "cherry": [1],
+        "date": [10, 500],
+    }
+    for parts in (1, 3):
+        ds = ray.data.from_pandas(docs).repartition(parts)
+        out = inverted_index(ds).to_pandas()
+        got = {
+            t: decode_postings(b).tolist()
+            for t, b in zip(out["term"], out["postings"])
+        }
+        assert got == expect, parts
+        assert (out["n_postings"] == [len(expect[t]) for t in out["term"]]).all()
