@@ -938,6 +938,16 @@ def _q_dedup_jaccard(sf_dir: str):
     return dedup_jaccard(ds, threshold=0.5, candidate_threshold=0.4)
 
 
+def _q_heavy_hitters(sf_dir: str):
+    """Exact tokens with count > N/200 via mergeable Misra-Gries sketch
+    + exact verification of the candidate superset."""
+    from pdf2pdfocr_ray.ops.relational import read
+    from pdf2pdfocr_ray.ops.sketches import heavy_hitters
+
+    ds = read(sf_dir, "documents", ["text"])
+    return heavy_hitters(ds, "text", k=200, tokenize=True)
+
+
 def _q_inverted_index(sf_dir: str):
     """Posting-list build (term -> delta-varint doc ids).  The packed
     bytes aren't SQL values, so the oracle checks the summary columns;
@@ -1543,6 +1553,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_outlier_filter": _q_length_outlier_filter,
         "lm_train_score": _q_lm_train_score,
         "inverted_index": _q_inverted_index,
+        "heavy_hitters": _q_heavy_hitters,
         "lm_score": _q_lm_score,
         "hash_split": _q_hash_split,
         "url_canonicalize": _q_url_canonicalize,
@@ -1917,6 +1928,15 @@ def _oracle_sql_static() -> dict[str, str]:
             "WHEN 0 THEN '/?utm_source=feed&x=1' WHEN 1 THEN '#sec2' "
             "ELSE '/' END AS url FROM documents) "
             "SELECT doc_id, " + _URL_CANON_EXPR + " AS url_canon FROM u"
+        ),
+        # MG-sketch candidates + exact verify == plain GROUP BY/HAVING
+        # over token occurrences (> N/k, N = total token count)
+        "heavy_hitters": (
+            "WITH toks AS (SELECT unnest(regexp_extract_all(lower(text), "
+            "'[a-z0-9]+')) AS item FROM documents), "
+            "n AS (SELECT count(*)::DOUBLE AS total FROM toks) "
+            "SELECT item, count(*)::BIGINT AS n_occurrences FROM toks, n "
+            "GROUP BY item, n.total HAVING count(*) > n.total / 200"
         ),
         # summary columns of the posting-list build (packed bytes are
         # pytest-verified); same [a-z0-9]+ tokenizer as tfidf

@@ -515,3 +515,113 @@ def bloom_contains(
     pos = _bloom_positions(values, m_bits, k)
     bits = (regs[(pos >> np.uint64(6)).astype(np.int64)] >> (pos & np.uint64(63))) & np.uint64(1)
     return bits.all(axis=0)
+
+
+# --------------------------------------------------- Misra-Gries heavy hitters
+def _mg_trim(values: np.ndarray, counts: np.ndarray, k: int) -> dict:
+    """Trim a weighted summary to < k counters: subtract the k-th largest
+    weight from everything, keep positives.  Each survivor undercounts by
+    at most C_k <= (sum of weights)/k; dropped items had weight <= C_k
+    (the Agarwal et al. 2013 mergeable-summaries merge step)."""
+    if len(values) < k:
+        return dict(zip(values.tolist(), counts.tolist()))
+    order = np.argsort(counts)[::-1]
+    values, counts = values[order], counts[order]
+    thresh = counts[k - 1]
+    kept = counts[: k - 1] - thresh
+    pos = kept > 0
+    return dict(zip(values[: k - 1][pos].tolist(), kept[pos].tolist()))
+
+
+def heavy_hitters(
+    ds: "ray.data.Dataset",
+    col: str,
+    k: int = 50,
+    tokenize: bool = False,
+) -> "ray.data.Dataset":
+    """EXACT frequent-items above the N/k threshold via a mergeable
+    Misra-Gries sketch + exact verification (the sketch-prefilter +
+    exact-verify shape, like the Bloom anti-join):
+
+    1. each batch MG-compresses its (tokenized) value stream to a
+       4k-counter weighted summary (a few kB) — only summaries shuffle;
+    2. the driver merges the summaries (weight add, one re-trim).  With
+       4k internal counters the cumulative undercount is <= N/(4k)
+       (batch trims) + N/(4k) (merge trim) = N/(2k) < N/k, so every item
+       with true count > N/k survives with positive weight — the
+       candidate set is a guaranteed SUPERSET of the true heavy hitters;
+    3. one exact counting pass over the broadcast candidate set;
+    4. keep candidates whose exact count > N/k.
+
+    False positives die in step 4, false negatives can\'t exist, so the
+    result is EXACTLY the items with count > N/k — SQL-oracle-able with
+    GROUP BY / HAVING."""
+    import ray
+
+    from .grouped import combined_groupby_agg
+
+    k_int = 4 * k
+    token_re = None
+    if tokenize:
+        import re as _re
+
+        token_re = _re.compile(r"[a-z0-9]+")
+
+    def to_values(df: pd.DataFrame):
+        if tokenize:
+            return df[col].str.lower().str.findall(token_re).explode().dropna()
+        return df[col]
+
+    def summarize(df: pd.DataFrame) -> pd.DataFrame:
+        s = to_values(df)
+        vals, counts = np.unique(s.to_numpy(object), return_counts=True)
+        mg = _mg_trim(vals, counts.astype(np.int64), k_int)
+        items = list(mg.keys()) + [None]  # sentinel row carries the batch N
+        ws = list(mg.values()) + [0]
+        ns = [0] * len(mg) + [int(counts.sum())]
+        return pd.DataFrame(
+            {
+                "item": pd.Series(items, dtype="object"),
+                "w": pd.Series(ws, dtype="int64"),
+                "n": pd.Series(ns, dtype="int64"),
+            }
+        )
+
+    parts = ds.map_batches(summarize, batch_format="pandas").to_pandas()
+    total_n = int(parts["n"].sum())
+    real = parts[parts["item"].notna()]
+    merged = real.groupby("item", as_index=False)["w"].sum()
+    mg = _mg_trim(
+        merged["item"].to_numpy(object), merged["w"].to_numpy(np.int64), k_int
+    )
+    candidates = sorted(mg.keys())  # superset of all true heavy hitters
+
+    cand_ref = ray.put(pd.Index(candidates))
+
+    def exact_count(df: pd.DataFrame) -> pd.DataFrame:
+        s = to_values(df)
+        cand = ray.get(cand_ref)
+        s = s[s.isin(cand)]
+        if not len(s):
+            return pd.DataFrame(
+                {"item": pd.Series([], dtype="object"),
+                 "n_occurrences": pd.Series([], dtype="int64")}
+            )
+        vc = s.value_counts()
+        return pd.DataFrame(
+            {"item": vc.index.to_numpy(object),
+             "n_occurrences": vc.to_numpy(np.int64)}
+        )
+
+    exact = combined_groupby_agg(
+        ds.map_batches(exact_count, batch_format="pandas"),
+        "item",
+        {"n_occurrences": ("n_occurrences", "sum")},
+    )
+
+    thresh = total_n / k
+
+    def keep_hh(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["n_occurrences"] > thresh]
+
+    return exact.map_batches(keep_hh, batch_format="pandas")

@@ -958,3 +958,37 @@ def test_inverted_index_postings_roundtrip(ray_session):
         }
         assert got == expect, parts
         assert (out["n_postings"] == [len(expect[t]) for t in out["term"]]).all()
+
+
+def test_heavy_hitters_exact_above_threshold(ray_session):
+    """Result must be EXACTLY the items with count > N/k (sketch
+    candidates are a superset; exact verify trims), including adversarial
+    near-threshold items, independent of partitioning."""
+    import ray.data
+
+    from pdf2pdfocr_ray.ops.sketches import heavy_hitters
+
+    rng = np.random.default_rng(8)
+    # N = 10000, k = 10 -> threshold 1000.  hot1 = 2500, hot2 = 1001
+    # (just above), near = 1000 (exactly at -> excluded), rest uniform.
+    vals = (
+        ["hot1"] * 2500
+        + ["hot2"] * 1001
+        + ["near"] * 1000
+        + [f"tail{i % 1500}" for i in range(5499)]
+    )
+    rng.shuffle(vals)
+    df = pd.DataFrame({"v": vals})
+    expect = (
+        df["v"].value_counts()[lambda s: s > len(df) / 10].sort_index()
+    )
+    for parts in (2, 16):
+        ds = ray.data.from_pandas(df).repartition(parts)
+        out = (
+            heavy_hitters(ds, "v", k=10)
+            .to_pandas()
+            .sort_values("item")
+            .reset_index(drop=True)
+        )
+        assert out["item"].tolist() == expect.index.tolist(), parts
+        assert out["n_occurrences"].tolist() == expect.tolist()
