@@ -938,6 +938,34 @@ def _q_dedup_jaccard(sf_dir: str):
     return dedup_jaccard(ds, threshold=0.5, candidate_threshold=0.4)
 
 
+def _q_extract_mentions(sf_dir: str):
+    """Entity-mention mining into a long table over documents whose text
+    is deterministically AUGMENTED with synthetic mentions (same device
+    as pii_scrub: augmentation + extraction both replicated in SQL)."""
+    import pandas as pd
+
+    from pdf2pdfocr_ray.ops.relational import read
+    from pdf2pdfocr_ray.ops.text_analysis import extract_mentions
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def augment(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["text"] = (
+            batch["text"]
+            + " see https://example.org/p/"
+            + batch["doc_id"].astype(str)
+            + " or mail user"
+            + batch["doc_id"].astype(str)
+            + "@example.com from 10.0."
+            + (batch["doc_id"] % 200).astype(str)
+            + ".7 ."
+        )
+        return batch
+
+    return extract_mentions(ds.map_batches(augment, batch_format="pandas"))
+
+
 def _q_heavy_hitters(sf_dir: str):
     """Exact tokens with count > N/200 via mergeable Misra-Gries sketch
     + exact verification of the candidate superset."""
@@ -1554,6 +1582,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_train_score": _q_lm_train_score,
         "inverted_index": _q_inverted_index,
         "heavy_hitters": _q_heavy_hitters,
+        "extract_mentions": _q_extract_mentions,
         "lm_score": _q_lm_score,
         "hash_split": _q_hash_split,
         "url_canonicalize": _q_url_canonicalize,
@@ -1928,6 +1957,22 @@ def _oracle_sql_static() -> dict[str, str]:
             "WHEN 0 THEN '/?utm_source=feed&x=1' WHEN 1 THEN '#sec2' "
             "ELSE '/' END AS url FROM documents) "
             "SELECT doc_id, " + _URL_CANON_EXPR + " AS url_canon FROM u"
+        ),
+        # same augmentation + RE2 patterns as the Ray side; match order
+        # preserved via generate_subscripts aligned with unnest
+        "extract_mentions": (
+            "WITH aug AS (SELECT doc_id, text || ' see https://example.org/p/'"
+            " || doc_id || ' or mail user' || doc_id || "
+            "'@example.com from 10.0.' || (doc_id % 200) || '.7 .' AS text "
+            "FROM documents) "
+            "SELECT doc_id, kind, unnest(l) AS mention, "
+            "generate_subscripts(l, 1) - 1 AS pos FROM ("
+            "SELECT doc_id, 'email' AS kind, regexp_extract_all(text, "
+            "'[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}') AS l FROM aug "
+            "UNION ALL SELECT doc_id, 'url', regexp_extract_all(text, "
+            "'https?://[^\\s<>\"'']+') FROM aug "
+            "UNION ALL SELECT doc_id, 'ipv4', regexp_extract_all(text, "
+            "'\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b') FROM aug)"
         ),
         # MG-sketch candidates + exact verify == plain GROUP BY/HAVING
         # over token occurrences (> N/k, N = total token count)

@@ -1042,3 +1042,54 @@ def decode_postings(buf: bytes) -> np.ndarray:
             vals.append(cur)
             cur, shift = 0, 0
     return np.cumsum(np.asarray(vals, np.int64))
+
+
+# ------------------------------------------------------- mention mining
+_MENTION_RES = {
+    "email": r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}",
+    "url": r"https?://[^\s<>\"']+",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+}
+
+
+def extract_mentions(
+    ds: "ray.data.Dataset",
+    kinds: list[str] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """Entity-mention mining: explode every (doc, kind, match) occurrence
+    into a long table (doc_id, kind, mention, pos) — the structured-
+    extraction shape (KG construction / link-graph building).  Pure map:
+    compiled regexes, vectorized findall + explode per kind, match order
+    preserved via ``pos``.  RE2-compatible patterns so the DuckDB oracle
+    (regexp_extract_all + unnest) matches byte-for-byte; these are the
+    same pattern family scrub_pii redacts."""
+    names = kinds or list(_MENTION_RES)
+    res = {k: re.compile(_MENTION_RES[k]) for k in names}
+
+    def mine(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for kind in names:
+            hits = df[text_col].str.findall(res[kind])
+            n = hits.str.len()
+            ex = pd.DataFrame(
+                {
+                    id_col: df[id_col].repeat(n),
+                    "kind": kind,
+                    "mention": hits.explode().dropna(),
+                }
+            )
+            if len(ex):
+                ex["pos"] = ex.groupby(level=0).cumcount().astype("int64")
+                outs.append(ex)
+        if not outs:
+            return pd.DataFrame(
+                {id_col: pd.Series([], dtype="int64"),
+                 "kind": pd.Series([], dtype="object"),
+                 "mention": pd.Series([], dtype="object"),
+                 "pos": pd.Series([], dtype="int64")}
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    return ds.map_batches(mine, batch_format="pandas")

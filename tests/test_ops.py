@@ -992,3 +992,25 @@ def test_heavy_hitters_exact_above_threshold(ray_session):
         )
         assert out["item"].tolist() == expect.index.tolist(), parts
         assert out["n_occurrences"].tolist() == expect.tolist()
+
+
+def test_extract_mentions_order_and_kinds(ray_session):
+    import ray.data
+
+    from pdf2pdfocr_ray.ops.text_analysis import extract_mentions
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": [
+                "mail a@x.com then b@y.org via https://z.net/p at 1.2.3.4",
+                "no mentions here",
+            ],
+        }
+    )
+    out = extract_mentions(ray.data.from_pandas(df)).to_pandas()
+    emails = out[(out["doc_id"] == 1) & (out["kind"] == "email")]
+    assert emails.sort_values("pos")["mention"].tolist() == ["a@x.com", "b@y.org"]
+    assert emails["pos"].tolist() == [0, 1]
+    assert set(out[out["doc_id"] == 1]["kind"]) == {"email", "url", "ipv4"}
+    assert (out["doc_id"] == 2).sum() == 0
