@@ -148,6 +148,11 @@ BENCH_QUERIES = [
     "tfidf_top_terms",
     "kmeans_clusters",
     "stratified_sample",
+    "length_outlier_filter",
+    "lm_train_score",
+    "inverted_index",
+    "heavy_hitters",
+    "extract_mentions",
 ]
 
 
