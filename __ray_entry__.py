@@ -938,6 +938,43 @@ def _q_dedup_jaccard(sf_dir: str):
     return dedup_jaccard(ds, threshold=0.5, candidate_threshold=0.4)
 
 
+def _q_ann_pq(sf_dir: str):
+    """PQ-compressed ANN (codebook train -> uint8 encode -> ADC scan),
+    ORACLE-CHECKED via an in-query recall gate vs exact brute-force —
+    the memory-bound scale path (vectors never touched during the scan)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from pdf2pdfocr_ray.ops.relational import read
+    from pdf2pdfocr_ray.ops.similarity import (
+        pq_encode,
+        pq_train,
+        topk_bruteforce,
+        topk_pq,
+    )
+
+    emb = read(sf_dir, "embeddings", ["vec_id", "embedding"]).materialize()
+    q0 = (
+        emb.map_batches(
+            lambda t: t.filter(pc.equal(t["vec_id"], 0)), batch_format="pyarrow"
+        )
+        .to_pandas()["embedding"][0]
+    )
+    books = pq_train(emb, m=8, n_codes=64)
+    encoded = pq_encode(emb, books).select_columns(["vec_id", "pq_code"])
+    approx = set(topk_pq(encoded, np.asarray(q0), books, k=10)["vec_id"])
+    exact = set(topk_bruteforce(emb, np.asarray(q0), k=10)["vec_id"])
+    recall = len(approx & exact) / 10.0
+    return pd.DataFrame(
+        {
+            "k": pd.Series([10], dtype="int64"),
+            "self_found": [0 in approx],
+            "recall_ok": [bool(recall >= 0.4)],
+        }
+    )
+
+
 def _q_extract_mentions(sf_dir: str):
     """Entity-mention mining into a long table over documents whose text
     is deterministically AUGMENTED with synthetic mentions (same device
@@ -1583,6 +1620,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_index": _q_inverted_index,
         "heavy_hitters": _q_heavy_hitters,
         "extract_mentions": _q_extract_mentions,
+        "ann_pq": _q_ann_pq,
         "lm_score": _q_lm_score,
         "hash_split": _q_hash_split,
         "url_canonicalize": _q_url_canonicalize,
@@ -1854,6 +1892,9 @@ def _oracle_sql_static() -> dict[str, str]:
         # the value-hash match (the methods are seeded-deterministic, so
         # the verdict is stable, not flaky).
         "ann_lsh": "SELECT 10::BIGINT AS k, true AS recall_ok",
+        "ann_pq": (
+            "SELECT 10::BIGINT AS k, true AS self_found, true AS recall_ok"
+        ),
         "ann_ivf": "SELECT 10::BIGINT AS k, true AS recall_ok",
         # Exact-count-carrying sketch checks: DuckDB recomputes the exact
         # values; the tolerance verdicts are computed Ray-side.

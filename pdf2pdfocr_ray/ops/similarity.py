@@ -331,3 +331,131 @@ def kmeans_assign(
         return out
 
     return ds.map_batches(assign, batch_format="pandas")
+
+
+# --------------------------------------------- product quantization (PQ)
+def pq_train(
+    ds: "ray.data.Dataset",
+    m: int = 4,
+    n_codes: int = 64,
+    vec_col: str = "embedding",
+    sample_rows: int = 4096,
+    iters: int = 8,
+    seed: int = 7,
+) -> np.ndarray:
+    """Train PQ codebooks: split the (L2-normalized) vector space into
+    ``m`` contiguous subspaces and run k-means per subspace on a
+    driver-side sample (codebooks are always sample-trained in practice;
+    the full corpus only gets ENCODED).  Returns (m, n_codes, d/m)
+    float64, deterministic for a fixed seed."""
+    sample = _to_matrix(ds.limit(sample_rows).to_pandas()[vec_col])
+    d = sample.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    books = np.empty((m, min(n_codes, len(sample)), sub))
+    for j in range(m):
+        part = sample[:, j * sub : (j + 1) * sub]
+        cent = _kmeanspp_init(part, n_codes, seed + j)
+        for _ in range(iters):
+            d2 = (
+                (part * part).sum(axis=1)[:, None]
+                - 2.0 * (part @ cent.T)
+                + (cent * cent).sum(axis=1)[None, :]
+            )
+            a = np.argmin(d2, axis=1)
+            for c in range(len(cent)):
+                mask = a == c
+                if mask.any():
+                    cent[c] = part[mask].mean(axis=0)
+        books[j] = cent
+    return books
+
+
+def pq_encode(
+    ds: "ray.data.Dataset",
+    codebooks: np.ndarray,
+    vec_col: str = "embedding",
+    out_col: str = "pq_code",
+) -> "ray.data.Dataset":
+    """Encode every vector to ``m`` uint8 code bytes against broadcast
+    codebooks — a 32x-512x compression of the embedding column (the
+    memory path that makes 10^12-vector ANN fit a cluster's RAM).  Pure
+    map; codes ride as fixed-width binary."""
+    import ray
+
+    ref = ray.put(np.ascontiguousarray(codebooks))
+
+    def encode(df: pd.DataFrame) -> pd.DataFrame:
+        books = ray.get(ref)
+        mat = _to_matrix(df[vec_col])
+        m, _, sub = books.shape
+        codes = np.empty((len(mat), m), np.uint8)
+        for j in range(m):
+            part = mat[:, j * sub : (j + 1) * sub]
+            cent = books[j]
+            d2 = (
+                (part * part).sum(axis=1)[:, None]
+                - 2.0 * (part @ cent.T)
+                + (cent * cent).sum(axis=1)[None, :]
+            )
+            codes[:, j] = np.argmin(d2, axis=1).astype(np.uint8)
+        out = df.copy()
+        out[out_col] = [c.tobytes() for c in codes]
+        return out
+
+    return ds.map_batches(encode, batch_format="pandas")
+
+
+def topk_pq(
+    ds: "ray.data.Dataset",
+    queries: np.ndarray,
+    codebooks: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    code_col: str = "pq_code",
+) -> pd.DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: per query build the
+    (m, n_codes) subspace distance LUT once, then every row's approximate
+    L2^2 is m table gathers + a sum — no float vectors touched during the
+    scan.  Local top-k per batch, tiny global reduce, ties by id.  On
+    L2-normalized vectors ascending L2 == descending cosine, so recall is
+    judged against ``topk_bruteforce``."""
+    import ray
+
+    q = np.atleast_2d(np.asarray(queries, dtype=np.float64))
+    q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+    m, n_codes, sub = codebooks.shape
+    # LUT[qi, j, c] = ||q_sub - centroid||^2
+    luts = np.empty((len(q), m, n_codes))
+    for j in range(m):
+        part = q[:, j * sub : (j + 1) * sub]
+        cent = codebooks[j]
+        luts[:, j, :] = (
+            (part * part).sum(axis=1)[:, None]
+            - 2.0 * (part @ cent.T)
+            + (cent * cent).sum(axis=1)[None, :]
+        )
+    ref = ray.put(luts)
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        lt = ray.get(ref)
+        ids = df[id_col].to_numpy()
+        codes = np.frombuffer(
+            b"".join(df[code_col].tolist()), np.uint8
+        ).reshape(len(df), m)
+        rows = {"query_id": [], id_col: [], "adc_dist": []}
+        for qi in range(lt.shape[0]):
+            dist = lt[qi, np.arange(m)[None, :], codes].sum(axis=1)
+            kk = min(k, len(dist))
+            part = np.argpartition(dist, kk - 1)[:kk]
+            rows["query_id"].extend([qi] * kk)
+            rows[id_col].extend(ids[part])
+            rows["adc_dist"].extend(dist[part])
+        return pd.DataFrame(rows)
+
+    cand = ds.map_batches(local_topk, batch_format="pandas").to_pandas()
+    cand = cand.sort_values(
+        ["query_id", "adc_dist", id_col], ascending=[True, True, True]
+    )
+    return cand.groupby("query_id", sort=True).head(k).reset_index(drop=True)
