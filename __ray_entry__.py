@@ -938,6 +938,42 @@ def _q_dedup_jaccard(sf_dir: str):
     return dedup_jaccard(ds, threshold=0.5, candidate_threshold=0.4)
 
 
+def _q_pack_sequences(sf_dir: str):
+    """Sequence packing for pre-training (FFD within blocks).  Packing
+    structure isn't SQL-expressible -> rows-only, but the query asserts
+    the conservation law in-query: packed token mass == corpus token
+    mass, every doc packed exactly once."""
+    import pandas as pd
+
+    from pdf2pdfocr_ray.ops.relational import read
+    from pdf2pdfocr_ray.ops.text_analysis import _TOKEN_RE, pack_sequences
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"]).materialize()
+    packed = pack_sequences(ds, max_tokens=1024).materialize()
+    pdf = packed.to_pandas()
+    n_docs_packed = int(pdf["n_docs"].sum())
+    total_packed = int(pdf["total_tokens"].sum())
+    truth = ds.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "n": [len(df)],
+                "tok": [int(df["text"].str.count(_TOKEN_RE).sum())],
+            }
+        ),
+        batch_format="pandas",
+    ).to_pandas()
+    assert n_docs_packed == int(truth["n"].sum())
+    assert total_packed == int(truth["tok"].sum())
+    return pd.DataFrame(
+        {
+            "n_sequences": pd.Series([len(pdf)], dtype="int64"),
+            "n_docs": pd.Series([n_docs_packed], dtype="int64"),
+            "total_tokens": pd.Series([total_packed], dtype="int64"),
+            "mean_fill": [float(pdf[~pdf["truncated"]]["fill_ratio"].mean())],
+        }
+    )
+
+
 def _q_ann_pq(sf_dir: str):
     """PQ-compressed ANN (codebook train -> uint8 encode -> ADC scan),
     ORACLE-CHECKED via an in-query recall gate vs exact brute-force —
@@ -1621,6 +1657,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": _q_heavy_hitters,
         "extract_mentions": _q_extract_mentions,
         "ann_pq": _q_ann_pq,
+        "pack_sequences": _q_pack_sequences,
         "lm_score": _q_lm_score,
         "hash_split": _q_hash_split,
         "url_canonicalize": _q_url_canonicalize,

@@ -1093,3 +1093,60 @@ def extract_mentions(
         return pd.concat(outs, ignore_index=True)
 
     return ds.map_batches(mine, batch_format="pandas")
+
+
+# ------------------------------------------------------ sequence packing
+def pack_sequences(
+    ds: "ray.data.Dataset",
+    max_tokens: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """Greedy first-fit-decreasing sequence packing (the pre-training
+    sample-construction step: concatenate documents into fixed token
+    budgets to minimize padding).  Token count = whitespace tokens
+    (same \\S+ tokenizer as token_stats).  Packing runs WITHIN each block
+    — the only correct scale shape, since a global bin-packing would
+    serialize the corpus; cross-block waste is bounded by one partially
+    filled sequence per block (surfaced via ``fill_ratio``).  Documents
+    longer than the budget become single-doc sequences flagged
+    ``truncated`` (the trainer's chunking decision is downstream).
+
+    Output: one row per packed sequence — (seq_key, n_docs, doc_ids
+    list, total_tokens, fill_ratio, truncated).  Deterministic: FFD with
+    ties by doc id; seq_key = min doc id in the sequence."""
+
+    def pack_block(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df[text_col].str.count(_TOKEN_RE).astype("int64")
+        order = sorted(
+            zip(toks.to_numpy(), df[id_col].to_numpy()),
+            key=lambda t: (-t[0], t[1]),
+        )
+        bins: list[list] = []  # [remaining, [doc_ids], total]
+        for n, did in order:
+            if n >= max_tokens:
+                bins.append([0, [did], n])
+                continue
+            placed = False
+            for b in bins:
+                if b[0] >= n:
+                    b[0] -= n
+                    b[1].append(did)
+                    b[2] += n
+                    placed = True
+                    break
+            if not placed:
+                bins.append([max_tokens - n, [did], n])
+        rows = {
+            "seq_key": [min(b[1]) for b in bins],
+            "n_docs": [len(b[1]) for b in bins],
+            "doc_ids": [sorted(int(x) for x in b[1]) for b in bins],
+            "total_tokens": [int(b[2]) for b in bins],
+            "fill_ratio": [min(1.0, b[2] / max_tokens) for b in bins],
+            "truncated": [b[2] > max_tokens for b in bins],
+        }
+        return pd.DataFrame(rows).astype(
+            {"seq_key": "int64", "n_docs": "int64", "total_tokens": "int64"}
+        )
+
+    return ds.map_batches(pack_block, batch_format="pandas", batch_size=None)

@@ -1066,3 +1066,34 @@ def test_pq_adc_recall(ray_session):
         .reset_index(drop=True)
     )
     assert enc8.equals(enc_df.sort_values("vec_id").reset_index(drop=True))
+
+
+def test_pack_sequences_invariants(ray_session):
+    """Every doc appears exactly once; no sequence exceeds the budget
+    except single oversized docs (flagged); FFD packs the hand-computable
+    case tightly."""
+    import ray.data
+
+    from pdf2pdfocr_ray.ops.text_analysis import pack_sequences
+
+    texts = {
+        1: "a " * 600,   # 600 tokens
+        2: "b " * 400,   # 400 -> fits with 1 (1000)
+        3: "c " * 700,   # 700
+        4: "d " * 300,   # 300 -> fits with 3 (1000)
+        5: "e " * 1500,  # oversized -> own sequence, truncated
+        6: "f " * 10,
+    }
+    df = pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+    out = pack_sequences(
+        ray.data.from_pandas(df).repartition(1), max_tokens=1024
+    ).to_pandas()
+    all_ids = sorted(i for ids in out["doc_ids"] for i in ids)
+    assert all_ids == [1, 2, 3, 4, 5, 6]  # exactly-once
+    ok = out[~out["truncated"]]
+    assert (ok["total_tokens"] <= 1024).all()
+    assert out[out["truncated"]]["doc_ids"].tolist() == [[5]]
+    # FFD: 700+300+10 (first fit), 600+400 -> 3 sequences incl. oversized
+    assert len(out) == 3
+    by_key = {tuple(ids) for ids in out["doc_ids"]}
+    assert (3, 4, 6) in by_key and (1, 2) in by_key
