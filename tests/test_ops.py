@@ -1097,3 +1097,81 @@ def test_pack_sequences_invariants(ray_session):
     assert len(out) == 3
     by_key = {tuple(ids) for ids in out["doc_ids"]}
     assert (3, 4, 6) in by_key and (1, 2) in by_key
+
+
+def test_varint_postings_property():
+    """Property: delta+varint posting encoding round-trips any sorted
+    doc-id list, including huge ids and dense runs."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pdf2pdfocr_ray.ops.text_analysis import _varint_pack, decode_postings
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.integers(min_value=0, max_value=2**62), max_size=50))
+    def roundtrip(ids):
+        docs = np.unique(np.asarray(sorted(ids), np.int64))
+        deltas = np.diff(docs, prepend=0) if len(docs) else docs
+        got = decode_postings(_varint_pack(deltas))
+        assert np.array_equal(got, docs)
+
+    roundtrip()
+
+
+def test_bloom_no_false_negative_property():
+    """Property: every inserted value probes positive, for any value mix
+    and any (m, k) configuration."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pdf2pdfocr_ray.ops.sketches import _bloom_positions, bloom_contains
+
+    @settings(max_examples=100, deadline=None)
+    @given(
+        st.lists(st.one_of(st.text(max_size=20), st.integers()), min_size=1,
+                 max_size=100),
+        st.sampled_from([1 << 10, 1 << 14]),
+        st.integers(min_value=1, max_value=8),
+    )
+    def no_fn(vals, m_bits, k):
+        regs = np.zeros(m_bits >> 6, np.uint64)
+        pos = _bloom_positions(vals, m_bits, k).ravel()
+        np.bitwise_or.at(
+            regs,
+            (pos >> np.uint64(6)).astype(np.int64),
+            np.uint64(1) << (pos & np.uint64(63)),
+        )
+        assert bloom_contains(regs, vals, m_bits, k).all()
+
+    no_fn()
+
+
+def test_pack_sequences_property(ray_session):
+    """Property: exactly-once coverage, budget respected for non-
+    truncated sequences, token mass conserved — any doc size mix."""
+    import ray.data
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pdf2pdfocr_ray.ops.text_analysis import pack_sequences
+
+    @settings(max_examples=15, deadline=None)
+    @given(st.lists(st.integers(min_value=0, max_value=300), min_size=1,
+                    max_size=40))
+    def invariants(sizes):
+        df = pd.DataFrame(
+            {
+                "doc_id": range(len(sizes)),
+                "text": ["w " * n for n in sizes],
+            }
+        )
+        out = pack_sequences(
+            ray.data.from_pandas(df).repartition(1), max_tokens=128
+        ).to_pandas()
+        packed = sorted(i for ids in out["doc_ids"] for i in ids)
+        assert packed == list(range(len(sizes)))
+        assert (out[~out["truncated"]]["total_tokens"] <= 128).all()
+        assert int(out["total_tokens"].sum()) == sum(sizes)
+
+    invariants()
