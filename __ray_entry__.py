@@ -938,6 +938,44 @@ def _q_dedup_jaccard(sf_dir: str):
     return dedup_jaccard(ds, threshold=0.5, candidate_threshold=0.4)
 
 
+def _q_ann_ivfpq(sf_dir: str):
+    """Residual IVF-PQ (coarse lists bound the scan, PQ bounds memory),
+    in-query recall gate vs brute force."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from pdf2pdfocr_ray.ops.relational import read
+    from pdf2pdfocr_ray.ops.similarity import (
+        ivfpq_build,
+        topk_bruteforce,
+        topk_ivfpq,
+    )
+
+    emb = read(sf_dir, "embeddings", ["vec_id", "embedding"]).materialize()
+    q0 = (
+        emb.map_batches(
+            lambda t: t.filter(pc.equal(t["vec_id"], 0)), batch_format="pyarrow"
+        )
+        .to_pandas()["embedding"][0]
+    )
+    coarse, books, index_ds = ivfpq_build(emb, n_centroids=16, m=8, n_codes=64)
+    approx = set(
+        topk_ivfpq(index_ds, np.asarray(q0), coarse, books, k=10, n_probe=6)[
+            "vec_id"
+        ]
+    )
+    exact = set(topk_bruteforce(emb, np.asarray(q0), k=10)["vec_id"])
+    recall = len(approx & exact) / 10.0
+    return pd.DataFrame(
+        {
+            "k": pd.Series([10], dtype="int64"),
+            "self_found": [0 in approx],
+            "recall_ok": [bool(recall >= 0.3)],
+        }
+    )
+
+
 def _q_pack_sequences(sf_dir: str):
     """Sequence packing for pre-training (FFD within blocks).  Packing
     structure isn't SQL-expressible -> rows-only, but the query asserts
@@ -1658,6 +1696,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_mentions": _q_extract_mentions,
         "ann_pq": _q_ann_pq,
         "pack_sequences": _q_pack_sequences,
+        "ann_ivfpq": _q_ann_ivfpq,
         "lm_score": _q_lm_score,
         "hash_split": _q_hash_split,
         "url_canonicalize": _q_url_canonicalize,
@@ -1930,6 +1969,9 @@ def _oracle_sql_static() -> dict[str, str]:
         # the verdict is stable, not flaky).
         "ann_lsh": "SELECT 10::BIGINT AS k, true AS recall_ok",
         "ann_pq": (
+            "SELECT 10::BIGINT AS k, true AS self_found, true AS recall_ok"
+        ),
+        "ann_ivfpq": (
             "SELECT 10::BIGINT AS k, true AS self_found, true AS recall_ok"
         ),
         "ann_ivf": "SELECT 10::BIGINT AS k, true AS recall_ok",

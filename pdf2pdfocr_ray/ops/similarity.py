@@ -459,3 +459,169 @@ def topk_pq(
         ["query_id", "adc_dist", id_col], ascending=[True, True, True]
     )
     return cand.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+
+
+# ------------------------------------------------ IVF-PQ (residual-encoded)
+def ivfpq_build(
+    ds: "ray.data.Dataset",
+    n_centroids: int = 32,
+    m: int = 8,
+    n_codes: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_rows: int = 4096,
+    iters: int = 8,
+    seed: int = 3,
+):
+    """Build a residual-encoded IVF-PQ index (the 10^12-vector ANN
+    architecture: coarse lists bound the scan fraction, PQ bounds the
+    memory): train the coarse quantizer and the RESIDUAL codebooks on a
+    driver-side sample, then one streaming pass assigns every vector to
+    its list and PQ-encodes ``vector - centroid`` — the index dataset
+    carries (id, list_id, pq_code) only, ~9 bytes/vector + id.  Returns
+    (coarse_centroids, codebooks, index_ds)."""
+    import ray
+
+    sample = _to_raw_matrix(ds.limit(sample_rows).to_pandas()[vec_col])
+    sample = sample / np.maximum(
+        np.linalg.norm(sample, axis=1, keepdims=True), 1e-12
+    )
+    d = sample.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    coarse = _kmeanspp_init(sample, n_centroids, seed)
+    for _ in range(iters):
+        d2 = (
+            (sample * sample).sum(axis=1)[:, None]
+            - 2.0 * (sample @ coarse.T)
+            + (coarse * coarse).sum(axis=1)[None, :]
+        )
+        a = np.argmin(d2, axis=1)
+        for c in range(len(coarse)):
+            mask = a == c
+            if mask.any():
+                coarse[c] = sample[mask].mean(axis=0)
+    resid = sample - coarse[np.argmin(
+        (sample * sample).sum(axis=1)[:, None]
+        - 2.0 * (sample @ coarse.T)
+        + (coarse * coarse).sum(axis=1)[None, :],
+        axis=1,
+    )]
+    books = np.empty((m, min(n_codes, len(resid)), sub))
+    for j in range(m):
+        part = resid[:, j * sub : (j + 1) * sub]
+        cent = _kmeanspp_init(part, n_codes, seed + 17 + j)
+        for _ in range(iters):
+            d2 = (
+                (part * part).sum(axis=1)[:, None]
+                - 2.0 * (part @ cent.T)
+                + (cent * cent).sum(axis=1)[None, :]
+            )
+            a = np.argmin(d2, axis=1)
+            for c in range(len(cent)):
+                mask = a == c
+                if mask.any():
+                    cent[c] = part[mask].mean(axis=0)
+        books[j] = cent
+
+    ref = ray.put((np.ascontiguousarray(coarse), np.ascontiguousarray(books)))
+
+    def encode(df: pd.DataFrame) -> pd.DataFrame:
+        co, bo = ray.get(ref)
+        mat = _to_matrix(df[vec_col])
+        d2 = (
+            (mat * mat).sum(axis=1)[:, None]
+            - 2.0 * (mat @ co.T)
+            + (co * co).sum(axis=1)[None, :]
+        )
+        lists = np.argmin(d2, axis=1).astype(np.int32)
+        res = mat - co[lists]
+        codes = np.empty((len(mat), m), np.uint8)
+        for j in range(m):
+            part = res[:, j * sub : (j + 1) * sub]
+            cent = bo[j]
+            dd = (
+                (part * part).sum(axis=1)[:, None]
+                - 2.0 * (part @ cent.T)
+                + (cent * cent).sum(axis=1)[None, :]
+            )
+            codes[:, j] = np.argmin(dd, axis=1).astype(np.uint8)
+        return pd.DataFrame(
+            {
+                id_col: df[id_col].to_numpy(),
+                "list_id": lists,
+                "pq_code": [c.tobytes() for c in codes],
+            }
+        )
+
+    index_ds = ds.map_batches(encode, batch_format="pandas")
+    return coarse, books, index_ds
+
+
+def topk_ivfpq(
+    index_ds: "ray.data.Dataset",
+    queries: np.ndarray,
+    coarse: np.ndarray,
+    codebooks: np.ndarray,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+) -> pd.DataFrame:
+    """ADC scan over the probed lists only: per (query, probed list) one
+    residual LUT (m, n_codes); each batch scores only its rows whose
+    list_id is probed — scan fraction ~ n_probe/n_centroids, scan payload
+    = code bytes.  Ties by id; tiny global reduce."""
+    import ray
+
+    q = np.atleast_2d(np.asarray(queries, dtype=np.float64))
+    q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+    m, n_codes, sub = codebooks.shape
+    qd2 = (
+        (q * q).sum(axis=1)[:, None]
+        - 2.0 * (q @ coarse.T)
+        + (coarse * coarse).sum(axis=1)[None, :]
+    )
+    probe = np.argsort(qd2, axis=1)[:, :n_probe]  # (Q, n_probe)
+    # LUT[qi, pi, j, c] built from the query's residual vs the probed list
+    luts = np.empty((len(q), n_probe, m, n_codes))
+    for qi in range(len(q)):
+        for pi, c in enumerate(probe[qi]):
+            rq = q[qi] - coarse[c]
+            for j in range(m):
+                part = rq[j * sub : (j + 1) * sub]
+                cent = codebooks[j]
+                luts[qi, pi, j, :] = (
+                    (part * part).sum()
+                    - 2.0 * (cent @ part)
+                    + (cent * cent).sum(axis=1)
+                )
+    ref = ray.put((probe, luts))
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        pr, lt = ray.get(ref)
+        ids = df[id_col].to_numpy()
+        lists = df["list_id"].to_numpy()
+        codes = np.frombuffer(
+            b"".join(df["pq_code"].tolist()), np.uint8
+        ).reshape(len(df), m)
+        rows = {"query_id": [], id_col: [], "adc_dist": []}
+        for qi in range(pr.shape[0]):
+            for pi, c in enumerate(pr[qi]):
+                mask = lists == c
+                if not mask.any():
+                    continue
+                sel = codes[mask]
+                dist = lt[qi, pi, np.arange(m)[None, :], sel].sum(axis=1)
+                kk = min(k, len(dist))
+                part = np.argpartition(dist, kk - 1)[:kk]
+                rows["query_id"].extend([qi] * kk)
+                rows[id_col].extend(ids[mask][part])
+                rows["adc_dist"].extend(dist[part])
+        return pd.DataFrame(rows)
+
+    cand = index_ds.map_batches(local_topk, batch_format="pandas").to_pandas()
+    cand = cand.sort_values(
+        ["query_id", "adc_dist", id_col], ascending=[True, True, True]
+    )
+    return cand.groupby("query_id", sort=True).head(k).reset_index(drop=True)

@@ -1175,3 +1175,38 @@ def test_pack_sequences_property(ray_session):
         assert int(out["total_tokens"].sum()) == sum(sizes)
 
     invariants()
+
+
+def test_ivfpq_recall_and_scan_fraction(ray_session):
+    """Residual IVF-PQ: self retrieval, high overlap with brute force on
+    blobs, and only probed lists are scanned."""
+    import ray.data
+
+    from pdf2pdfocr_ray.ops.similarity import (
+        ivfpq_build,
+        topk_bruteforce,
+        topk_ivfpq,
+    )
+
+    rng = np.random.default_rng(21)
+    centers = rng.standard_normal((8, 32)) * 3
+    mat = np.concatenate(
+        [c + 0.3 * rng.standard_normal((80, 32)) for c in centers]
+    )
+    df = pd.DataFrame({"vec_id": range(640), "embedding": list(mat)})
+    ds = ray.data.from_pandas(df).repartition(4)
+    coarse, books, index_ds = ivfpq_build(
+        ds, n_centroids=16, m=8, n_codes=64
+    )
+    index_ds = index_ds.materialize()
+    idx = index_ds.to_pandas()
+    assert len(idx) == 640 and idx["list_id"].nunique() <= 16
+    hits = 0
+    for probe in (0, 320, 639):
+        q = mat[probe]
+        got = topk_ivfpq(index_ds, q, coarse, books, k=10, n_probe=4)
+        ids = set(got["vec_id"])
+        assert probe in ids  # self retrieved through the residual codes
+        exact = set(topk_bruteforce(ds, q, k=10)["vec_id"])
+        hits += len(ids & exact)
+    assert hits / 30 >= 0.4, hits
