@@ -938,6 +938,37 @@ def _q_dedup_jaccard(sf_dir: str):
     return dedup_jaccard(ds, threshold=0.5, candidate_threshold=0.4)
 
 
+def _q_link_pagerank(sf_dir: str):
+    """PageRank over a deterministic synthetic link graph on documents
+    (doc i -> (7i+1) mod N and (13i+3) mod N): the link-based quality
+    prior.  Iterative -> rows-only; the hand-graph equality-vs-dense
+    reference is pinned in pytest.  Sum-to-1 asserted in-query."""
+    import pandas as pd
+
+    from pdf2pdfocr_ray.ops.graph import pagerank
+    from pdf2pdfocr_ray.ops.relational import read
+
+    ds = read(sf_dir, "documents", ["doc_id"])
+    n_ref = ds.count()
+
+    def edges(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy()
+        return pd.DataFrame(
+            {
+                "src": list(ids) + list(ids),
+                "dst": list((ids * 7 + 1) % n_ref) + list((ids * 13 + 3) % n_ref),
+            }
+        )
+
+    pr = pagerank(
+        ds.map_batches(edges, batch_format="pandas"), iters=12
+    )
+    assert abs(pr["rank"].sum() - 1.0) < 1e-9
+    return pr.sort_values("rank", ascending=False).head(20).reset_index(
+        drop=True
+    )
+
+
 def _q_incremental_extract(sf_dir: str):
     """CDC -> extraction integration: two crawl snapshots of the pages
     table (prefix-stable generator: new = old + 20 docs + 6 edited
@@ -1802,6 +1833,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": _q_pack_sequences,
         "ann_ivfpq": _q_ann_ivfpq,
         "incremental_extract": _q_incremental_extract,
+        "link_pagerank": _q_link_pagerank,
         "lm_score": _q_lm_score,
         "hash_split": _q_hash_split,
         "url_canonicalize": _q_url_canonicalize,

@@ -1210,3 +1210,34 @@ def test_ivfpq_recall_and_scan_fraction(ray_session):
         exact = set(topk_bruteforce(ds, q, k=10)["vec_id"])
         hits += len(ids & exact)
     assert hits / 30 >= 0.4, hits
+
+
+def test_pagerank_matches_power_iteration(ray_session):
+    """Hand graph incl. a dangling node: distributed PR equals a local
+    dense power iteration to 1e-9, ranks sum to 1, hub ranks highest."""
+    import ray.data
+
+    from pdf2pdfocr_ray.ops.graph import pagerank
+
+    # 0 -> 1, 0 -> 2, 1 -> 2, 2 -> 0, 3 -> 2 ; node 4 dangling (dst only)
+    edges = pd.DataFrame(
+        {"src": [0, 0, 1, 2, 3, 3], "dst": [1, 2, 2, 0, 2, 4]}
+    )
+    got = pagerank(
+        ray.data.from_pandas(edges).repartition(3), iters=60, tol=0.0
+    ).set_index("node")["rank"]
+
+    # local dense reference
+    n = 5
+    M = np.zeros((n, n))
+    outdeg = edges.groupby("src").size()
+    for s, d in zip(edges["src"], edges["dst"]):
+        M[d, s] += 1.0 / outdeg[s]
+    r = np.full(n, 1 / n)
+    for _ in range(60):
+        dangling = r[[i not in set(edges["src"]) for i in range(n)]].sum()
+        r = (1 - 0.85) / n + 0.85 * (M @ r + dangling / n)
+    assert abs(got.sum() - 1.0) < 1e-9
+    for i in range(n):
+        assert abs(got[i] - r[i]) < 1e-9, (i, got[i], r[i])
+    assert got.idxmax() == 2  # the hub
