@@ -938,6 +938,13 @@ def _q_dedup_jaccard(sf_dir: str):
     return dedup_jaccard(ds, threshold=0.5, candidate_threshold=0.4)
 
 
+def _q_source_variance(sf_dir: str):
+    """Grouped variance/stddev via algebraic (n, sum, sumsq) partials."""
+    from pdf2pdfocr_ray.ops.relational import source_variance
+
+    return source_variance(sf_dir)
+
+
 def _q_link_pagerank(sf_dir: str):
     """PageRank over a deterministic synthetic link graph on documents
     (doc i -> (7i+1) mod N and (13i+3) mod N): the link-based quality
@@ -1834,6 +1841,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivfpq": _q_ann_ivfpq,
         "incremental_extract": _q_incremental_extract,
         "link_pagerank": _q_link_pagerank,
+        "source_variance": _q_source_variance,
         "lm_score": _q_lm_score,
         "hash_split": _q_hash_split,
         "url_canonicalize": _q_url_canonicalize,
@@ -2230,6 +2238,14 @@ def _oracle_sql_static() -> dict[str, str]:
             "'https?://[^\\s<>\"'']+') FROM aug "
             "UNION ALL SELECT doc_id, 'ipv4', regexp_extract_all(text, "
             "'\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b') FROM aug)"
+        ),
+        # algebraic moments decomposition == var_pop/stddev_pop
+        "source_variance": (
+            "SELECT source, count(*)::BIGINT AS n_docs, "
+            "round(avg(n_chars), 6) AS mean_chars, "
+            "round(var_pop(n_chars), 6) AS var_chars, "
+            "round(stddev_pop(n_chars), 6) AS std_chars "
+            "FROM documents GROUP BY source"
         ),
         # MG-sketch candidates + exact verify == plain GROUP BY/HAVING
         # over token occurrences (> N/k, N = total token count)

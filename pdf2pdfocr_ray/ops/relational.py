@@ -1312,3 +1312,42 @@ def length_outlier_filter(
         return t.filter(pa.array((v >= qlo) & (v <= qhi)))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+# ------------------------------------------------- grouped variance/stddev
+def source_variance(sf_dir: str) -> "ray.data.Dataset":
+    """Population variance + stddev of n_chars per source, decomposed
+    into the algebraic partials (count, sum, sum-of-squares) so the
+    shuffle carries 3 numbers per (source, batch) — the standard trick
+    for any moment-based statistic; numerically safe here because the
+    values are small ints (a shifted/Welford variant slots in for
+    ill-conditioned floats)."""
+    from .grouped import sorted_groupby
+
+    ds = read(sf_dir, "documents", ["source", "n_chars"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(sq=df["n_chars"].astype("float64") ** 2)
+        return df.groupby("source", as_index=False).agg(
+            pn=("n_chars", "size"), ps=("n_chars", "sum"), pq=("sq", "sum")
+        )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("source", as_index=False).agg(
+            n=("pn", "sum"), s=("ps", "sum"), q=("pq", "sum")
+        )
+        mean = g["s"] / g["n"]
+        var = (g["q"] / g["n"] - mean**2).clip(lower=0.0)
+        return pd.DataFrame(
+            {
+                "source": g["source"],
+                "n_docs": g["n"].astype("int64"),
+                "mean_chars": mean.round(6),
+                "var_chars": var.round(6),
+                "std_chars": np.sqrt(var).round(6),
+            }
+        )
+
+    return sorted_groupby(
+        ds.map_batches(partial, batch_format="pandas"), "source", final
+    )
