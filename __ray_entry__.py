@@ -938,6 +938,20 @@ def _q_dedup_jaccard(sf_dir: str):
     return dedup_jaccard(ds, threshold=0.5, candidate_threshold=0.4)
 
 
+def _q_index_search(sf_dir: str):
+    """Conjunctive search over the inverted index: build -> decode ->
+    smallest-first posting intersection ('scan' AND 'merge' AND 'hash')."""
+    import pandas as pd
+
+    from pdf2pdfocr_ray.ops.relational import read
+    from pdf2pdfocr_ray.ops.text_analysis import index_search, inverted_index
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    idx = inverted_index(ds)
+    hits = index_search(idx, ["scan", "merge", "hash"])
+    return pd.DataFrame({"doc_id": pd.Series(hits, dtype="int64")})
+
+
 def _q_source_variance(sf_dir: str):
     """Grouped variance/stddev via algebraic (n, sum, sumsq) partials."""
     from pdf2pdfocr_ray.ops.relational import source_variance
@@ -1842,6 +1856,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_extract": _q_incremental_extract,
         "link_pagerank": _q_link_pagerank,
         "source_variance": _q_source_variance,
+        "index_search": _q_index_search,
         "lm_score": _q_lm_score,
         "hash_split": _q_hash_split,
         "url_canonicalize": _q_url_canonicalize,
@@ -2238,6 +2253,13 @@ def _oracle_sql_static() -> dict[str, str]:
             "'https?://[^\\s<>\"'']+') FROM aug "
             "UNION ALL SELECT doc_id, 'ipv4', regexp_extract_all(text, "
             "'\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b') FROM aug)"
+        ),
+        # posting-list intersection == docs containing ALL query terms
+        "index_search": (
+            "WITH toks AS (SELECT doc_id, unnest(regexp_extract_all("
+            "lower(text), '[a-z0-9]+')) AS term FROM documents) "
+            "SELECT doc_id FROM toks WHERE term IN ('scan','merge','hash') "
+            "GROUP BY doc_id HAVING count(DISTINCT term) = 3 ORDER BY doc_id"
         ),
         # algebraic moments decomposition == var_pop/stddev_pop
         "source_variance": (

@@ -1150,3 +1150,29 @@ def pack_sequences(
         )
 
     return ds.map_batches(pack_block, batch_format="pandas", batch_size=None)
+
+
+def index_search(
+    index_ds: "ray.data.Dataset", terms: list[str]
+) -> np.ndarray:
+    """Conjunctive (AND) search over an inverted index: fetch the query
+    terms' posting rows (a filter — at scale, a partition-pruned read of
+    the term-bucketed index), decode, intersect smallest-first.  Returns
+    ascending doc ids containing ALL terms."""
+    want = set(terms)
+    rows = index_ds.map_batches(
+        lambda df: df[df["term"].isin(want)][["term", "postings"]],
+        batch_format="pandas",
+    ).to_pandas()
+    found = dict(zip(rows["term"], rows["postings"]))
+    if len(found) < len(want):  # some term absent -> empty result
+        return np.array([], np.int64)
+    lists = sorted(
+        (decode_postings(found[t]) for t in want), key=len
+    )
+    acc = lists[0]
+    for other in lists[1:]:
+        acc = acc[np.isin(acc, other, assume_unique=True)]
+        if not len(acc):
+            break
+    return acc

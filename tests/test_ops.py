@@ -1241,3 +1241,26 @@ def test_pagerank_matches_power_iteration(ray_session):
     for i in range(n):
         assert abs(got[i] - r[i]) < 1e-9, (i, got[i], r[i])
     assert got.idxmax() == 2  # the hub
+
+
+def test_index_search_conjunctive(ray_session):
+    import ray.data
+
+    from pdf2pdfocr_ray.ops.text_analysis import index_search, inverted_index
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "apple banana",
+                "apple cherry",
+                "banana cherry apple",
+                "banana",
+            ],
+        }
+    )
+    idx = inverted_index(ray.data.from_pandas(docs).repartition(2)).materialize()
+    assert index_search(idx, ["apple", "banana"]).tolist() == [1, 3]
+    assert index_search(idx, ["apple"]).tolist() == [1, 2, 3]
+    assert index_search(idx, ["apple", "missing"]).tolist() == []
+    assert index_search(idx, ["apple", "banana", "cherry"]).tolist() == [3]
