@@ -1492,9 +1492,16 @@ def _q_curation_pipeline(sf_dir: str):
         )
         .materialize()
     )
-    n_lang = annotated.filter(lambda r: bool(r["lang_ok"])).count()
-    eligible = annotated.filter(
-        lambda r: bool(r["lang_ok"] and r["qual_ok"] and r["rep_ok"])
+    n_lang = annotated.map_batches(
+        lambda t: t.filter(t["lang_ok"]), batch_format="pyarrow"
+    ).count()
+    import pyarrow.compute as _pc
+
+    eligible = annotated.map_batches(
+        lambda t: t.filter(
+            _pc.and_(_pc.and_(t["lang_ok"], t["qual_ok"]), t["rep_ok"])
+        ),
+        batch_format="pyarrow",
     ).select_columns(["doc_id", "text"])
     uniq = dedup_exact(eligible).materialize()  # consumed 3x below
     n_exact = uniq.count()
