@@ -72,7 +72,7 @@ def estimate_skew(img: np.ndarray, scale: int = 1) -> float:
         return finalists[0]
     best_slope, best_full = finalists[0], -1.0
     for s in finalists:
-        full = _page_match_fraction(deskew(img, s) if s else img, scale)
+        full, _ = _page_match_fraction(deskew(img, s) if s else img, scale)
         if full > best_full:
             best_full, best_slope = full, s
     return best_slope

@@ -267,16 +267,30 @@ def _band_glyph_score(band: np.ndarray, scale: int, max_glyphs: int = 12) -> flo
     return hits / total if total else 0.0
 
 
-def _page_match_fraction(img: np.ndarray, scale: int) -> float:
-    """Fraction of non-replacement chars over a full-page recognition."""
+def _page_match_fraction(
+    img: np.ndarray, scale: int
+) -> tuple[float, list["LineBox"]]:
+    """(fraction of non-replacement chars, the recognition itself) over a
+    full-page pass — the lines are returned so the winning candidate's
+    verification recognition can be REUSED by the caller instead of
+    recognized a second time (the two passes are identical by
+    construction: same image, same scale, same recognize_page)."""
     lines = recognize_page(img, scale)
     text = "".join(w.text for ln in lines for w in ln.words)
     if not text:
-        return 0.0
-    return 1.0 - text.count(REPLACEMENT_CHAR) / len(text)
+        return 0.0, lines
+    return 1.0 - text.count(REPLACEMENT_CHAR) / len(text), lines
 
 
 def normalize_page(img: np.ndarray, scale: int) -> tuple[np.ndarray, int, float]:
+    """3-tuple compatibility wrapper around :func:`normalize_page_full`."""
+    fixed, k, slope, _ = normalize_page_full(img, scale)
+    return fixed, k, slope
+
+
+def normalize_page_full(
+    img: np.ndarray, scale: int
+) -> tuple[np.ndarray, int, float, list["LineBox"] | None]:
     """Jointly detect and undo 90-degree rotation and integer shear.
 
     Scan-distortion model: ``scan = rot90(shear(clean), k)``; recovery
@@ -289,15 +303,19 @@ def normalize_page(img: np.ndarray, scale: int) -> tuple[np.ndarray, int, float]
     sharpness criteria are deliberately not used — cross-line superposition
     makes them content-fragile.
 
-    Returns ``(upright_image, k, slope)``.  Blank pages → (img, 0, 0.0).
-    Ties prefer smaller k then the earlier grid slope.  Caveat (shared with
-    any OSD): a page whose glyphs are all 180°-symmetric is ambiguous.
+    Returns ``(upright_image, k, slope, lines)`` where ``lines`` is the
+    winner's full-page verification recognition when one was computed
+    (template semantics — callers using the default engine reuse it and
+    skip a second identical pass), else None.  Blank pages →
+    (img, 0, 0.0, None).  Ties prefer smaller k then the earlier grid
+    slope.  Caveat (shared with any OSD): a page whose glyphs are all
+    180°-symmetric is ambiguous.
     """
     from .image_ops import DESKEW_SLOPES, deskew, ink_mask
 
     mask0 = ink_mask(img)
     if not mask0.any():
-        return img, 0, 0.0
+        return img, 0, 0.0, None
 
     def fix(k: int, slope: float) -> np.ndarray:
         cand = np.ascontiguousarray(np.rot90(img, -k)) if k else img
@@ -331,26 +349,26 @@ def normalize_page(img: np.ndarray, scale: int) -> tuple[np.ndarray, int, float]
             candidates.append((score, k, slope))
             if score == 1.0:
                 fixed = fix(k, slope)
-                full = _page_match_fraction(fixed, scale)
+                full, lines = _page_match_fraction(fixed, scale)
                 if full == 1.0:
-                    return fixed, k, slope
-                fulls[(k, slope)] = (full, fixed)
+                    return fixed, k, slope, lines
+                fulls[(k, slope)] = (full, fixed, lines)
     if not candidates:
-        return img, 0, 0.0
+        return img, 0, 0.0, None
 
     best_band = max(c[0] for c in candidates)
     candidates.sort(key=lambda c: (c[1], grid_idx[c[2]]))  # original order
-    best: tuple[float, int, float, np.ndarray] | None = None
+    best: tuple[float, int, float, np.ndarray, list] | None = None
     for score, k, slope in candidates:
         check_deadline()
         if score < best_band:
             continue
         if (k, slope) in fulls:
-            full, fixed = fulls[(k, slope)]
+            full, fixed, lines = fulls[(k, slope)]
         else:
             fixed = fix(k, slope)
-            full = _page_match_fraction(fixed, scale)
+            full, lines = _page_match_fraction(fixed, scale)
         if best is None or full > best[0]:
-            best = (full, k, slope, fixed)
-    _, k, slope, fixed = best
-    return fixed, k, slope
+            best = (full, k, slope, fixed, lines)
+    _, k, slope, fixed, lines = best
+    return fixed, k, slope, lines

@@ -89,6 +89,10 @@ class TemplateEngine:
     """The built-in deterministic template matcher as an engine object."""
 
     name = "template"
+    # recognize() IS recognize_page, so the full-page verification pass
+    # normalize_page_full already ran can stand in for it (identical by
+    # construction); OcrStage skips the duplicate recognition.
+    reuse_normalized_lines = True
 
     def __init__(self) -> None:
         from . import font5x7

@@ -30,7 +30,7 @@ from ..config import PipelineConfig
 from ..functions.hocr import A4_STUB_BBOX, emit_hocr, parse_hocr
 from ..functions.image_ops import is_blank, is_greyscale
 from ..functions import ocr_core
-from ..functions.ocr_core import OcrDeadlineExceeded, normalize_page
+from ..functions.ocr_core import OcrDeadlineExceeded, normalize_page_full
 from ..functions.imagecodec import decode_image
 from ..functions.pagerender import BASE_DPI
 
@@ -113,11 +113,19 @@ class OcrStage:
                 return "", [], True, True, 0, 0.0, w, h, None
             grey = is_greyscale(img)
             scale = max(1, dpi // BASE_DPI)
+            norm_lines = None
             if force_normalize or self.config.autorotate or self.config.deskew:
-                img, k, slope = normalize_page(img, scale)
+                img, k, slope, norm_lines = normalize_page_full(img, scale)
             else:
                 k, slope = 0, 0.0
-            lines = self._engine.recognize(img, scale)
+            if norm_lines is not None and getattr(
+                self._engine, "reuse_normalized_lines", False
+            ):
+                # the verification recognition normalize_page_full already
+                # ran on this exact image — identical output, half the work
+                lines = norm_lines
+            else:
+                lines = self._engine.recognize(img, scale)
             hocr = emit_hocr(lines, img.shape[1], img.shape[0], dpi)
             page = parse_hocr(hocr)
             spans = [
