@@ -1425,104 +1425,22 @@ def _q_repetition_signals(sf_dir: str):
 
 def _q_curation_pipeline(sf_dir: str):
     """END-TO-END training-data curation: the full chain a corpus curator
-    runs over raw documents, composed from the engine's operators in ONE
-    streaming Dataset plan (no intermediate materialization except the
-    tiny dedup-pair set):
-
-      normalize -> language filter (en) -> quality gate -> repetition
-      gate -> PII scrub -> exact dedup -> near-dup purge (MinHash-LSH ->
-      components -> representatives) -> deterministic train/test split.
-
-    Returns one summary row: per-stage surviving counts (monotonically
-    non-increasing — asserted), final token total, and the split sizes.
-    Rows-only check: each constituent operator has its own oracle/test;
-    this query pins their composition."""
+    runs over raw documents — normalize -> language filter (en) ->
+    quality gate -> repetition gate -> PII scrub -> exact dedup ->
+    near-dup purge (MinHash-LSH -> components -> representatives) ->
+    deterministic train/test split — via the library surface
+    ``pipelines.curation.curate`` (one annotation pass + the two natural
+    checkpoints).  Returns one summary row with per-stage surviving
+    counts (monotone, count-algebra asserted).  Rows-only check: each
+    constituent operator has its own oracle/test; this query pins the
+    composition."""
     import pandas as pd
-    import pyarrow as pa
 
-    from pdf2pdfocr_ray.ops.dedup import (
-        connected_components,
-        dedup_exact,
-        dedup_minhash_lsh,
-    )
-    from pdf2pdfocr_ray.ops.grouped import stage_pool
     from pdf2pdfocr_ray.ops.relational import read
-    from pdf2pdfocr_ray.ops.text_analysis import (
-        LangId,
-        QualityScorer,
-        add_normalize_text,
-        hash_split,
-        repetition_signals,
-        scrub_pii,
-    )
+    from pdf2pdfocr_ray.pipelines.curation import curate
 
     ds = read(sf_dir, "documents", ["doc_id", "text", "lang"])
-    n_total = ds.count()
-
-    # ONE annotation pass: every signal stage runs once, emitting flags
-    # instead of filtering mid-chain (a mid-chain .count() would re-run
-    # the whole lazy prefix per stage).  The annotated table is the
-    # pipeline's natural checkpoint — at 100 TB this is a write_parquet
-    # boundary; here materialize() pins the blocks for the fan-out below.
-    norm = add_normalize_text(ds).map_batches(
-        lambda df: df.assign(text=df["text_norm"]).drop(
-            columns=["text_norm", "n_chars_norm"]
-        ),
-        batch_format="pandas",
-    )
-    annotated = (
-        norm.map_batches(LangId, batch_format="pandas",
-                         concurrency=stage_pool())
-        .map_batches(QualityScorer, batch_format="pandas",
-                     concurrency=stage_pool())
-        .map_batches(repetition_signals, batch_format="pandas")
-        .map_batches(scrub_pii, batch_format="pandas")
-        .map_batches(
-            lambda df: pd.DataFrame(
-                {
-                    "doc_id": df["doc_id"],
-                    "text": df["text_scrubbed"],
-                    "lang_ok": df["lang_pred"] == "en",
-                    "qual_ok": df["is_quality"].astype(bool),
-                    "rep_ok": (df["top_bigram_frac"] < 0.2)
-                    & (df["dup_5gram_frac"] < 0.3),
-                }
-            ),
-            batch_format="pandas",
-        )
-        .materialize()
-    )
-    n_lang = annotated.map_batches(
-        lambda t: t.filter(t["lang_ok"]), batch_format="pyarrow"
-    ).count()
-    import pyarrow.compute as _pc
-
-    eligible = annotated.map_batches(
-        lambda t: t.filter(
-            _pc.and_(_pc.and_(t["lang_ok"], t["qual_ok"]), t["rep_ok"])
-        ),
-        batch_format="pyarrow",
-    ).select_columns(["doc_id", "text"])
-    uniq = dedup_exact(eligible).materialize()  # consumed 3x below
-    n_exact = uniq.count()
-    pairs = dedup_minhash_lsh(uniq, threshold=0.6)
-    clusters = connected_components(pairs).to_pandas()
-    removed = set(
-        clusters.loc[clusters["node"] != clusters["cluster_id"], "node"]
-    )
-    import ray
-
-    rm_ref = ray.put(pa.array(sorted(removed), pa.int64()))
-
-    def purge(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        rm = ray.get(rm_ref)
-        if len(rm) == 0:
-            return t
-        return t.filter(pc.invert(pc.is_in(t["doc_id"], value_set=rm)))
-
-    final = hash_split(uniq.map_batches(purge, batch_format="pyarrow"))
+    final, st = curate(ds)
     stats = final.map_batches(
         lambda df: pd.DataFrame(
             {
@@ -1536,22 +1454,26 @@ def _q_curation_pipeline(sf_dir: str):
     n_final = int(stats["rows"].sum())
     n_tokens = int(stats["tokens"].sum())
     n_test = int(stats["test_rows"].sum())
-    ok = n_total >= n_lang >= n_exact >= n_final and n_final + len(
-        removed
-    ) == n_exact
+    ok = (
+        st["n_docs"] >= st["n_lang"] >= st["n_after_exact_dedup"] >= n_final
+        and n_final + st["n_near_dup_removed"] == st["n_after_exact_dedup"]
+    )
     return pd.DataFrame(
         {
-            "n_docs": pd.Series([n_total], dtype="int64"),
-            "n_lang_en": pd.Series([n_lang], dtype="int64"),
-            "n_after_exact_dedup": pd.Series([n_exact], dtype="int64"),
-            "n_near_dup_removed": pd.Series([len(removed)], dtype="int64"),
+            "n_docs": pd.Series([st["n_docs"]], dtype="int64"),
+            "n_lang_en": pd.Series([st["n_lang"]], dtype="int64"),
+            "n_after_exact_dedup": pd.Series(
+                [st["n_after_exact_dedup"]], dtype="int64"
+            ),
+            "n_near_dup_removed": pd.Series(
+                [st["n_near_dup_removed"]], dtype="int64"
+            ),
             "n_final": pd.Series([n_final], dtype="int64"),
             "n_tokens": pd.Series([n_tokens], dtype="int64"),
             "n_test": pd.Series([n_test], dtype="int64"),
             "consistent": [bool(ok)],
         }
     )
-
 
 def _q_pdf_roundtrip(sf_dir: str):
     """Searchable-PDF sink (true S7 parity, judge r2 #2): the sandwich
