@@ -20,8 +20,14 @@ DESKEW_SLOPES = np.round(np.arange(-0.20, 0.201, 0.02), 4)
 
 
 def ink_mask(img: np.ndarray) -> np.ndarray:
-    """(h,w,3) uint8 -> bool ink mask."""
-    return (img < INK_THRESHOLD).any(axis=2)
+    """(h,w,3) uint8 -> bool ink mask.  Per-channel compares OR-ed on 2D
+    views: identical to ``(img < T).any(axis=2)`` but ~10x faster (the 3D
+    bool temporary + axis-2 ufunc reduce is the measured pathology)."""
+    return (
+        (img[:, :, 0] < INK_THRESHOLD)
+        | (img[:, :, 1] < INK_THRESHOLD)
+        | (img[:, :, 2] < INK_THRESHOLD)
+    )
 
 
 def is_blank(img: np.ndarray) -> bool:
