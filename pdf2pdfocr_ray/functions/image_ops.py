@@ -92,9 +92,13 @@ def deskew(img: np.ndarray, slope: float) -> np.ndarray:
     shifts = np.round(slope * np.arange(h)).astype(np.int64)
     lo, hi = int(shifts.min()), int(shifts.max())
     out = np.full((h, w + hi - lo, 3), 255, dtype=np.uint8)
-    for y in range(h):
-        x0 = hi - shifts[y]
-        out[y, x0 : x0 + w] = img[y]
+    # equal-shift rows are contiguous (shifts monotone in y): block
+    # slice-copies instead of a per-row Python loop
+    breaks = np.flatnonzero(np.diff(shifts) != 0) + 1
+    bounds = np.concatenate([[0], breaks, [h]])
+    for r0, r1 in zip(bounds[:-1], bounds[1:]):
+        x0 = hi - int(shifts[r0])
+        out[r0:r1, x0 : x0 + w] = img[r0:r1]
     return crop_blank_columns(out)
 
 
