@@ -938,6 +938,15 @@ def _q_dedup_jaccard(sf_dir: str):
     return dedup_jaccard(ds, threshold=0.5, candidate_threshold=0.4)
 
 
+def _q_chunk_text(sf_dir: str):
+    """RAG/passage chunking: 512-char windows, 64-char overlap."""
+    from pdf2pdfocr_ray.ops.relational import read
+    from pdf2pdfocr_ray.ops.text_analysis import chunk_text
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    return chunk_text(ds, chunk_chars=512, overlap=64)
+
+
 def _q_index_search(sf_dir: str):
     """Conjunctive search over the inverted index: build -> decode ->
     smallest-first posting intersection ('scan' AND 'merge' AND 'hash')."""
@@ -1786,6 +1795,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_pagerank": _q_link_pagerank,
         "source_variance": _q_source_variance,
         "index_search": _q_index_search,
+        "chunk_text": _q_chunk_text,
         "lm_score": _q_lm_score,
         "hash_split": _q_hash_split,
         "url_canonicalize": _q_url_canonicalize,
@@ -2182,6 +2192,16 @@ def _oracle_sql_static() -> dict[str, str]:
             "'https?://[^\\s<>\"'']+') FROM aug "
             "UNION ALL SELECT doc_id, 'ipv4', regexp_extract_all(text, "
             "'\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b') FROM aug)"
+        ),
+        # character windows: substr is character-based in both engines;
+        # chunk count = 1 + ceil((len - chunk) / step) for len > chunk
+        "chunk_text": (
+            "WITH p AS (SELECT doc_id, text, CASE WHEN length(text) <= 512 "
+            "THEN 1 ELSE 1 + CAST(ceil((length(text) - 512) / 448.0) AS "
+            "BIGINT) END AS n FROM documents), "
+            "u AS (SELECT doc_id, text, unnest(range(n)) AS chunk_no FROM p) "
+            "SELECT doc_id, chunk_no, "
+            "substr(text, chunk_no * 448 + 1, 512) AS chunk FROM u"
         ),
         # posting-list intersection == docs containing ALL query terms
         "index_search": (

@@ -1176,3 +1176,41 @@ def index_search(
         if not len(acc):
             break
     return acc
+
+
+# ------------------------------------------------------- passage chunking
+def chunk_text(
+    ds: "ray.data.Dataset",
+    chunk_chars: int = 512,
+    overlap: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """Split documents into fixed-size character windows with overlap
+    (the RAG/passage-embedding chunker): chunk i of a doc covers
+    ``[i*(chunk_chars-overlap), ...+chunk_chars)``; the final partial
+    window is kept.  Pure vectorized explode — no shuffle; chunk
+    identity is (doc_id, chunk_no) so downstream embedding stages can
+    re-assemble documents without ordering assumptions."""
+    if overlap >= chunk_chars:
+        raise ValueError("overlap must be < chunk_chars")
+    step = chunk_chars - overlap
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        ids, chunk_nos, chunks = [], [], []
+        for did, t in zip(df[id_col], df[text_col]):
+            n = len(t)
+            n_chunks = 1 if n <= chunk_chars else 1 + (n - chunk_chars + step - 1) // step
+            for i in range(n_chunks):
+                ids.append(did)
+                chunk_nos.append(i)
+                chunks.append(t[i * step : i * step + chunk_chars])
+        return pd.DataFrame(
+            {
+                id_col: pd.Series(ids, dtype="int64"),
+                "chunk_no": pd.Series(chunk_nos, dtype="int64"),
+                "chunk": pd.Series(chunks, dtype="object"),
+            }
+        )
+
+    return ds.map_batches(explode, batch_format="pandas")

@@ -1264,3 +1264,23 @@ def test_index_search_conjunctive(ray_session):
     assert index_search(idx, ["apple"]).tolist() == [1, 2, 3]
     assert index_search(idx, ["apple", "missing"]).tolist() == []
     assert index_search(idx, ["apple", "banana", "cherry"]).tolist() == [3]
+
+
+def test_chunk_text_windows(ray_session):
+    import ray.data
+
+    from pdf2pdfocr_ray.ops.text_analysis import chunk_text
+
+    df = pd.DataFrame({"doc_id": [1, 2, 3], "text": ["abcdefghij", "abc", ""]})
+    out = (
+        chunk_text(ray.data.from_pandas(df), chunk_chars=6, overlap=2)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_no"])
+        .reset_index(drop=True)
+    )
+    got = list(zip(out["doc_id"], out["chunk_no"], out["chunk"]))
+    assert got == [(1, 0, "abcdef"), (1, 1, "efghij"), (2, 0, "abc"), (3, 0, "")]
+    # overlap: consecutive chunks share exactly `overlap` chars
+    assert got[0][2][-2:] == got[1][2][:2]
+    with pytest.raises(ValueError):
+        chunk_text(ray.data.from_pandas(df), chunk_chars=4, overlap=4)
