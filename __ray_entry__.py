@@ -938,6 +938,17 @@ def _q_dedup_jaccard(sf_dir: str):
     return dedup_jaccard(ds, threshold=0.5, candidate_threshold=0.4)
 
 
+def _q_weighted_sample(sf_dir: str):
+    """Weighted sampling without replacement (A-ES top-k of u^(1/w)),
+    weight = n_chars; deterministic and SQL-reproducible."""
+    from pdf2pdfocr_ray.ops.relational import read
+    from pdf2pdfocr_ray.ops.text_analysis import weighted_sample
+
+    ds = read(sf_dir, "documents", ["doc_id", "n_chars"])
+    out = weighted_sample(ds, k=100)
+    return out[["doc_id", "n_chars"]]
+
+
 def _q_chunk_text(sf_dir: str):
     """RAG/passage chunking: 512-char windows, 64-char overlap."""
     from pdf2pdfocr_ray.ops.relational import read
@@ -1796,6 +1807,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_variance": _q_source_variance,
         "index_search": _q_index_search,
         "chunk_text": _q_chunk_text,
+        "weighted_sample": _q_weighted_sample,
         "lm_score": _q_lm_score,
         "hash_split": _q_hash_split,
         "url_canonicalize": _q_url_canonicalize,
@@ -2192,6 +2204,16 @@ def _oracle_sql_static() -> dict[str, str]:
             "'https?://[^\\s<>\"'']+') FROM aug "
             "UNION ALL SELECT doc_id, 'ipv4', regexp_extract_all(text, "
             "'\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b') FROM aug)"
+        ),
+        # same md5-uniform and pow chain as the Ray side; weights
+        # clamped to >= 1
+        "weighted_sample": (
+            "SELECT doc_id, n_chars FROM ("
+            "SELECT doc_id, n_chars, POWER("
+            "('0x' || substr(md5('wrs1' || doc_id), 1, 16))::UBIGINT "
+            "/ 18446744073709551616.0, "
+            "1.0 / greatest(n_chars, 1)) AS k FROM documents) "
+            "ORDER BY k DESC, doc_id LIMIT 100"
         ),
         # character windows: substr is character-based in both engines;
         # chunk count = 1 + ceil((len - chunk) / step) for len > chunk

@@ -1214,3 +1214,46 @@ def chunk_text(
         )
 
     return ds.map_batches(explode, batch_format="pandas")
+
+
+# ------------------------------------------------- weighted sampling (A-ES)
+def weighted_sample(
+    ds: "ray.data.Dataset",
+    k: int = 100,
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+    seed: str = "wrs1",
+) -> pd.DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis A-ES):
+    key_i = u_i^(1/w_i) with u_i a deterministic md5-uniform of the id;
+    the global top-k keys ARE the weighted sample.  Distributed shape:
+    per-batch local top-k (pure map) then a tiny driver reduce of
+    <= k rows per block — no shuffle, deterministic, reproducible in SQL
+    (same md5 -> uniform -> POWER chain).  Inclusion probability is
+    proportional to weight, the property quality-weighted corpus
+    subsampling needs."""
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        u = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.md5((seed + str(i)).encode()).digest()[:8], "big"
+                )
+                for i in df[id_col]
+            ),
+            dtype=np.uint64,
+            count=len(df),
+        ).astype(np.float64) / 18446744073709551616.0
+        w = np.maximum(df[weight_col].to_numpy(np.float64), 1.0)
+        out = df[[id_col, weight_col]].copy()
+        out["wrs_key"] = u ** (1.0 / w)
+        return out.sort_values(
+            ["wrs_key", id_col], ascending=[False, True]
+        ).head(k)
+
+    cand = ds.map_batches(local_topk, batch_format="pandas").to_pandas()
+    return (
+        cand.sort_values(["wrs_key", id_col], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )

@@ -1284,3 +1284,28 @@ def test_chunk_text_windows(ray_session):
     assert got[0][2][-2:] == got[1][2][:2]
     with pytest.raises(ValueError):
         chunk_text(ray.data.from_pandas(df), chunk_chars=4, overlap=4)
+
+
+def test_weighted_sample_bias_and_determinism(ray_session):
+    """Inclusion tracks weight (heavy items ~10x more likely than light
+    under a 10x weight ratio) and the sample is partition-independent."""
+    import ray.data
+
+    from pdf2pdfocr_ray.ops.text_analysis import weighted_sample
+
+    n = 4000
+    df = pd.DataFrame(
+        {
+            "doc_id": range(n),
+            "n_chars": np.where(np.arange(n) % 2 == 0, 1000, 100),
+        }
+    )
+    s2 = weighted_sample(
+        ray.data.from_pandas(df).repartition(2), k=400
+    )
+    s8 = weighted_sample(
+        ray.data.from_pandas(df).repartition(8), k=400
+    )
+    assert s2["doc_id"].tolist() == s8["doc_id"].tolist()  # reshard-stable
+    heavy = (s2["n_chars"] == 1000).sum()
+    assert heavy > 300  # heavy items dominate a weight-proportional sample
