@@ -938,6 +938,17 @@ def _q_dedup_jaccard(sf_dir: str):
     return dedup_jaccard(ds, threshold=0.5, candidate_threshold=0.4)
 
 
+def _q_profile_docs(sf_dir: str):
+    """One-pass corpus profiler (mergeable moments + HLL + KLL per
+    column).  Approximate fields -> rows-only; exactness of the exact
+    fields and sketch error bounds are pinned in pytest."""
+    from pdf2pdfocr_ray.ops.relational import read
+    from pdf2pdfocr_ray.ops.sketches import profile_table
+
+    ds = read(sf_dir, "documents", ["doc_id", "lang", "source", "n_chars"])
+    return profile_table(ds)
+
+
 def _q_weighted_sample(sf_dir: str):
     """Weighted sampling without replacement (A-ES top-k of u^(1/w)),
     weight = n_chars; deterministic and SQL-reproducible."""
@@ -1808,6 +1819,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_search": _q_index_search,
         "chunk_text": _q_chunk_text,
         "weighted_sample": _q_weighted_sample,
+        "profile_docs": _q_profile_docs,
         "lm_score": _q_lm_score,
         "hash_split": _q_hash_split,
         "url_canonicalize": _q_url_canonicalize,

@@ -18,6 +18,7 @@ from typing import TYPE_CHECKING
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 if TYPE_CHECKING:
     import ray.data
@@ -625,3 +626,119 @@ def heavy_hitters(
         return df[df["n_occurrences"] > thresh]
 
     return exact.map_batches(keep_hh, batch_format="pandas")
+
+
+# ------------------------------------------------------- corpus profiler
+def _qs_ser(sk: QuantileSketch) -> bytes:
+    import struct
+
+    parts = [struct.pack("<qqq", sk.n, sk.compactions, len(sk.levels))]
+    for lv in sk.levels:
+        parts.append(struct.pack("<q", len(lv)))
+        parts.append(lv.astype(np.float64).tobytes())
+    return b"".join(parts)
+
+
+def _qs_de(buf: bytes) -> QuantileSketch:
+    import struct
+
+    n, comp, nlv = struct.unpack_from("<qqq", buf, 0)
+    off = 24
+    sk = QuantileSketch()
+    sk.n, sk.compactions, sk.levels = n, comp, []
+    for _ in range(nlv):
+        (cnt,) = struct.unpack_from("<q", buf, off)
+        off += 8
+        sk.levels.append(np.frombuffer(buf, np.float64, cnt, off).copy())
+        off += 8 * cnt
+    return sk
+
+
+def profile_table(
+    ds: "ray.data.Dataset", columns: list[str] | None = None
+) -> pd.DataFrame:
+    """Corpus report card: one pass computes, per column — row count,
+    null count, min/max, mean (numeric), HLL distinct estimate, and a
+    mergeable quantile sketch median (numeric).  All statistics are
+    mergeable partials (moments, HLL registers, KLL sketches), so the
+    shuffle is one tiny summary row per (column, block); the profile of
+    a 100 TB table costs one streaming scan.  The data-quality first
+    step of any ingest."""
+    schema = ds.schema()
+    names = columns or list(schema.names)
+    p = 12
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        rows = []
+        for name in names:
+            col = t.column(name) if name in t.column_names else None
+            if col is None:
+                continue
+            n = len(col)
+            nulls = col.null_count
+            arr = col.drop_null()
+            is_num = pa.types.is_integer(col.type) or pa.types.is_floating(col.type)
+            vmin = vmax = None
+            mean_sum = 0.0
+            regs = _batch_registers(
+                [str(v) for v in arr.to_pylist()], p
+            ) if len(arr) else np.zeros(1 << p, np.uint8)
+            qs = b""
+            if is_num and len(arr):
+                v = arr.to_numpy(zero_copy_only=False).astype(np.float64)
+                vmin, vmax = float(v.min()), float(v.max())
+                mean_sum = float(v.sum())
+                sk = QuantileSketch()
+                sk.add_many(v)
+                qs = _qs_ser(sk)
+            elif len(arr) and pa.types.is_string(col.type):
+                lens = pc.utf8_length(arr).to_numpy(zero_copy_only=False)
+                vmin, vmax = float(lens.min()), float(lens.max())
+            rows.append(
+                {
+                    "column": name,
+                    "n": n,
+                    "nulls": nulls,
+                    "vmin": vmin,
+                    "vmax": vmax,
+                    "sum": mean_sum,
+                    "hll": regs.tobytes(),
+                    "qsketch": qs,
+                    "is_num": is_num,
+                }
+            )
+        return pd.DataFrame(rows)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = []
+    for name, g in parts.groupby("column", sort=False):
+        regs = np.zeros(1 << p, np.uint8)
+        for buf in g["hll"]:
+            regs = np.maximum(regs, np.frombuffer(buf, np.uint8))
+        sk = None
+        for buf in g["qsketch"]:
+            if buf:
+                s2 = _qs_de(buf)
+                sk = s2 if sk is None else sk.merge(s2)
+        n = int(g["n"].sum())
+        nulls = int(g["nulls"].sum())
+        is_num = bool(g["is_num"].any())
+        vmin = g["vmin"].dropna().min() if g["vmin"].notna().any() else None
+        vmax = g["vmax"].dropna().max() if g["vmax"].notna().any() else None
+        out.append(
+            {
+                "column": name,
+                "n_rows": n,
+                "n_nulls": nulls,
+                "min": vmin,
+                "max": vmax,
+                "mean": (float(g["sum"].sum()) / max(n - nulls, 1))
+                if is_num
+                else None,
+                "approx_distinct": round(hll_estimate(regs), 1),
+                "p50": float(sk.quantiles([0.5])[0.5]) if sk is not None else None,
+            }
+        )
+    order = {c: i for i, c in enumerate(names)}
+    out.sort(key=lambda r: order[r["column"]])
+    return pd.DataFrame(out)

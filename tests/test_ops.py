@@ -1309,3 +1309,36 @@ def test_weighted_sample_bias_and_determinism(ray_session):
     assert s2["doc_id"].tolist() == s8["doc_id"].tolist()  # reshard-stable
     heavy = (s2["n_chars"] == 1000).sum()
     assert heavy > 300  # heavy items dominate a weight-proportional sample
+
+
+def test_profile_table_report(ray_session):
+    """One-pass profiler: exact fields equal pandas truth; HLL distinct
+    within 5%; p50 within sketch rank error; stable across partitioning."""
+    import ray.data
+
+    from pdf2pdfocr_ray.ops.sketches import profile_table
+
+    rng = np.random.default_rng(19)
+    df = pd.DataFrame(
+        {
+            "a": rng.integers(0, 500, 20000),
+            "b": rng.standard_normal(20000) * 10,
+            "s": [f"str{i % 700}" for i in range(20000)],
+        }
+    )
+    df.loc[5:15, "b"] = np.nan
+    prof = profile_table(ray.data.from_pandas(df).repartition(6)).set_index(
+        "column"
+    )
+    assert prof.loc["a", "n_rows"] == 20000 and prof.loc["a", "n_nulls"] == 0
+    assert prof.loc["b", "n_nulls"] == 11
+    assert prof.loc["a", "min"] == df["a"].min()
+    assert prof.loc["a", "max"] == df["a"].max()
+    assert abs(prof.loc["a", "mean"] - df["a"].mean()) < 1e-9
+    assert abs(prof.loc["a", "approx_distinct"] - df["a"].nunique()) / df[
+        "a"
+    ].nunique() < 0.05
+    assert abs(prof.loc["s", "approx_distinct"] - 700) / 700 < 0.05
+    assert abs(prof.loc["b", "p50"] - df["b"].median()) < 0.5
+    # string min/max are length bounds
+    assert prof.loc["s", "min"] == 4 and prof.loc["s", "max"] == 6
