@@ -153,6 +153,12 @@ BENCH_QUERIES = [
     "inverted_index",
     "heavy_hitters",
     "extract_mentions",
+    "source_variance",
+    "index_search",
+    "chunk_text",
+    "weighted_sample",
+    "profile_docs",
+    "ann_pq",
 ]
 
 
