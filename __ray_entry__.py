@@ -938,6 +938,23 @@ def _q_dedup_jaccard(sf_dir: str):
     return dedup_jaccard(ds, threshold=0.5, candidate_threshold=0.4)
 
 
+def _q_bpe_train_encode(sf_dir: str):
+    """Tokenizer training loop: distributed word count -> driver BPE
+    merges over the vocab table -> broadcast encode (actor memo).
+    Model training -> rows-only; merge determinism + compression
+    behavior pinned in pytest."""
+    from pdf2pdfocr_ray.ops.grouped import stage_pool
+    from pdf2pdfocr_ray.ops.relational import read
+    from pdf2pdfocr_ray.ops.text_analysis import BpeEncoder, bpe_train
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"]).materialize()
+    merges = bpe_train(ds, n_merges=200)
+    return ds.map_batches(
+        BpeEncoder, fn_constructor_args=(merges,), batch_format="pandas",
+        concurrency=stage_pool(),
+    ).select_columns(["doc_id", "n_bpe_learned"])
+
+
 def _q_profile_docs(sf_dir: str):
     """One-pass corpus profiler (mergeable moments + HLL + KLL per
     column).  Approximate fields -> rows-only; exactness of the exact
@@ -1820,6 +1837,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_text": _q_chunk_text,
         "weighted_sample": _q_weighted_sample,
         "profile_docs": _q_profile_docs,
+        "bpe_train_encode": _q_bpe_train_encode,
         "lm_score": _q_lm_score,
         "hash_split": _q_hash_split,
         "url_canonicalize": _q_url_canonicalize,

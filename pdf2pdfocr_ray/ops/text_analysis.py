@@ -1257,3 +1257,115 @@ def weighted_sample(
         .head(k)
         .reset_index(drop=True)
     )
+
+
+# --------------------------------------------------- BPE tokenizer training
+def bpe_train(
+    ds: "ray.data.Dataset",
+    n_merges: int = 200,
+    text_col: str = "text",
+) -> list[tuple[str, str]]:
+    """Train byte-pair-encoding merges on the corpus (Sennrich-style):
+    ONE distributed word-count pass (map-side combined; the shuffle
+    carries (word, partial count) rows), then the merge loop runs on the
+    DRIVER over the word-frequency table — the correct architecture,
+    since BPE statistics depend only on the (vocab-sized) word-count
+    table, not the corpus.  Deterministic: ties break lexicographically.
+    Returns the ordered merge list."""
+    from .grouped import combined_groupby_agg
+
+    token_re = re.compile(r"[a-z0-9]+")
+
+    def wc_partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df[text_col].str.lower().str.findall(token_re).explode().dropna()
+        if not len(toks):
+            return pd.DataFrame(
+                {"word": pd.Series([], dtype="object"),
+                 "n": pd.Series([], dtype="int64")}
+            )
+        vc = toks.value_counts()
+        return pd.DataFrame(
+            {"word": vc.index.to_numpy(object), "n": vc.to_numpy(np.int64)}
+        )
+
+    wc = combined_groupby_agg(
+        ds.map_batches(wc_partial, batch_format="pandas"), "word",
+        {"n": ("n", "sum")},
+    ).to_pandas()  # vocab-sized
+
+    # driver-side classic BPE over symbol sequences
+    seqs = {
+        tuple(w) + ("</w>",): int(n) for w, n in zip(wc["word"], wc["n"])
+    }
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pair_counts: dict[tuple[str, str], int] = {}
+        for seq, n in seqs.items():
+            for a, b in zip(seq, seq[1:]):
+                pair_counts[(a, b)] = pair_counts.get((a, b), 0) + n
+        if not pair_counts:
+            break
+        # deterministic: max count, ties by lexicographically SMALLEST pair
+        top = max(pair_counts.values())
+        best = min(p for p, c in pair_counts.items() if c == top)
+        if pair_counts[best] < 2:
+            break
+        merges.append(best)
+        a, b = best
+        ab = a + b
+        new_seqs: dict[tuple, int] = {}
+        for seq, n in seqs.items():
+            out = []
+            i = 0
+            while i < len(seq):
+                if i + 1 < len(seq) and seq[i] == a and seq[i + 1] == b:
+                    out.append(ab)
+                    i += 2
+                else:
+                    out.append(seq[i])
+                    i += 1
+            t = tuple(out)
+            new_seqs[t] = new_seqs.get(t, 0) + n
+        seqs = new_seqs
+    return merges
+
+
+class BpeEncoder:
+    """BPE encoding actor: merge-rank table built once per actor from the
+    broadcast merge list; per-word greedy lowest-rank merging with a
+    per-distinct-word memo (Zipf makes the memo hit rate ~99%).  Emits
+    ``n_bpe_learned`` (token count under the LEARNED vocab)."""
+
+    def __init__(self, merges: list[tuple[str, str]]) -> None:
+        self.ranks = {tuple(m): i for i, m in enumerate(merges)}
+        self.token_re = re.compile(r"[a-z0-9]+")
+        self._memo: dict[str, int] = {}
+
+    def _encode_word(self, w: str) -> int:
+        hit = self._memo.get(w)
+        if hit is not None:
+            return hit
+        seq = list(w) + ["</w>"]
+        while len(seq) > 1:
+            best_rank, best_i = None, -1
+            for i in range(len(seq) - 1):
+                r = self.ranks.get((seq[i], seq[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best_i = r, i
+            if best_rank is None:
+                break
+            seq[best_i : best_i + 2] = [seq[best_i] + seq[best_i + 1]]
+        n = len(seq)
+        if len(self._memo) < 200_000:
+            self._memo[w] = n
+        return n
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        counts = np.zeros(len(batch), np.int64)
+        for i, t in enumerate(batch["text"]):
+            counts[i] = sum(
+                self._encode_word(w) for w in self.token_re.findall(t.lower())
+            )
+        out = batch.copy()
+        out["n_bpe_learned"] = counts
+        return out

@@ -1342,3 +1342,35 @@ def test_profile_table_report(ray_session):
     assert abs(prof.loc["b", "p50"] - df["b"].median()) < 0.5
     # string min/max are length bounds
     assert prof.loc["s", "min"] == 4 and prof.loc["s", "max"] == 6
+
+
+def test_bpe_train_and_encode(ray_session):
+    """Classic BPE example: frequent subwords merge first; training is
+    partition-independent; encoding compresses in-vocab words to few
+    tokens while OOV words stay at char granularity."""
+    import ray.data
+
+    from pdf2pdfocr_ray.ops.text_analysis import BpeEncoder, bpe_train
+
+    df = pd.DataFrame(
+        {
+            "doc_id": range(3),
+            "text": [
+                "low low low low low",
+                "lower lower newest newest newest",
+                "newest newest newest widest widest",
+            ],
+        }
+    )
+    m2 = bpe_train(ray.data.from_pandas(df).repartition(2), n_merges=12)
+    m3 = bpe_train(ray.data.from_pandas(df).repartition(3), n_merges=12)
+    assert m2 == m3  # exact distributed wordcount -> identical merges
+    # 'newest' (6x) and 'low' (7 incl. lower) should merge into few tokens
+    enc = BpeEncoder(m2)
+    n_low = enc._encode_word("low")
+    n_newest = enc._encode_word("newest")
+    n_oov = enc._encode_word("zqxv")
+    assert n_low <= 2 and n_newest <= 3
+    assert n_oov >= 4  # untouched by learned merges (plus </w>)
+    out = enc(df)
+    assert (out["n_bpe_learned"] > 0).all()
