@@ -938,6 +938,19 @@ def _q_dedup_jaccard(sf_dir: str):
     return dedup_jaccard(ds, threshold=0.5, candidate_threshold=0.4)
 
 
+def _q_top_bigram(sf_dir: str):
+    """The SQL-expressible half of the Gopher repetition filter: chars
+    inside the most frequent word bigram (ties: lexicographically
+    smallest), as a fraction of total token chars."""
+    from pdf2pdfocr_ray.ops.relational import read
+    from pdf2pdfocr_ray.ops.text_analysis import repetition_signals
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        repetition_signals, batch_format="pandas"
+    ).select_columns(["doc_id", "top_bigram_frac"])
+
+
 def _q_bpe_train_encode(sf_dir: str):
     """Tokenizer training loop: distributed word count -> driver BPE
     merges over the vocab table -> broadcast encode (actor memo).
@@ -1838,6 +1851,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": _q_weighted_sample,
         "profile_docs": _q_profile_docs,
         "bpe_train_encode": _q_bpe_train_encode,
+        "top_bigram": _q_top_bigram,
         "lm_score": _q_lm_score,
         "hash_split": _q_hash_split,
         "url_canonicalize": _q_url_canonicalize,
@@ -2234,6 +2248,26 @@ def _oracle_sql_static() -> dict[str, str]:
             "'https?://[^\\s<>\"'']+') FROM aug "
             "UNION ALL SELECT doc_id, 'ipv4', regexp_extract_all(text, "
             "'\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b') FROM aug)"
+        ),
+        # most frequent bigram per doc (ties lexicographic) via pos+1
+        # self-join; chars = (len(bigram)-1) * count over total token chars
+        "top_bigram": (
+            "WITH base AS (SELECT doc_id, regexp_split_to_array(trim(text), "
+            "'\\s+') AS t FROM documents), "
+            "tok AS (SELECT doc_id, unnest(t) AS tok, "
+            "generate_subscripts(t, 1) AS pos, len(t) AS n FROM base), "
+            "chars AS (SELECT doc_id, sum(length(tok)) AS total_chars, "
+            "max(n) AS n FROM tok GROUP BY doc_id), "
+            "big AS (SELECT a.doc_id, a.tok || ' ' || b.tok AS bg FROM tok a "
+            "JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1), "
+            "cnt AS (SELECT doc_id, bg, count(*) AS c FROM big GROUP BY 1, 2), "
+            "best AS (SELECT doc_id, bg, c, ROW_NUMBER() OVER ("
+            "PARTITION BY doc_id ORDER BY c DESC, bg) AS rk FROM cnt) "
+            "SELECT ch.doc_id, CASE WHEN ch.n < 5 OR b.c IS NULL OR b.c < 2 "
+            "THEN 0.0 ELSE least(1.0, (length(b.bg) - 1) * b.c / "
+            "greatest(ch.total_chars, 1)) END AS top_bigram_frac "
+            "FROM chars ch LEFT JOIN (SELECT * FROM best WHERE rk = 1) b "
+            "USING (doc_id)"
         ),
         # same md5-uniform and pow chain as the Ray side; weights
         # clamped to >= 1

@@ -386,7 +386,13 @@ def repetition_signals(
         big = pd.Series(arr[:-1]) + " " + pd.Series(arr[1:])
         vc = big.value_counts()
         top_count = int(vc.iloc[0]) if len(vc) else 0
-        top_chars = (len(vc.index[0]) - 1) * top_count if top_count > 1 else 0
+        if top_count > 1:
+            # deterministic tie-break (max count, then lexicographically
+            # smallest bigram) so the SQL oracle can reproduce the choice
+            top_bg = min(vc.index[vc.to_numpy() == top_count])
+            top_chars = (len(top_bg) - 1) * top_count
+        else:
+            top_chars = 0
         tops.append(min(1.0, top_chars / total_chars))
         g5 = big
         for k in range(2, 5):
