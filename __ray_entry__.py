@@ -938,6 +938,28 @@ def _q_dedup_jaccard(sf_dir: str):
     return dedup_jaccard(ds, threshold=0.5, candidate_threshold=0.4)
 
 
+def _q_cc_chains(sf_dir: str):
+    """The ITERATIVE connected-components primitive oracle-checked
+    against a closed form: chain edges (i, i+1) except across block-of-5
+    boundaries -> cluster_id = i - i%5 for every node with an incident
+    edge.  (dedup_clusters runs the same operator on LSH pairs, which
+    aren't SQL-reproducible; this pins the operator itself.)"""
+    import pandas as pd
+
+    from pdf2pdfocr_ray.ops.dedup import connected_components
+    from pdf2pdfocr_ray.ops.relational import read
+
+    ds = read(sf_dir, "documents", ["doc_id"])
+    n_ref = ds.count()
+
+    def edges(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy()
+        keep = (ids % 5 != 4) & (ids + 1 < n_ref)
+        return pd.DataFrame({"id_a": ids[keep], "id_b": ids[keep] + 1})
+
+    return connected_components(ds.map_batches(edges, batch_format="pandas"))
+
+
 def _q_top_bigram(sf_dir: str):
     """The SQL-expressible half of the Gopher repetition filter: chars
     inside the most frequent word bigram (ties: lexicographically
@@ -1852,6 +1874,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "profile_docs": _q_profile_docs,
         "bpe_train_encode": _q_bpe_train_encode,
         "top_bigram": _q_top_bigram,
+        "cc_chains": _q_cc_chains,
         "lm_score": _q_lm_score,
         "hash_split": _q_hash_split,
         "url_canonicalize": _q_url_canonicalize,
@@ -2248,6 +2271,14 @@ def _oracle_sql_static() -> dict[str, str]:
             "'https?://[^\\s<>\"'']+') FROM aug "
             "UNION ALL SELECT doc_id, 'ipv4', regexp_extract_all(text, "
             "'\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b') FROM aug)"
+        ),
+        # closed-form truth for the 5-chain graph; nodes = ids with
+        # at least one incident edge
+        "cc_chains": (
+            "WITH n AS (SELECT count(*) AS n FROM documents) "
+            "SELECT doc_id AS node, (doc_id - doc_id % 5) AS cluster_id "
+            "FROM documents, n WHERE (doc_id % 5 <> 4 AND doc_id + 1 < n.n) "
+            "OR (doc_id > 0 AND (doc_id - 1) % 5 <> 4)"
         ),
         # most frequent bigram per doc (ties lexicographic) via pos+1
         # self-join; chars = (len(bigram)-1) * count over total token chars
