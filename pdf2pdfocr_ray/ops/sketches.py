@@ -710,6 +710,19 @@ def profile_table(
         return pd.DataFrame(rows)
 
     parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if not len(parts):  # empty input: report the columns, all-zero stats
+        return pd.DataFrame(
+            {
+                "column": names,
+                "n_rows": 0,
+                "n_nulls": 0,
+                "min": None,
+                "max": None,
+                "mean": None,
+                "approx_distinct": 0.0,
+                "p50": None,
+            }
+        )
     out = []
     for name, g in parts.groupby("column", sort=False):
         regs = np.zeros(1 << p, np.uint8)
