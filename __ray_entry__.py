@@ -1980,14 +1980,20 @@ def oracle_sql() -> dict[str, str]:
 
 
 def _oracle_sql_static() -> dict[str, str]:
-    from pdf2pdfocr_ray.ops.text_analysis import (
-        NORMALIZE_SQL_EXPR,
-        URL_CANON_SQL_EXPR,
-    )
+    # failure isolation (r2 regression class): if the package-side SQL
+    # template import breaks, only the two templated entries drop — the
+    # static oracle table must never vanish wholesale
+    try:
+        from pdf2pdfocr_ray.ops.text_analysis import (
+            NORMALIZE_SQL_EXPR,
+            URL_CANON_SQL_EXPR,
+        )
 
-    _NORMALIZE_EXPR = NORMALIZE_SQL_EXPR.format(col="text")
-    _URL_CANON_EXPR = URL_CANON_SQL_EXPR.format(col="url")
-    return {
+        _NORMALIZE_EXPR = NORMALIZE_SQL_EXPR.format(col="text")
+        _URL_CANON_EXPR = URL_CANON_SQL_EXPR.format(col="url")
+    except Exception:  # noqa: BLE001
+        _NORMALIZE_EXPR = _URL_CANON_EXPR = None
+    d = {
         "doc_filter": (
             "SELECT doc_id, lang, n_chars FROM documents "
             "WHERE n_chars >= 500 AND lang = 'en'"
@@ -2230,8 +2236,8 @@ def _oracle_sql_static() -> dict[str, str]:
         # (text_analysis.NORMALIZE_SQL_EXPR)
         "normalize_text": (
             "SELECT doc_id, "
-            + _NORMALIZE_EXPR + " AS text_norm, "
-            "length(" + _NORMALIZE_EXPR + ")::BIGINT AS n_chars_norm "
+            + (_NORMALIZE_EXPR or "NULL") + " AS text_norm, "
+            "length(" + (_NORMALIZE_EXPR or "NULL") + ")::BIGINT AS n_chars_norm "
             "FROM documents"
         ),
         "source_cap": (
@@ -2254,7 +2260,7 @@ def _oracle_sql_static() -> dict[str, str]:
             "|| '.org:80/p/' || doc_id || CASE doc_id % 3 "
             "WHEN 0 THEN '/?utm_source=feed&x=1' WHEN 1 THEN '#sec2' "
             "ELSE '/' END AS url FROM documents) "
-            "SELECT doc_id, " + _URL_CANON_EXPR + " AS url_canon FROM u"
+            "SELECT doc_id, " + (_URL_CANON_EXPR or "NULL") + " AS url_canon FROM u"
         ),
         # same augmentation + RE2 patterns as the Ray side; match order
         # preserved via generate_subscripts aligned with unnest
@@ -2457,3 +2463,7 @@ def _oracle_sql_static() -> dict[str, str]:
             "true AS q50_ok, true AS q90_ok FROM events GROUP BY event_type"
         ),
     }
+    if _NORMALIZE_EXPR is None:
+        d.pop("normalize_text", None)
+        d.pop("url_canonicalize", None)
+    return d
