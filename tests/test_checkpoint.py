@@ -252,3 +252,23 @@ def test_watch_ingest_incremental(ray_session, tmp_path):
         for url, text in zip(g["url"], g["extracted_text"]):
             a = combined[url]
             assert (a == text) or (pd.isna(a) and pd.isna(text))
+
+
+def test_watch_stop_file_exits(ray_session, tmp_path):
+    """A stop sentinel ends an idle watch loop promptly."""
+    import time
+
+    from pdf2pdfocr_ray.state.watch import watch_ingest
+
+    drop = tmp_path / "drop2"
+    out = tmp_path / "watch_out2"
+    drop.mkdir()
+    stop = tmp_path / "STOP"
+    stop.write_text("")
+    t0 = time.time()
+    ledger = watch_ingest(
+        str(drop), str(out), num_shards=2, poll_s=0.05,
+        max_idle_polls=10_000, stop_file=str(stop),
+    )
+    assert time.time() - t0 < 5
+    assert ledger["batches"] == []
