@@ -938,6 +938,18 @@ def _q_dedup_jaccard(sf_dir: str):
     return dedup_jaccard(ds, threshold=0.5, candidate_threshold=0.4)
 
 
+def _q_wordlist_flag(sf_dir: str):
+    """C4-style wordlist filter signal: documents containing any listed
+    whole token (list synthesized from the corpus vocabulary so hits
+    exist at every sf)."""
+    from pdf2pdfocr_ray.ops.relational import read
+    from pdf2pdfocr_ray.ops.text_analysis import wordlist_flag
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    wl = {"spark", "leak", "panic"}
+    return wordlist_flag(ds, wl).select_columns(["doc_id", "has_listed_word"])
+
+
 def _q_cc_chains(sf_dir: str):
     """The ITERATIVE connected-components primitive oracle-checked
     against a closed form: chain edges (i, i+1) except across block-of-5
@@ -1875,6 +1887,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_train_encode": _q_bpe_train_encode,
         "top_bigram": _q_top_bigram,
         "cc_chains": _q_cc_chains,
+        "wordlist_flag": _q_wordlist_flag,
         "lm_score": _q_lm_score,
         "hash_split": _q_hash_split,
         "url_canonicalize": _q_url_canonicalize,
@@ -2277,6 +2290,13 @@ def _oracle_sql_static() -> dict[str, str]:
             "'https?://[^\\s<>\"'']+') FROM aug "
             "UNION ALL SELECT doc_id, 'ipv4', regexp_extract_all(text, "
             "'\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b') FROM aug)"
+        ),
+        # whole-token membership, same [a-z0-9]+ tokenizer
+        "wordlist_flag": (
+            "SELECT doc_id, coalesce(list_has_any("
+            "regexp_extract_all(lower(text), '[a-z0-9]+'), "
+            "['spark', 'leak', 'panic']), false) AS has_listed_word "
+            "FROM documents"
         ),
         # closed-form truth for the 5-chain graph; nodes = ids with
         # at least one incident edge

@@ -1375,3 +1375,34 @@ class BpeEncoder:
         out = batch.copy()
         out["n_bpe_learned"] = counts
         return out
+
+
+# ------------------------------------------------- wordlist (C4-style) filter
+def wordlist_flag(
+    ds: "ray.data.Dataset",
+    wordlist: frozenset[str] | set[str],
+    text_col: str = "text",
+) -> "ray.data.Dataset":
+    """C4-style wordlist filter signal: flag documents containing ANY
+    listed word as a whole token (lowercased [a-z0-9]+ tokenization, the
+    same as the index/tfidf family).  Vectorized: tokenize once, explode,
+    one ``isin`` against the broadcast list, grouped any().  Emits
+    ``has_listed_word`` — downstream policy (drop/route/review) is a
+    filter on the flag, mirroring C4's badwords removal step."""
+    token_re = re.compile(r"[a-z0-9]+")
+    wl = pd.Index(sorted(set(wordlist)))
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df[text_col].str.lower().str.findall(token_re)
+        ex = toks.explode().dropna()
+        out = df.copy()
+        if len(ex):
+            hits = ex.isin(wl).groupby(level=0).any()
+            out["has_listed_word"] = (
+                hits.reindex(df.index).fillna(False).astype(bool)
+            )
+        else:
+            out["has_listed_word"] = False
+        return out
+
+    return ds.map_batches(flag, batch_format="pandas")

@@ -1374,3 +1374,23 @@ def test_bpe_train_and_encode(ray_session):
     assert n_oov >= 4  # untouched by learned merges (plus </w>)
     out = enc(df)
     assert (out["n_bpe_learned"] > 0).all()
+
+
+def test_wordlist_flag_whole_tokens(ray_session):
+    """Whole-token semantics: 'spark' flags, 'sparkle' does not."""
+    import ray.data
+
+    from pdf2pdfocr_ray.ops.text_analysis import wordlist_flag
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["a spark flew", "sparkle and shine", ""],
+        }
+    )
+    out = (
+        wordlist_flag(ray.data.from_pandas(df), {"spark"})
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert out["has_listed_word"].tolist() == [True, False, False]
