@@ -938,6 +938,38 @@ def _q_dedup_jaccard(sf_dir: str):
     return dedup_jaccard(ds, threshold=0.5, candidate_threshold=0.4)
 
 
+def _q_image_near_dup(sf_dir: str):
+    """Multimodal near-dup: perceptual-hash (aHash) pairs over the
+    corpus image pages plus planted JPEG-q60 re-encodes of the first 5
+    images — the planted pairs MUST all surface (asserted in-query).
+    Pixel decode is codec work, not SQL -> rows-only."""
+    import pandas as pd
+    import ray.data
+
+    from pdf2pdfocr_ray.functions.imagecodec import decode_image
+    from pdf2pdfocr_ray.functions.jpegcodec import encode_jpeg
+    from pdf2pdfocr_ray.ops.multimodal import image_near_dup
+
+    pages = _image_pages(120)
+    first = pages.limit(5).to_pandas()
+    planted = pd.DataFrame(
+        {
+            "url": [u + "#reenc" for u in first["url"]],
+            "image": [
+                encode_jpeg(decode_image(b), quality=60) for b in first["image"]
+            ],
+        }
+    )
+    ds = pages.map_batches(
+        lambda df: df[["url", "image"]], batch_format="pandas"
+    ).union(ray.data.from_pandas(planted))
+    pairs = image_near_dup(ds, max_hamming=6).to_pandas()
+    got = {tuple(sorted(p)) for p in zip(pairs["id_a"], pairs["id_b"])}
+    for u in first["url"]:
+        assert tuple(sorted((u, u + "#reenc"))) in got, u
+    return pairs.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
 def _q_wordlist_flag(sf_dir: str):
     """C4-style wordlist filter signal: documents containing any listed
     whole token (list synthesized from the corpus vocabulary so hits
@@ -1888,6 +1920,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_bigram": _q_top_bigram,
         "cc_chains": _q_cc_chains,
         "wordlist_flag": _q_wordlist_flag,
+        "image_near_dup": _q_image_near_dup,
         "lm_score": _q_lm_score,
         "hash_split": _q_hash_split,
         "url_canonicalize": _q_url_canonicalize,

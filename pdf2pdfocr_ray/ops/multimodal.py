@@ -22,6 +22,7 @@ import hashlib
 from typing import TYPE_CHECKING
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 from ..functions.imagecodec import decode_image, sniff_image_format
@@ -312,3 +313,110 @@ def decode_images(ds: "ray.data.Dataset", image_col: str = "image",
         batch_size=batch_size,
         concurrency=concurrency or stage_pool(),
     )
+
+
+# --------------------------------------------------- perceptual image dedup
+class ImagePHashStage:
+    """Perceptual-hash actor for image near-dup detection: decode (the
+    real in-repo codecs), grayscale, 8x8 block-mean downsample, threshold
+    at the mean -> 64-bit aHash.  Robust to re-encoding (JPEG quality,
+    format changes) because the hash sees 64 coarse luminance means, not
+    bytes.  Emits ``phash`` (uint64 as int64) + ``phash_ok``."""
+
+    def __init__(self) -> None:
+        from ..functions.imagecodec import decode_image
+
+        self._decode = decode_image
+
+    @staticmethod
+    def _ahash(img: np.ndarray) -> int:
+        g = img.astype(np.float64).mean(axis=2)
+        h, w = g.shape
+        # center-crop to multiples of 8, then 8x8 block means
+        hh, ww = (h // 8) * 8, (w // 8) * 8
+        if hh == 0 or ww == 0:
+            return 0
+        g = g[:hh, :ww].reshape(8, hh // 8, 8, ww // 8).mean(axis=(1, 3))
+        bits = (g > g.mean()).ravel()
+        return int(np.packbits(bits).view(">u8")[0])
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        hashes = np.zeros(len(batch), np.uint64)
+        ok = np.zeros(len(batch), bool)
+        for i, payload in enumerate(batch["image"]):
+            try:
+                img = self._decode(payload)
+                hashes[i] = self._ahash(img)
+                ok[i] = True
+            except Exception:  # noqa: BLE001 — row-level isolation
+                pass
+        out = batch.copy()
+        out["phash"] = hashes.astype(np.int64)
+        out["phash_ok"] = ok
+        return out
+
+
+def image_near_dup(
+    ds: "ray.data.Dataset",
+    id_col: str = "url",
+    max_hamming: int = 4,
+) -> "ray.data.Dataset":
+    """Image near-dup pairs by perceptual hash: the simhash banding trick
+    on the 64-bit aHash (16-bit chunks -> any pair within hamming
+    distance 3 shares a chunk; verified exactly in-bucket).  The shuffle
+    carries (id, 8-byte hash) only — decoded pixels never move."""
+    from ..ops.grouped import sorted_groupby, stage_pool
+
+    hashed = ds.map_batches(
+        ImagePHashStage, batch_format="pandas", concurrency=stage_pool()
+    ).map_batches(
+        lambda df: df[df["phash_ok"]][[id_col, "phash"]],
+        batch_format="pandas",
+    )
+
+    def explode_chunks(df: pd.DataFrame) -> pd.DataFrame:
+        h = df["phash"].to_numpy(np.int64).astype(np.uint64)
+        parts = []
+        for c in range(4):
+            chunk = ((h >> np.uint64(16 * c)) & np.uint64(0xFFFF)).astype(np.int64)
+            parts.append(
+                pd.DataFrame(
+                    {"chunk_id": c, "chunk": chunk, id_col: df[id_col],
+                     "phash": df["phash"]}
+                )
+            )
+        return pd.concat(parts, ignore_index=True)
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        sizes = df.groupby(["chunk_id", "chunk"])[id_col].transform("size")
+        df = df[sizes >= 2]
+        rows_a, rows_b, hams = [], [], []
+        for _, g in df.groupby(["chunk_id", "chunk"], sort=False):
+            ids = g[id_col].to_numpy()
+            hs = g["phash"].to_numpy(np.int64).astype(np.uint64)
+            a, b = np.triu_indices(len(ids), k=1)
+            x = hs[a] ^ hs[b]
+            ham = np.zeros(len(x), np.int64)
+            for s in range(64):
+                ham += ((x >> np.uint64(s)) & np.uint64(1)).astype(np.int64)
+            keep = ham <= max_hamming
+            order = ids[a] < ids[b]
+            ia = np.where(order, ids[a], ids[b])
+            ib = np.where(order, ids[b], ids[a])
+            rows_a.extend(ia[keep])
+            rows_b.extend(ib[keep])
+            hams.extend(ham[keep])
+        return pd.DataFrame(
+            {"id_a": rows_a, "id_b": rows_b, "hamming": hams}
+        )
+
+    pairs = sorted_groupby(
+        hashed.map_batches(explode_chunks, batch_format="pandas"),
+        ["chunk_id", "chunk"],
+        bucket_pairs,
+    )
+
+    def dedup_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["id_a", "id_b"])
+
+    return sorted_groupby(pairs, ["id_a", "id_b"], dedup_pairs)

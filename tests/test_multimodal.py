@@ -243,3 +243,34 @@ def test_ocr_timeout_preemptive_cutoff():
     # whole batch (timeout page + neighbor) well under the pathological
     # page's natural runtime (> 5.5 s); generous margin for host load
     assert wall < 4.0, wall
+
+
+def test_image_near_dup_phash(ray_session):
+    """Re-encoded copies of an image (PNG vs JPEG q60) pair up via the
+    perceptual hash; distinct images do not."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from pdf2pdfocr_ray.functions.jpegcodec import encode_jpeg
+    from pdf2pdfocr_ray.functions.pngcodec import encode_png
+    from pdf2pdfocr_ray.ops.multimodal import image_near_dup
+
+    rng = np.random.default_rng(5)
+    # coarse blocky images so JPEG at q60 keeps the 8x8 means intact
+    def blocky(seed):
+        r = np.random.default_rng(seed)
+        small = r.integers(0, 256, (8, 8, 3), np.uint8)
+        return np.repeat(np.repeat(small, 16, axis=0), 16, axis=1)
+
+    img_a, img_b = blocky(1), blocky(2)
+    rows = [
+        {"url": "a_png", "image": encode_png(img_a)},
+        {"url": "a_jpg", "image": encode_jpeg(img_a, quality=60)},
+        {"url": "b_png", "image": encode_png(img_b)},
+    ]
+    ds = ray.data.from_items(rows).repartition(2)
+    pairs = image_near_dup(ds, max_hamming=4).to_pandas()
+    got = {tuple(sorted(p)) for p in zip(pairs["id_a"], pairs["id_b"])}
+    assert ("a_jpg", "a_png") in got
+    assert all("b_png" not in p for p in got)
