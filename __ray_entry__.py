@@ -938,6 +938,46 @@ def _q_dedup_jaccard(sf_dir: str):
     return dedup_jaccard(ds, threshold=0.5, candidate_threshold=0.4)
 
 
+def _q_audio_near_dup(sf_dir: str):
+    """Multimodal near-dup, audio modality: energy-envelope fingerprints
+    over synthesized WAV clips (doc_id arithmetic, like audio_features)
+    with planted gain-scaled copies — planted pairs asserted in-query."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from pdf2pdfocr_ray.functions.wavcodec import encode_wav
+    from pdf2pdfocr_ray.ops.multimodal import audio_near_dup
+    from pdf2pdfocr_ray.ops.relational import read
+
+    ids = read(sf_dir, "documents", ["doc_id"]).limit(60).to_pandas()["doc_id"]
+
+    def clip(i: int) -> np.ndarray:
+        n = 8000 + (i % 7) * 1000
+        t = np.arange(n) / 16000.0
+        env = (np.sin(2 * np.pi * (1.0 + (i % 5)) * t) > 0).astype(np.float64)
+        return (0.5 * env * np.sin(2 * np.pi * (200 + 10 * (i % 23)) * t)
+                * 32000).astype(np.int16)
+
+    rows = []
+    for i in ids:
+        s = clip(int(i))
+        rows.append({"doc_id": int(i), "audio": encode_wav(s)})
+        if i % 12 == 0:  # planted gain-scaled near-dup
+            rows.append(
+                {"doc_id": int(i) + 100_000,
+                 "audio": encode_wav((s * 0.3).astype(np.int16))}
+            )
+    pairs = audio_near_dup(
+        ray.data.from_items(rows).repartition(4), max_hamming=2
+    ).to_pandas()
+    got = {tuple(sorted(p)) for p in zip(pairs["id_a"], pairs["id_b"])}
+    for i in ids:
+        if i % 12 == 0:
+            assert (int(i), int(i) + 100_000) in got, i
+    return pairs.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
 def _q_image_near_dup(sf_dir: str):
     """Multimodal near-dup: perceptual-hash (aHash) pairs over the
     corpus image pages plus planted JPEG-q60 re-encodes of the first 5
@@ -1921,6 +1961,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cc_chains": _q_cc_chains,
         "wordlist_flag": _q_wordlist_flag,
         "image_near_dup": _q_image_near_dup,
+        "audio_near_dup": _q_audio_near_dup,
         "lm_score": _q_lm_score,
         "hash_split": _q_hash_split,
         "url_canonicalize": _q_url_canonicalize,

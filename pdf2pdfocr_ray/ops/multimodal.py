@@ -365,7 +365,7 @@ def image_near_dup(
     on the 64-bit aHash (16-bit chunks -> any pair within hamming
     distance 3 shares a chunk; verified exactly in-bucket).  The shuffle
     carries (id, 8-byte hash) only — decoded pixels never move."""
-    from ..ops.grouped import sorted_groupby, stage_pool
+    from ..ops.grouped import stage_pool
 
     hashed = ds.map_batches(
         ImagePHashStage, batch_format="pandas", concurrency=stage_pool()
@@ -373,6 +373,15 @@ def image_near_dup(
         lambda df: df[df["phash_ok"]][[id_col, "phash"]],
         batch_format="pandas",
     )
+    return _hash_band_pairs(hashed, id_col=id_col, max_hamming=max_hamming)
+
+
+def _hash_band_pairs(
+    hashed: "ray.data.Dataset", id_col: str, max_hamming: int
+) -> "ray.data.Dataset":
+    """(id, phash int64) rows -> near-dup pairs within ``max_hamming``
+    via 16-bit chunk banding + exact in-bucket verify."""
+    from ..ops.grouped import sorted_groupby
 
     def explode_chunks(df: pd.DataFrame) -> pd.DataFrame:
         h = df["phash"].to_numpy(np.int64).astype(np.uint64)
@@ -420,3 +429,69 @@ def image_near_dup(
         return df.drop_duplicates(["id_a", "id_b"])
 
     return sorted_groupby(pairs, ["id_a", "id_b"], dedup_pairs)
+
+
+# ------------------------------------------------------- audio fingerprint
+class AudioFingerprintStage:
+    """Audio near-dup fingerprint actor: decode PCM (real wavcodec),
+    mono-mix, split into 64 equal windows, per-window RMS energy ->
+    threshold at the median -> 64-bit energy-envelope hash.  Robust to
+    resampling/amplitude scaling (the envelope SHAPE survives both);
+    sensitive to different content.  Emits ``afp`` + ``afp_ok``."""
+
+    def __init__(self, audio_col: str = "audio") -> None:
+        self.audio_col = audio_col
+
+    @staticmethod
+    def _fingerprint(samples: np.ndarray) -> int:
+        if samples.ndim == 2:
+            samples = samples.mean(axis=1)
+        n = len(samples)
+        if n < 64:
+            return 0
+        n64 = (n // 64) * 64
+        win = samples[:n64].astype(np.float64).reshape(64, n64 // 64)
+        rms = np.sqrt((win * win).mean(axis=1))
+        bits = rms > np.median(rms)
+        return int(np.packbits(bits).view(">u8")[0])
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.wavcodec import decode_wav
+
+        fps = np.zeros(len(batch), np.uint64)
+        ok = np.zeros(len(batch), bool)
+        for i, payload in enumerate(batch[self.audio_col]):
+            try:
+                if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+                    samples, _rate = decode_wav(payload)
+                    fps[i] = self._fingerprint(samples)
+                    ok[i] = True
+            except Exception:  # noqa: BLE001 — row-level isolation
+                pass
+        out = batch.copy()
+        out["afp"] = fps.astype(np.int64)
+        out["afp_ok"] = ok
+        return out
+
+
+def audio_near_dup(
+    ds: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    audio_col: str = "audio",
+    max_hamming: int = 4,
+) -> "ray.data.Dataset":
+    """Audio near-dup pairs via the energy-envelope fingerprint + the
+    same 16-bit chunk banding as image/simhash dedup (8-byte shuffle
+    payload; decoded samples never move)."""
+    from ..ops.grouped import stage_pool
+
+    hashed = ds.map_batches(
+        AudioFingerprintStage, fn_constructor_args=(audio_col,),
+        batch_format="pandas", concurrency=stage_pool(),
+    ).map_batches(
+        lambda df: df[df["afp_ok"]][[id_col, "afp"]].rename(
+            columns={"afp": "phash"}
+        ),
+        batch_format="pandas",
+    )
+    return _hash_band_pairs(hashed, id_col=id_col, max_hamming=max_hamming)

@@ -274,3 +274,32 @@ def test_image_near_dup_phash(ray_session):
     got = {tuple(sorted(p)) for p in zip(pairs["id_a"], pairs["id_b"])}
     assert ("a_jpg", "a_png") in got
     assert all("b_png" not in p for p in got)
+
+
+def test_audio_near_dup_fingerprint(ray_session):
+    """An amplitude-scaled copy of a clip pairs with its original (the
+    energy envelope survives gain); different content does not pair."""
+    import numpy as np
+    import ray.data
+
+    from pdf2pdfocr_ray.functions.wavcodec import encode_wav
+    from pdf2pdfocr_ray.ops.multimodal import audio_near_dup
+
+    rng = np.random.default_rng(3)
+    t = np.arange(16000 * 2) / 16000.0
+    # clip A: bursts of tone with a distinctive on/off envelope
+    env = (np.sin(2 * np.pi * 1.5 * t) > 0).astype(np.float64)
+    a = (0.5 * env * np.sin(2 * np.pi * 440 * t) * 32000).astype(np.int16)
+    a_soft = (a * 0.25).astype(np.int16)  # gain-scaled copy
+    b = (0.5 * np.sin(2 * np.pi * 200 * t + np.cumsum(rng.standard_normal(len(t)) * 0.1)) * 32000).astype(np.int16)
+    rows = [
+        {"doc_id": 1, "audio": encode_wav(a)},
+        {"doc_id": 2, "audio": encode_wav(a_soft)},
+        {"doc_id": 3, "audio": encode_wav(b)},
+    ]
+    pairs = audio_near_dup(
+        ray.data.from_items(rows).repartition(2), max_hamming=4
+    ).to_pandas()
+    got = {tuple(sorted(p)) for p in zip(pairs["id_a"], pairs["id_b"])}
+    assert (1, 2) in got
+    assert (1, 3) not in got and (2, 3) not in got
