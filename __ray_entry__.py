@@ -938,6 +938,75 @@ def _q_dedup_jaccard(sf_dir: str):
     return dedup_jaccard(ds, threshold=0.5, candidate_threshold=0.4)
 
 
+def _q_video_frame_dedup(sf_dir: str):
+    """Multimodal near-dup, video modality: demux MJPEG-AVI clips
+    (real avicodec), sample frames, perceptual-hash each, pair frames
+    ACROSS clips — clips sharing scene content surface as frame pairs
+    (planted: clip i+100000 reuses clip i's frames re-encoded at a
+    different JPEG quality, for i % 9 == 0).  Asserted in-query."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from pdf2pdfocr_ray.functions.avicodec import mux_avi_mjpeg
+    from pdf2pdfocr_ray.functions.jpegcodec import encode_jpeg
+    from pdf2pdfocr_ray.ops.multimodal import (
+        VideoFrameSampleStage,
+        image_near_dup,
+    )
+    from pdf2pdfocr_ray.ops.relational import read
+
+    ids = read(sf_dir, "documents", ["doc_id"]).limit(36).to_pandas()["doc_id"]
+
+    def frames_of(i: int, quality: int) -> list[bytes]:
+        r = np.random.default_rng(1000 + i)
+        out = []
+        for f in range(4):
+            small = r.integers(0, 256, (8, 8, 3), np.uint8)
+            img = np.repeat(np.repeat(small, 12, axis=0), 12, axis=1)
+            out.append(encode_jpeg(img, quality=quality))
+        return out
+
+    rows = []
+    for i in ids:
+        rows.append(
+            {"doc_id": int(i), "video": mux_avi_mjpeg(frames_of(int(i), 90))}
+        )
+        if i % 9 == 0:  # planted: same scenes, different encode quality
+            rows.append(
+                {"doc_id": int(i) + 100_000,
+                 "video": mux_avi_mjpeg(frames_of(int(i), 60))}
+            )
+    clips = ray.data.from_items(rows).repartition(4)
+    from pdf2pdfocr_ray.ops.grouped import stage_pool
+
+    frames = clips.map_batches(
+        VideoFrameSampleStage, fn_constructor_kwargs={"n_frames": 3,
+                                                      "strict": True},
+        batch_format="pyarrow", concurrency=stage_pool(),
+    )
+
+    def explode_frames(df: pd.DataFrame) -> pd.DataFrame:
+        rows_ = []
+        for did, fr in zip(df["doc_id"], df["frames"]):
+            for j, png in enumerate(fr):
+                rows_.append({"url": f"{did}/f{j}", "image": png})
+        return pd.DataFrame(rows_)
+
+    frame_imgs = frames.map_batches(explode_frames, batch_format="pandas")
+    pairs = image_near_dup(frame_imgs, max_hamming=6).to_pandas()
+    cross = {
+        (a.split("/")[0], b.split("/")[0])
+        for a, b in zip(pairs["id_a"], pairs["id_b"])
+        if a.split("/")[0] != b.split("/")[0]
+    }
+    for i in ids:
+        if i % 9 == 0:
+            key = tuple(sorted((str(int(i)), str(int(i) + 100_000))))
+            assert (key in cross) or (key[::-1] in cross), i
+    return pairs.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
 def _q_audio_near_dup(sf_dir: str):
     """Multimodal near-dup, audio modality: energy-envelope fingerprints
     over synthesized WAV clips (doc_id arithmetic, like audio_features)
@@ -1962,6 +2031,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wordlist_flag": _q_wordlist_flag,
         "image_near_dup": _q_image_near_dup,
         "audio_near_dup": _q_audio_near_dup,
+        "video_frame_dedup": _q_video_frame_dedup,
         "lm_score": _q_lm_score,
         "hash_split": _q_hash_split,
         "url_canonicalize": _q_url_canonicalize,
