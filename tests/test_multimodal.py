@@ -303,3 +303,35 @@ def test_audio_near_dup_fingerprint(ray_session):
     got = {tuple(sorted(p)) for p in zip(pairs["id_a"], pairs["id_b"])}
     assert (1, 2) in got
     assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_phash_and_afp_corrupt_payload_isolation(ray_session):
+    """Corrupt/truncated media payloads mark their row not-ok; neighbors
+    unaffected (row-level fault isolation, the engine posture)."""
+    import numpy as np
+    import pandas as pd
+
+    from pdf2pdfocr_ray.functions.pngcodec import encode_png
+    from pdf2pdfocr_ray.functions.wavcodec import encode_wav
+    from pdf2pdfocr_ray.ops.multimodal import (
+        AudioFingerprintStage,
+        ImagePHashStage,
+    )
+
+    img = np.zeros((32, 32, 3), np.uint8)
+    good_png = encode_png(img)
+    df = pd.DataFrame(
+        {"url": ["ok", "trunc", "junk"],
+         "image": [good_png, good_png[:20], b"not an image"]}
+    )
+    out = ImagePHashStage()(df)
+    assert out["phash_ok"].tolist() == [True, False, False]
+
+    wav = encode_wav((np.sin(np.arange(4000)) * 1000).astype(np.int16))
+    df2 = pd.DataFrame(
+        {"doc_id": [1, 2, 3],
+         "audio": [wav, wav[:30], b"RIFFxxxxWAVE" + b"\x00" * 4]}
+    )
+    out2 = AudioFingerprintStage()(df2)
+    assert out2["afp_ok"].iloc[0]
+    assert not out2["afp_ok"].iloc[1] and not out2["afp_ok"].iloc[2]
