@@ -377,10 +377,15 @@ def image_near_dup(
 
 
 def _hash_band_pairs(
-    hashed: "ray.data.Dataset", id_col: str, max_hamming: int
+    hashed: "ray.data.Dataset", id_col: str, max_hamming: int,
+    max_bucket: int = 256,
 ) -> "ray.data.Dataset":
     """(id, phash int64) rows -> near-dup pairs within ``max_hamming``
-    via 16-bit chunk banding + exact in-bucket verify."""
+    via 16-bit chunk banding + exact in-bucket verify.  Hot buckets (a
+    degenerate corpus of near-identical media collapses whole datasets
+    into one chunk value) are capped at ``max_bucket`` rows with the cap
+    SURFACED via ``bucket_truncated`` — the same no-silent-caps posture
+    as the MinHash-LSH path."""
     from ..ops.grouped import sorted_groupby
 
     def explode_chunks(df: pd.DataFrame) -> pd.DataFrame:
@@ -399,8 +404,11 @@ def _hash_band_pairs(
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
         sizes = df.groupby(["chunk_id", "chunk"])[id_col].transform("size")
         df = df[sizes >= 2]
-        rows_a, rows_b, hams = [], [], []
+        rows_a, rows_b, hams, trunc = [], [], [], []
         for _, g in df.groupby(["chunk_id", "chunk"], sort=False):
+            truncated = len(g) > max_bucket
+            if truncated:
+                g = g.sort_values(id_col).head(max_bucket)
             ids = g[id_col].to_numpy()
             hs = g["phash"].to_numpy(np.int64).astype(np.uint64)
             a, b = np.triu_indices(len(ids), k=1)
@@ -415,8 +423,10 @@ def _hash_band_pairs(
             rows_a.extend(ia[keep])
             rows_b.extend(ib[keep])
             hams.extend(ham[keep])
+            trunc.extend([truncated] * int(keep.sum()))
         return pd.DataFrame(
-            {"id_a": rows_a, "id_b": rows_b, "hamming": hams}
+            {"id_a": rows_a, "id_b": rows_b, "hamming": hams,
+             "bucket_truncated": pd.Series(trunc, dtype="bool")}
         )
 
     pairs = sorted_groupby(
