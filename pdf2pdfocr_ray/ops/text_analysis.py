@@ -738,6 +738,7 @@ def tfidf_top_terms(
     k: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    pin_tf: bool = True,
 ) -> "ray.data.Dataset":
     """Per-document top-k TF-IDF terms (keyword extraction / indexing):
     idf = ln((N+1)/(df+1)) + 1, score = tf * idf, ties broken by term.
@@ -752,7 +753,14 @@ def tfidf_top_terms(
     materialization.  Pass 2 scores each doc's terms against the
     broadcast and keeps the top k per doc inside the batch (exact:
     whole-doc batches).  The only wide edge is the vocabulary-sized df
-    aggregate."""
+    aggregate.
+
+    ``pin_tf`` (default True) materializes the per-doc term-frequency
+    table in the OBJECT STORE so the scoring pass needn\'t re-tokenize;
+    that intermediate is corpus-sized, so at the extreme where even
+    spill headroom is precious pass ``pin_tf=False`` to recompute the
+    tokenization in pass 2 instead (cpu-for-memory trade; results are
+    identical)."""
     import ray
 
     from .grouped import combined_groupby_agg
@@ -776,7 +784,9 @@ def tfidf_top_terms(
             columns={"size": "tf"}
         )
 
-    tf = ds.map_batches(tf_explode, batch_format="pandas").materialize()
+    tf = ds.map_batches(tf_explode, batch_format="pandas")
+    if pin_tf:
+        tf = tf.materialize()
     dfreq = combined_groupby_agg(tf, "term", {"df": (id_col, "count")})
 
     def build(t: pa.Table | None):
