@@ -185,13 +185,18 @@ def run_default(num_cpus: int, sf_dir: str) -> dict:
     docs_per_sec = round(n / dt, 2)
 
     qs = entrymod.queries()
+    errors: dict[str, str] = {}
     for name in BENCH_QUERIES:
         t0 = time.time()
-        _consume(qs[name](sf_dir))
-        timings[name] = round(time.time() - t0, 3)
+        try:
+            _consume(qs[name](sf_dir))
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as exc:  # noqa: BLE001 — one broken query must
+            # not erase the whole suite's numbers (the r2 gate lesson)
+            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
 
     total = round(sum(timings.values()), 3)
-    return {
+    out = {
         "metric": "bench_suite_seconds",
         "value": total,
         "unit": "sec",
@@ -201,6 +206,9 @@ def run_default(num_cpus: int, sf_dir: str) -> dict:
         "flagship_docs": n,
         "flagship_docs_per_sec": docs_per_sec,
     }
+    if errors:
+        out["errors"] = errors
+    return out
 
 
 def run_flagship_only(num_cpus: int, n_docs: int) -> dict:
