@@ -938,6 +938,44 @@ def _q_dedup_jaccard(sf_dir: str):
     return dedup_jaccard(ds, threshold=0.5, candidate_threshold=0.4)
 
 
+def _q_robots_filter(sf_dir: str):
+    """Crawl-politeness filter: urls synthesized over 5 hosts; hosts 1
+    and 3 disallow path prefixes (plus an Allow carve-out on host 3).
+    Real robotparser semantics Ray-side; the prefix rules are simple
+    enough to replicate exactly in SQL."""
+    import pandas as pd
+
+    from pdf2pdfocr_ray.ops.relational import read
+    from pdf2pdfocr_ray.ops.text_analysis import robots_filter
+
+    robots = {
+        "host1.example.org": "User-agent: *\nDisallow: /private/\n",
+        # stdlib robotparser applies rules FIRST-MATCH in file order
+        # (not REP longest-match), so the Allow carve-out precedes the
+        # broader Disallow
+        "host3.example.org": (
+            "User-agent: *\nAllow: /p/open/\nDisallow: /p/\n"
+        ),
+    }
+
+    ds = read(sf_dir, "documents", ["doc_id"])
+
+    def urls(df: pd.DataFrame) -> pd.DataFrame:
+        i = df["doc_id"]
+        host = "host" + (i % 5).astype(str) + ".example.org"
+        path = pd.Series(
+            pd.NA, index=df.index, dtype="object"
+        )
+        path = ("/p/" + i.astype(str)).where(i % 3 != 0, "/private/" + i.astype(str))
+        path = path.where(i % 7 != 0, "/p/open/" + i.astype(str))
+        return pd.DataFrame(
+            {"doc_id": i, "url": "https://" + host + path}
+        )
+
+    out = robots_filter(ds.map_batches(urls, batch_format="pandas"), robots)
+    return out.select_columns(["doc_id", "url", "robots_allowed"])
+
+
 def _q_video_frame_dedup(sf_dir: str):
     """Multimodal near-dup, video modality: demux MJPEG-AVI clips
     (real avicodec), sample frames, perceptual-hash each, pair frames
@@ -2032,6 +2070,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_near_dup": _q_image_near_dup,
         "audio_near_dup": _q_audio_near_dup,
         "video_frame_dedup": _q_video_frame_dedup,
+        "robots_filter": _q_robots_filter,
         "lm_score": _q_lm_score,
         "hash_split": _q_hash_split,
         "url_canonicalize": _q_url_canonicalize,
@@ -2434,6 +2473,21 @@ def _oracle_sql_static() -> dict[str, str]:
             "'https?://[^\\s<>\"'']+') FROM aug "
             "UNION ALL SELECT doc_id, 'ipv4', regexp_extract_all(text, "
             "'\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b') FROM aug)"
+        ),
+        # same url synthesis; the two hosts' prefix rules replicated:
+        # host1 blocks /private/, host3 blocks /p/ except /p/open/
+        "robots_filter": (
+            "WITH u AS (SELECT doc_id, "
+            "'host' || (doc_id % 5) || '.example.org' AS host, "
+            "CASE WHEN doc_id % 7 = 0 THEN '/p/open/' || doc_id "
+            "WHEN doc_id % 3 = 0 THEN '/private/' || doc_id "
+            "ELSE '/p/' || doc_id END AS path FROM documents) "
+            "SELECT doc_id, 'https://' || host || path AS url, "
+            "CASE WHEN host = 'host1.example.org' AND "
+            "path LIKE '/private/%' THEN false "
+            "WHEN host = 'host3.example.org' AND path LIKE '/p/%' "
+            "AND path NOT LIKE '/p/open/%' THEN false "
+            "ELSE true END AS robots_allowed FROM u"
         ),
         # whole-token membership, same [a-z0-9]+ tokenizer
         "wordlist_flag": (

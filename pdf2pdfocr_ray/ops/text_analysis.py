@@ -1416,3 +1416,52 @@ def wordlist_flag(
         return out
 
     return ds.map_batches(flag, batch_format="pandas")
+
+
+# ------------------------------------------------- robots.txt politeness
+class RobotsFilterStage:
+    """Crawl-politeness filter actor: parse each host's robots.txt ONCE
+    per actor (stdlib ``urllib.robotparser`` — real Disallow/Allow
+    longest-match semantics, wildcards excluded) from a broadcast
+    {host: robots_txt} map; per batch, vectorize urls into (host, path)
+    and consult the parsed rules.  Emits ``robots_allowed``.  Hosts with
+    no robots.txt allow everything (the crawl default)."""
+
+    def __init__(self, robots_by_host: dict[str, str],
+                 agent: str = "graftbot") -> None:
+        from urllib.robotparser import RobotFileParser
+
+        self.agent = agent
+        self.parsers: dict[str, object] = {}
+        for host, txt in robots_by_host.items():
+            rp = RobotFileParser()
+            rp.parse(txt.splitlines())
+            self.parsers[host] = rp
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        from urllib.parse import urlsplit
+
+        allowed = np.ones(len(batch), bool)
+        for i, u in enumerate(batch["url"]):
+            parts = urlsplit(u)
+            rp = self.parsers.get(parts.netloc)
+            if rp is not None:
+                allowed[i] = rp.can_fetch(self.agent, u)
+        out = batch.copy()
+        out["robots_allowed"] = allowed
+        return out
+
+
+def robots_filter(
+    ds: "ray.data.Dataset", robots_by_host: dict[str, str],
+    agent: str = "graftbot",
+) -> "ray.data.Dataset":
+    """Attach ``robots_allowed`` to a url-bearing Dataset.  The rule map
+    is constructor state (parsed once per actor); at cluster scale the
+    robots corpus is a small side table collected the same way."""
+    from .grouped import stage_pool
+
+    return ds.map_batches(
+        RobotsFilterStage, fn_constructor_args=(robots_by_host, agent),
+        batch_format="pandas", concurrency=stage_pool(),
+    )

@@ -1394,3 +1394,32 @@ def test_wordlist_flag_whole_tokens(ray_session):
         .sort_values("doc_id")
     )
     assert out["has_listed_word"].tolist() == [True, False, False]
+
+
+def test_robots_filter_semantics(ray_session):
+    """Stdlib robotparser first-match semantics: Allow carve-out before a
+    broader Disallow; unlisted hosts allow everything."""
+    import ray.data
+
+    from pdf2pdfocr_ray.ops.text_analysis import robots_filter
+
+    robots = {
+        "a.org": "User-agent: *\nAllow: /ok/\nDisallow: /\n",
+    }
+    df = pd.DataFrame(
+        {
+            "url": [
+                "https://a.org/ok/1",
+                "https://a.org/blocked",
+                "https://other.org/anything",
+            ]
+        }
+    )
+    out = (
+        robots_filter(ray.data.from_pandas(df), robots)
+        .to_pandas()
+        .set_index("url")["robots_allowed"]
+    )
+    assert out["https://a.org/ok/1"]
+    assert not out["https://a.org/blocked"]
+    assert out["https://other.org/anything"]
