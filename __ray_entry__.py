@@ -938,6 +938,17 @@ def _q_dedup_jaccard(sf_dir: str):
     return dedup_jaccard(ds, threshold=0.5, candidate_threshold=0.4)
 
 
+def _q_doc_global_rank(sf_dir: str):
+    """Distributed ROW_NUMBER over (n_chars, doc_id): one sort + tiny
+    block-offset reduce."""
+    from pdf2pdfocr_ray.ops.relational import global_rank, read
+
+    ds = read(sf_dir, "documents", ["doc_id", "n_chars"])
+    return global_rank(ds, ["n_chars", "doc_id"]).select_columns(
+        ["doc_id", "n_chars", "rank"]
+    )
+
+
 def _q_robots_filter(sf_dir: str):
     """Crawl-politeness filter: urls synthesized over 5 hosts; hosts 1
     and 3 disallow path prefixes (plus an Allow carve-out on host 3).
@@ -2071,6 +2082,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_near_dup": _q_audio_near_dup,
         "video_frame_dedup": _q_video_frame_dedup,
         "robots_filter": _q_robots_filter,
+        "doc_global_rank": _q_doc_global_rank,
         "lm_score": _q_lm_score,
         "hash_split": _q_hash_split,
         "url_canonicalize": _q_url_canonicalize,
@@ -2473,6 +2485,10 @@ def _oracle_sql_static() -> dict[str, str]:
             "'https?://[^\\s<>\"'']+') FROM aug "
             "UNION ALL SELECT doc_id, 'ipv4', regexp_extract_all(text, "
             "'\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b') FROM aug)"
+        ),
+        "doc_global_rank": (
+            "SELECT doc_id, n_chars, ROW_NUMBER() OVER "
+            "(ORDER BY n_chars, doc_id) AS rank FROM documents"
         ),
         # same url synthesis; the two hosts' prefix rules replicated:
         # host1 blocks /private/, host3 blocks /p/ except /p/open/

@@ -1351,3 +1351,51 @@ def source_variance(sf_dir: str) -> "ray.data.Dataset":
     return sorted_groupby(
         ds.map_batches(partial, batch_format="pandas"), "source", final
     )
+
+
+# ----------------------------------------------------- global ordered rank
+def global_rank(
+    ds: "ray.data.Dataset",
+    keys: list[str],
+    out_col: str = "rank",
+) -> "ray.data.Dataset":
+    """Distributed ROW_NUMBER() OVER (ORDER BY keys): ONE range-
+    partitioned sort, then per-block offsets assembled from a tiny
+    (first-key, block-count) summary — the global rank never requires a
+    single-node pass over the rows.  ``keys`` must be tie-broken (include
+    a unique id): Ray's sort contract co-locates equal keys, but ranks
+    within a tie would otherwise be block-order dependent.  1-based,
+    matching SQL."""
+    import ray
+
+    from .grouped import _default_partitions
+
+    p = _default_partitions()
+    sorted_ds = ds.repartition(p).sort(keys).materialize()
+
+    def block_stat(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"k0": pd.Series([], dtype="object"),
+                                 "n": pd.Series([], dtype="int64")})
+        return pd.DataFrame(
+            {"k0": [tuple(df.iloc[0][k] for k in keys)], "n": [len(df)]}
+        )
+
+    stats = sorted_ds.map_batches(
+        block_stat, batch_format="pandas", batch_size=None
+    ).to_pandas()  # one row per block
+    stats = stats.sort_values("k0").reset_index(drop=True)
+    offsets = dict(
+        zip(stats["k0"], np.concatenate([[0], np.cumsum(stats["n"])[:-1]]))
+    )
+    ref = ray.put(offsets)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df.assign(**{out_col: pd.Series([], dtype="int64")})
+        off = ray.get(ref)[tuple(df.iloc[0][k] for k in keys)]
+        out = df.copy()
+        out[out_col] = np.arange(off + 1, off + 1 + len(df), dtype=np.int64)
+        return out
+
+    return sorted_ds.map_batches(assign, batch_format="pandas", batch_size=None)

@@ -262,3 +262,28 @@ def test_dim_join_string_keys(ray_session):
     got = dict(zip(out["v"], out["name"]))
     assert got[1] == "ex" and got[3] == "why" and got[4] == "ex"
     assert pd.isna(got[2])
+
+
+def test_global_rank_matches_argsort(ray_session):
+    """Distributed ROW_NUMBER equals the single-process argsort rank,
+    independent of partitioning, including duplicate sort values
+    (tie-broken by id)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from pdf2pdfocr_ray.ops.relational import global_rank
+
+    rng = np.random.default_rng(2)
+    df = pd.DataFrame(
+        {"id": np.arange(5000), "v": rng.integers(0, 50, 5000)}
+    )
+    truth = df.sort_values(["v", "id"]).reset_index(drop=True)
+    truth["rank"] = np.arange(1, len(truth) + 1)
+    expect = dict(zip(truth["id"], truth["rank"]))
+    for parts in (3, 16):
+        out = global_rank(
+            ray.data.from_pandas(df).repartition(parts), ["v", "id"]
+        ).to_pandas()
+        got = dict(zip(out["id"], out["rank"]))
+        assert got == expect, parts
