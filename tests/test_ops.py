@@ -1423,3 +1423,40 @@ def test_robots_filter_semantics(ray_session):
     assert out["https://a.org/ok/1"]
     assert not out["https://a.org/blocked"]
     assert out["https://other.org/anything"]
+
+
+def test_profile_table_all_null_and_empty(ray_session):
+    """All-null column and empty dataset edge cases."""
+    import ray.data
+
+    from pdf2pdfocr_ray.ops.sketches import profile_table
+
+    df = pd.DataFrame({"a": [None, None, None], "b": [1.0, 2.0, None]})
+    prof = profile_table(ray.data.from_pandas(df)).set_index("column")
+    assert prof.loc["a", "n_nulls"] == 3
+    assert prof.loc["b", "n_nulls"] == 1
+    assert prof.loc["b", "min"] == 1.0 and prof.loc["b", "max"] == 2.0
+    empty = profile_table(
+        ray.data.from_pandas(pd.DataFrame({"x": pd.Series([], dtype="int64")}))
+    )
+    assert empty["n_rows"].tolist() == [0]
+
+
+def test_curate_partitioned_export(ray_session, tmp_path):
+    """The curated output writes as split-partitioned parquet (the
+    resumable-output layout) and reads back with identical rows."""
+    import ray.data
+
+    from pdf2pdfocr_ray.pipelines.curation import curate
+
+    ds = ray.data.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet",
+        columns=["doc_id", "text", "lang"],
+    )
+    final, stats = curate(ds)
+    out = str(tmp_path / "curated")
+    final.write_parquet(out, partition_cols=["split"])
+    back = ray.data.read_parquet(out).to_pandas()
+    direct = final.to_pandas()
+    assert sorted(back["doc_id"]) == sorted(direct["doc_id"])
+    assert set(back["split"]) <= {"train", "test"}
