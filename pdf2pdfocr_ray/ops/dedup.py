@@ -670,3 +670,29 @@ def embedding_near_dup(
         )
 
     return ds.map_batches(fn, batch_format="pandas")
+
+
+def tune_lsh(
+    threshold: float, num_perm: int = 64,
+    fp_weight: float = 0.5,
+) -> tuple[int, int]:
+    """Pick (bands, rows_per_band) for MinHash-LSH at a target Jaccard
+    threshold by minimizing the weighted false-positive + false-negative
+    probability integrals of the S-curve P(hit | s) = 1 - (1 - s^r)^b
+    (the standard datasketch-style parameter search, exhaustive over the
+    divisors of ``num_perm``).  Returns the best (bands, rows)."""
+    import numpy as np
+
+    s = np.linspace(0.0, 1.0, 501)
+    best, best_err = None, float("inf")
+    for rows in range(1, num_perm + 1):
+        if num_perm % rows:
+            continue
+        bands = num_perm // rows
+        p_hit = 1.0 - (1.0 - s**rows) ** bands
+        fp = np.trapz(p_hit[s < threshold], s[s < threshold])
+        fn = np.trapz(1.0 - p_hit[s >= threshold], s[s >= threshold])
+        err = fp_weight * fp + (1.0 - fp_weight) * fn
+        if err < best_err:
+            best_err, best = err, (bands, rows)
+    return best

@@ -1460,3 +1460,19 @@ def test_curate_partitioned_export(ray_session, tmp_path):
     direct = final.to_pandas()
     assert sorted(back["doc_id"]) == sorted(direct["doc_id"])
     assert set(back["split"]) <= {"train", "test"}
+
+
+def test_tune_lsh_scurve():
+    """Higher thresholds demand more rows per band (steeper S-curve,
+    fewer accidental band collisions); the curve's midpoint lands near
+    the target threshold."""
+    from pdf2pdfocr_ray.ops.dedup import tune_lsh
+
+    b_lo, r_lo = tune_lsh(0.3, num_perm=64)
+    b_hi, r_hi = tune_lsh(0.9, num_perm=64)
+    assert b_lo * r_lo == 64 and b_hi * r_hi == 64
+    assert r_hi > r_lo  # stricter threshold -> longer bands
+    # S-curve midpoint (1/b)^(1/r) should sit near each threshold
+    for t, (b, r) in [(0.3, (b_lo, r_lo)), (0.9, (b_hi, r_hi))]:
+        mid = (1.0 / b) ** (1.0 / r)
+        assert abs(mid - t) < 0.2, (t, b, r, mid)
