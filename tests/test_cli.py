@@ -57,3 +57,31 @@ def test_cli_end_to_end_and_resume(tmp_path):
     for i in range(len(g)):
         a, b = res["extracted_text"][i], g["extracted_text"][i]
         assert (a == b) or (pd.isna(a) and pd.isna(b))
+
+
+@pytest.mark.slow
+def test_cli_watch_mode(tmp_path):
+    """--watch: first invocation ingests the drop-zone wave; a second
+    invocation with no new files is a ledgered no-op."""
+    pages, _ = generate_corpus(16, seed=21)
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    pq.write_table(pages, str(drop / "w1.parquet"))
+    out = str(tmp_path / "watch_out")
+
+    def run():
+        return subprocess.run(
+            [sys.executable, "-m", "pdf2pdfocr_ray", "-i", str(drop),
+             "-o", out, "--watch", "--shards", "2", "--num-cpus", "2"],
+            capture_output=True, text=True, cwd=REPO, timeout=600,
+        )
+
+    r1 = run()
+    # rc 1: the synthetic corpus plants error rows (same as the main CLI)
+    assert r1.returncode == 1, r1.stderr[-800:]
+    led1 = json.loads(r1.stdout.strip().splitlines()[-1])
+    assert len(led1["batches"]) == 1 and led1["batches"][0]["rows"] == 16
+    r2 = run()
+    led2 = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert len(led2["batches"]) == 1  # nothing new -> no second batch
+    assert glob.glob(os.path.join(out, "ingest_00000", "shard=*", "*.parquet"))
