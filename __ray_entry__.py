@@ -938,6 +938,24 @@ def _q_dedup_jaccard(sf_dir: str):
     return dedup_jaccard(ds, threshold=0.5, candidate_threshold=0.4)
 
 
+def _q_lang_mismatch(sf_dir: str):
+    """Declared-vs-detected language cross-check (the crawl-metadata
+    quality signal): docs whose `lang` column disagrees with the
+    engine's prediction."""
+    import pandas as pd
+
+    from pdf2pdfocr_ray.ops.relational import read
+    from pdf2pdfocr_ray.ops.text_analysis import add_lang_id
+
+    ds = read(sf_dir, "documents", ["doc_id", "lang", "text"])
+
+    def mismatch(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[df["lang"] != df["lang_pred"]]
+        return out[["doc_id", "lang", "lang_pred"]]
+
+    return add_lang_id(ds).map_batches(mismatch, batch_format="pandas")
+
+
 def _q_doc_global_rank(sf_dir: str):
     """Distributed ROW_NUMBER over (n_chars, doc_id): one sort + tiny
     block-offset reduce."""
@@ -2083,6 +2101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "video_frame_dedup": _q_video_frame_dedup,
         "robots_filter": _q_robots_filter,
         "doc_global_rank": _q_doc_global_rank,
+        "lang_mismatch": _q_lang_mismatch,
         "lm_score": _q_lm_score,
         "hash_split": _q_hash_split,
         "url_canonicalize": _q_url_canonicalize,
@@ -2129,7 +2148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
-def _lang_id_oracle_sql() -> str:
+def _lang_id_oracle_sql(per_doc: bool = False) -> str:
     """Generate the lang-id oracle from the engine's OWN stopword profiles
     so the two can never drift: per-doc stopword counts per language over
     the first 200 lowered tokens, winner = first profile language whose
@@ -2152,12 +2171,17 @@ def _lang_id_oracle_sql() -> str:
             elif j > i:
                 conds.append(f"{lang} >= {other}")
         cases.append("WHEN " + " AND ".join(conds) + f" THEN '{lang}'")
-    return (
+    inner = (
         "WITH t AS (SELECT doc_id, list_transform("
         "regexp_extract_all(text, '\\S+')[1:200], x -> lower(x)) AS toks "
         f"FROM documents), c AS (SELECT doc_id, {cnt_cols} FROM t) "
-        f"SELECT lang_pred, COUNT(*)::BIGINT AS n FROM (SELECT CASE "
-        f"{' '.join(cases)} ELSE 'und' END AS lang_pred FROM c) "
+        f"SELECT doc_id, CASE {' '.join(cases)} ELSE 'und' END AS lang_pred "
+        "FROM c"
+    )
+    if per_doc:
+        return inner
+    return (
+        f"SELECT lang_pred, COUNT(*)::BIGINT AS n FROM ({inner}) "
         "GROUP BY lang_pred"
     )
 
@@ -2184,6 +2208,14 @@ def oracle_sql() -> dict[str, str]:
     lang = _lang_id_oracle_sql_lazy()
     if lang is not None:
         out["lang_id"] = lang
+        try:
+            inner = _lang_id_oracle_sql(per_doc=True)
+            out["lang_mismatch"] = (
+                f"SELECT p.doc_id, d.lang, p.lang_pred FROM ({inner}) p "
+                "JOIN documents d USING (doc_id) WHERE d.lang <> p.lang_pred"
+            )
+        except Exception:  # noqa: BLE001 — degrade to rows-only
+            pass
     return out
 
 
