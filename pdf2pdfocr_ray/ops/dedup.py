@@ -167,11 +167,14 @@ def dedup_minhash_lsh(
     text_col: str = "text",
     id_col: str = "doc_id",
     num_perm: int = 64,
-    bands: int = 16,
+    bands: int | str = 16,
     threshold: float = 0.7,
     max_bucket: int = 64,
 ) -> "ray.data.Dataset":
     """Near-dup candidate pairs with signature-estimated Jaccard >= threshold.
+
+    ``bands="auto"`` picks the band layout from the threshold via
+    :func:`tune_lsh` (S-curve FP/FN minimization).
 
     Output: (id_a, id_b, est_jaccard) with id_a < id_b, deduplicated across
     bands via a final groupby on the pair key.
@@ -180,6 +183,8 @@ def dedup_minhash_lsh(
 
     from .grouped import stage_pool
 
+    if bands == "auto":
+        bands, _rows = tune_lsh(threshold, num_perm)
     rows_per_band = num_perm // bands
     sigs = ds.map_batches(
         MinHasher,
