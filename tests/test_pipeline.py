@@ -165,3 +165,37 @@ def test_page_rebalance_path_byte_identical(ray_session, corpus):
     for i in range(len(g)):
         a, b = res["extracted_text"][i], g["extracted_text"][i]
         assert (a == b) or (pd.isna(a) and pd.isna(b)), (g["url"][i], repr(a)[:80])
+
+
+def test_giant_skewed_doc_default_path(ray_session):
+    """North-rule skew stress: ONE 300-page PDF among 10 normal docs
+    flows through the DEFAULT pipeline (no chunk tuning) byte-identically
+    — the page fan-out spreads the giant doc across the cluster and the
+    url-group re-assembly reconstructs it in order."""
+    import numpy as np
+
+    from pdf2pdfocr_ray.sources.corpus import _make_pdf_doc, generate_corpus
+
+    pages, golden = generate_corpus(10, seed=6)
+    rng = np.random.default_rng(77)
+    giant, giant_text = _make_pdf_doc(rng, 300, distort=False)
+    pdf = pages.to_pandas()
+    row = {
+        "url": "https://giant.example.org/doc",
+        "warc_ts": pdf["warc_ts"].iloc[0],
+        "html": giant,
+        "text": "",
+        "lang": "en",
+    }
+    pdf = pd.concat([pdf, pd.DataFrame([row])], ignore_index=True)
+    res = _run(pa.Table.from_pandas(pdf))
+    got = res.set_index("url").loc["https://giant.example.org/doc"]
+    assert got["error"] is None or pd.isna(got["error"])
+    assert got["extracted_text"] == giant_text
+    assert got["n_pages"] == 300
+    # the normal docs are untouched by the giant neighbor
+    g = golden.to_pandas()
+    merged = res.set_index("url")
+    for u, t in zip(g["url"], g["extracted_text"]):
+        a = merged.loc[u, "extracted_text"]
+        assert (a == t) or (pd.isna(a) and pd.isna(t))
