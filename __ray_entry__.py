@@ -938,6 +938,55 @@ def _q_dedup_jaccard(sf_dir: str):
     return dedup_jaccard(ds, threshold=0.5, candidate_threshold=0.4)
 
 
+def _q_extract_then_curate(sf_dir: str):
+    """THE end-to-end product composite: raw pages -> extraction
+    (sniff/fan-out/OCR/boilerplate/re-assembly) -> curation (normalize,
+    langid, quality, repetition, PII, exact + near dedup, split) in ONE
+    flow — extracted_text becomes the curation text column.  Rows-only;
+    count algebra asserted in-query."""
+    import pandas as pd
+
+    from pdf2pdfocr_ray.pipelines.curation import curate
+    from pdf2pdfocr_ray.pipelines.extract import extract
+
+    ds, _ = _corpus_ds(120)
+    extracted = extract(ds)
+
+    def to_docs(df: pd.DataFrame) -> pd.DataFrame:
+        ok = df[df["error"].isna() & (df["extracted_text"] != "")]
+        return pd.DataFrame(
+            {
+                # stable int id from the url (curation expects doc_id)
+                "doc_id": [
+                    int.from_bytes(
+                        __import__("hashlib").md5(u.encode()).digest()[:6], "big"
+                    )
+                    for u in ok["url"]
+                ],
+                "text": ok["extracted_text"],
+                "lang": "en",
+            }
+        )
+
+    # materialize: the docs table is the natural checkpoint between the
+    # two pipelines — curate() consumes it several times (count, annotate,
+    # dedup) and each pass must not re-run the OCR extraction
+    docs = extracted.map_batches(to_docs, batch_format="pandas").materialize()
+    final, st = curate(docs)
+    n_final = final.count()
+    assert st["n_docs"] >= st["n_lang"] >= st["n_after_exact_dedup"] >= n_final
+    return pd.DataFrame(
+        {
+            "n_extracted_docs": pd.Series([st["n_docs"]], dtype="int64"),
+            "n_lang_en": pd.Series([st["n_lang"]], dtype="int64"),
+            "n_after_exact_dedup": pd.Series(
+                [st["n_after_exact_dedup"]], dtype="int64"
+            ),
+            "n_final": pd.Series([int(n_final)], dtype="int64"),
+        }
+    )
+
+
 def _q_lang_mismatch(sf_dir: str):
     """Declared-vs-detected language cross-check (the crawl-metadata
     quality signal): docs whose `lang` column disagrees with the
@@ -2102,6 +2151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "robots_filter": _q_robots_filter,
         "doc_global_rank": _q_doc_global_rank,
         "lang_mismatch": _q_lang_mismatch,
+        "extract_then_curate": _q_extract_then_curate,
         "lm_score": _q_lm_score,
         "hash_split": _q_hash_split,
         "url_canonicalize": _q_url_canonicalize,

@@ -376,6 +376,16 @@ def connected_components(
         )
 
     edges = pairs_ds.map_batches(bidir, batch_format="pandas").materialize()
+    if edges.count() == 0:  # no pairs at all -> empty labeling (a clean
+        # corpus reaches here; downstream anti-joins see nothing to drop)
+        import ray.data
+
+        return ray.data.from_pandas(
+            pd.DataFrame(
+                {"node": pd.Series([], dtype="int64"),
+                 "cluster_id": pd.Series([], dtype="int64")}
+            )
+        )
 
     def init_labels(df: pd.DataFrame) -> pd.DataFrame:
         nodes = df["src"].unique()

@@ -91,8 +91,11 @@ def curate(
     n_exact = uniq.count()
     pairs = dedup_minhash_lsh(uniq, threshold=minhash_threshold)
     clusters = connected_components(pairs).to_pandas()
-    removed = set(
-        clusters.loc[clusters["node"] != clusters["cluster_id"], "node"]
+    # empty-frame guard: Ray drops column metadata on an empty to_pandas
+    removed = (
+        set(clusters.loc[clusters["node"] != clusters["cluster_id"], "node"])
+        if len(clusters)
+        else set()
     )
     rm_ref = ray.put(pa.array(sorted(removed), pa.int64()))
 
