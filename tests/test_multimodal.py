@@ -233,6 +233,14 @@ def test_ocr_timeout_preemptive_cutoff():
         }
     )
     stage = OcrStage(PipelineConfig(autorotate=True, deskew=True, ocr_timeout_s=0.5))
+    # calibrate host load so the wall bound doesn't flake when the suite
+    # shares the machine (a loaded host slows the pathological page and
+    # the cutoff checks by the same factor)
+    c0 = time.monotonic()
+    for _ in range(20):
+        np.linalg.norm(np.ones((400, 400)) @ np.ones((400, 400)))
+    slowdown = max(1.0, (time.monotonic() - c0) / 0.12)
+
     t0 = time.monotonic()
     out = stage(batch)
     wall = time.monotonic() - t0
@@ -241,8 +249,8 @@ def test_ocr_timeout_preemptive_cutoff():
     assert errs["bad"] == "ocr_timeout"
     assert errs["good"] is None and texts["good"] == "hello world\n"
     # whole batch (timeout page + neighbor) well under the pathological
-    # page's natural runtime (> 5.5 s); generous margin for host load
-    assert wall < 4.0, wall
+    # page's natural runtime (> 5.5 s idle); bound scales with host load
+    assert wall < 4.0 * slowdown, (wall, slowdown)
 
 
 def test_image_near_dup_phash(ray_session):
