@@ -103,6 +103,26 @@ class TemplateEngine:
         return recognize_page(img, scale)
 
 
+def _is_zero_arg(fn) -> bool:
+    """True when ``fn`` can be called with no arguments (a factory);
+    False when it requires positionals (a bare recognize(img, scale)).
+    Unintrospectable callables (C builtins) are treated as bare."""
+    import inspect
+
+    try:
+        sig = inspect.signature(fn)
+    except (ValueError, TypeError):
+        return False
+    for p in sig.parameters.values():
+        if p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD) and (
+            p.default is p.empty
+        ):
+            return False
+        if p.kind is p.KEYWORD_ONLY and p.default is p.empty:
+            return False
+    return True
+
+
 class ExternalModelEngine:
     """Adapter for a real model-backed OCR engine addressed as
     ``external:<module>:<attr>``.
@@ -138,12 +158,13 @@ class ExternalModelEngine:
             obj = getattr(importlib.import_module(mod_name), attr)
         except (ImportError, AttributeError) as exc:
             raise OcrEngineError(f"cannot load external engine {path!r}: {exc}")
-        # zero-arg factory -> engine; else the object IS the engine
+        # zero-arg factory -> engine; else the object IS the engine.
+        # Decide by SIGNATURE, not by catching TypeError from the call —
+        # a factory whose body legitimately raises TypeError must fail
+        # HERE (actor init, the T3 fail-fast point), not per-page later.
         if callable(obj) and not hasattr(obj, "recognize") and not hasattr(obj, "predict"):
-            try:
+            if _is_zero_arg(obj):
                 obj = obj()
-            except TypeError:
-                pass  # a bare recognize(img, scale) callable
         self._fn = (
             getattr(obj, "recognize", None)
             or getattr(obj, "predict", None)

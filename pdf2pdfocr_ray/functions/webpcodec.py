@@ -396,7 +396,10 @@ def _inv_predictor(img: np.ndarray, tiles: np.ndarray, bits: int) -> np.ndarray:
                 L = out[y, x - 1]
                 T = out[y - 1, x]
                 TL = out[y - 1, x - 1]
-                TR = out[y - 1, x + 1] if x + 1 < w else out[y - 1, 0]
+                # RFC 9649 §4.2.1: the rightmost column's top-right pixel
+                # wraps (linear index p - w + 1) to the leftmost pixel of
+                # the CURRENT row, already decoded.
+                TR = out[y, 0] if x + 1 >= w else out[y - 1, x + 1]
                 pred = _pred_one(mode, L, T, TL, TR)
             out[y, x] = out[y, x] + pred  # uint8 wraps mod 256
     return out

@@ -42,6 +42,22 @@ if TYPE_CHECKING:
 _TOKEN_RE = re.compile(r"\S+")
 _MERSENNE = (1 << 61) - 1
 
+# 16-bit popcount LUT: one 64 KiB table per worker process, built at import.
+_POPCNT16 = np.array(
+    [bin(i).count("1") for i in range(1 << 16)], dtype=np.uint8
+)
+
+
+def popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount via four 16-bit LUT lookups (no Python
+    per-element loop; the hot path of every Hamming-banded near-dup)."""
+    x = x.astype(np.uint64, copy=False)
+    m = np.uint64(0xFFFF)
+    out = _POPCNT16[(x & m).astype(np.int64)].astype(np.int64)
+    for s in (16, 32, 48):
+        out += _POPCNT16[((x >> np.uint64(s)) & m).astype(np.int64)]
+    return out
+
 
 # ---------------------------------------------------------------- exact dedup
 def dedup_exact(ds: "ray.data.Dataset", text_col: str = "text",
@@ -324,7 +340,7 @@ def dedup_simhash(
             hs = g["simhash"].to_numpy(dtype=np.uint64)
             a, b = np.triu_indices(len(ids), k=1)
             x = hs[a] ^ hs[b]
-            ham = np.array([bin(int(v)).count("1") for v in x], dtype=np.int64)
+            ham = popcount64(x)
             keep = ham <= max_hamming
             out_a.extend(ids[a][keep])
             out_b.extend(ids[b][keep])
@@ -344,9 +360,16 @@ def dedup_simhash(
         ["chunk_id", "chunk_val"],
         bucket_pairs_block,
     )
-    return sorted_groupby(
-        pairs, ["id_a", "id_b"], lambda df: df.drop_duplicates(["id_a", "id_b"])
-    )
+    def dedup_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        # bucket_truncated can differ between a pair's chunk copies;
+        # aggregate with any() so the surviving flag is block-order-free.
+        return (
+            df.groupby(["id_a", "id_b"], sort=False, as_index=False)
+            .agg(hamming=("hamming", "first"),
+                 bucket_truncated=("bucket_truncated", "any"))
+        )
+
+    return sorted_groupby(pairs, ["id_a", "id_b"], dedup_pairs)
 
 
 # ------------------------------------------- near-dup clusters (connected
@@ -510,8 +533,13 @@ def dedup_jaccard(
     )
 
     def attach_text(df: pd.DataFrame) -> pd.DataFrame:
-        # groups arrive whole: one text row (id_a == -1) + N slot rows
+        # groups arrive whole: one text row (id_a == -1) + N slot rows.
+        # A corpus with duplicate doc ids would make the index non-unique
+        # and Series.map raise — keep the first text per id (duplicate ids
+        # carry identical text by definition of the id column) so a dirty
+        # input degrades gracefully instead of failing the whole query.
         texts = df.loc[df["id_a"] == -1].set_index("join_id")["pair_text"]
+        texts = texts[~texts.index.duplicated(keep="first")]
         out = df.loc[df["id_a"] != -1].copy()
         out["pair_text"] = out["join_id"].map(texts)
         return out

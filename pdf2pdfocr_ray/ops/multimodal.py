@@ -26,6 +26,7 @@ import pandas as pd
 import pyarrow as pa
 
 from ..functions.imagecodec import decode_image, sniff_image_format
+from .dedup import popcount64
 from ..functions.jpegcodec import encode_jpeg
 from ..functions.pngcodec import encode_png
 
@@ -381,18 +382,32 @@ def _hash_band_pairs(
     max_bucket: int = 256,
 ) -> "ray.data.Dataset":
     """(id, phash int64) rows -> near-dup pairs within ``max_hamming``
-    via 16-bit chunk banding + exact in-bucket verify.  Hot buckets (a
-    degenerate corpus of near-identical media collapses whole datasets
-    into one chunk value) are capped at ``max_bucket`` rows with the cap
-    SURFACED via ``bucket_truncated`` — the same no-silent-caps posture
-    as the MinHash-LSH path."""
+    via chunk banding + exact in-bucket verify.  The chunk count is
+    derived from ``max_hamming`` by pigeonhole: a pair within Hamming
+    distance d differs in at most d chunks, so with > d chunks the pair
+    is GUARANTEED to collide in at least one — 4x16-bit chunks for
+    d <= 3, 8x8-bit for d <= 7, 16x4-bit for d <= 15 (d >= 16 is
+    rejected; at that radius banding degenerates to all-pairs).  Hot
+    buckets (a degenerate corpus of near-identical media collapses whole
+    datasets into one chunk value) are capped at ``max_bucket`` rows with
+    the cap SURFACED via ``bucket_truncated`` — the same no-silent-caps
+    posture as the MinHash-LSH path."""
     from ..ops.grouped import sorted_groupby
+
+    if max_hamming >= 16:
+        raise ValueError(
+            f"max_hamming={max_hamming}: banding a 64-bit hash cannot "
+            "guarantee recall past 15; use a smaller radius"
+        )
+    n_chunks = 4 if max_hamming <= 3 else (8 if max_hamming <= 7 else 16)
+    width = 64 // n_chunks
+    mask = np.uint64((1 << width) - 1)
 
     def explode_chunks(df: pd.DataFrame) -> pd.DataFrame:
         h = df["phash"].to_numpy(np.int64).astype(np.uint64)
         parts = []
-        for c in range(4):
-            chunk = ((h >> np.uint64(16 * c)) & np.uint64(0xFFFF)).astype(np.int64)
+        for c in range(n_chunks):
+            chunk = ((h >> np.uint64(width * c)) & mask).astype(np.int64)
             parts.append(
                 pd.DataFrame(
                     {"chunk_id": c, "chunk": chunk, id_col: df[id_col],
@@ -413,9 +428,7 @@ def _hash_band_pairs(
             hs = g["phash"].to_numpy(np.int64).astype(np.uint64)
             a, b = np.triu_indices(len(ids), k=1)
             x = hs[a] ^ hs[b]
-            ham = np.zeros(len(x), np.int64)
-            for s in range(64):
-                ham += ((x >> np.uint64(s)) & np.uint64(1)).astype(np.int64)
+            ham = popcount64(x)
             keep = ham <= max_hamming
             order = ids[a] < ids[b]
             ia = np.where(order, ids[a], ids[b])
@@ -436,7 +449,15 @@ def _hash_band_pairs(
     )
 
     def dedup_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        return df.drop_duplicates(["id_a", "id_b"])
+        # A pair appears once per shared chunk; bucket_truncated can differ
+        # between copies (the cap is per-bucket), so aggregate with any()
+        # rather than keeping whichever copy happens to arrive first —
+        # the output must not depend on block order.
+        return (
+            df.groupby(["id_a", "id_b"], sort=False, as_index=False)
+            .agg(hamming=("hamming", "first"),
+                 bucket_truncated=("bucket_truncated", "any"))
+        )
 
     return sorted_groupby(pairs, ["id_a", "id_b"], dedup_pairs)
 

@@ -343,3 +343,50 @@ def test_phash_and_afp_corrupt_payload_isolation(ray_session):
     out2 = AudioFingerprintStage()(df2)
     assert out2["afp_ok"].iloc[0]
     assert not out2["afp_ok"].iloc[1] and not out2["afp_ok"].iloc[2]
+
+
+def test_hash_band_pairs_recall_guarantee(ray_session):
+    """Pigeonhole recall: a pair at Hamming distance exactly max_hamming
+    MUST be found.  Adversarial hash pair differing in 4 separate 16-bit
+    chunks (one bit each) — the old 4x16 banding missed it at d=4; the
+    derived 8x8 banding must not.  Deterministic bucket_truncated: the
+    flag is aggregated per pair, not first-copy-wins."""
+    import ray
+
+    from pdf2pdfocr_ray.ops.multimodal import _hash_band_pairs
+
+    base = 0x0123456789ABCDEF
+    # flip one bit in each of the four 16-bit chunks -> d=4, no shared
+    # 16-bit chunk, but any 8-way split shares >= 4 chunks.
+    other = base ^ (1 << 3) ^ (1 << 19) ^ (1 << 35) ^ (1 << 51)
+    import numpy as np
+    import pandas as pd
+
+    rows = pd.DataFrame(
+        {"url": ["a", "b", "far"],
+         "phash": np.array([base, other, ~base & (2**64 - 1)],
+                           dtype=np.uint64).astype(np.int64)}
+    )
+    ds = ray.data.from_pandas(rows)
+    out = _hash_band_pairs(ds, id_col="url", max_hamming=4).to_pandas()
+    assert len(out) == 1
+    assert sorted([out["id_a"].iloc[0], out["id_b"].iloc[0]]) == ["a", "b"]
+    assert int(out["hamming"].iloc[0]) == 4
+    assert not bool(out["bucket_truncated"].iloc[0])
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        _hash_band_pairs(ds, id_col="url", max_hamming=16)
+
+
+def test_popcount64_vectorized():
+    import numpy as np
+
+    from pdf2pdfocr_ray.ops.dedup import popcount64
+
+    rng = np.random.default_rng(42)
+    vals = rng.integers(0, 2**63, 1000, dtype=np.int64).astype(np.uint64)
+    vals[:3] = [0, 1, 2**64 - 1]
+    ref = np.array([bin(int(v)).count("1") for v in vals], dtype=np.int64)
+    assert (popcount64(vals) == ref).all()

@@ -295,7 +295,9 @@ def test_handcrafted_predictor_modes(mode):
             elif x == 0:
                 pred = out[y - 1, 0]
             else:
-                TR = out[y - 1, x + 1] if x + 1 < w else out[y - 1, 0]
+                # RFC 9649 §4.2.1 wraparound: rightmost-column TR is the
+                # leftmost pixel of the CURRENT row.
+                TR = out[y, 0] if x + 1 >= w else out[y - 1, x + 1]
                 pred = _pred_ref(
                     mode, out[y, x - 1], out[y - 1, x], out[y - 1, x - 1], TR
                 )
