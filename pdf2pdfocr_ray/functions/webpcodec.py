@@ -21,9 +21,9 @@ lossless bitstream from the public container/bitstream specification
   any spec-conforming decoder accepts; used for roundtrip coverage and
   for emitting webp from the re-encode stages.
 
-Lossy "VP8 " chunks are a different codec (DCT/bool-coder) and raise
-``NotImplementedError`` — they route to the multimodal stages' strict
-gate like mp3/mp4.
+Lossy "VP8 " chunks (the DCT/bool-coder codec, RFC 6386) decode through
+``vp8codec.decode_vp8``; ``encode_webp_lossy`` wraps its encoder in the
+RIFF container.
 
 Decode is bit-serial Python in the entropy loop (fine for page-scale
 images in the actor pools; a block carries few images), while the
@@ -480,7 +480,9 @@ def _argb_to_planes(argb: np.ndarray) -> np.ndarray:
 
 
 def _find_vp8l_payload(payload: bytes) -> bytes:
-    """RIFF walk: return the VP8L chunk body (handles VP8X containers)."""
+    """RIFF walk: return the VP8L or VP8 chunk body (handles VP8X
+    containers).  Lossy VP8 bodies are returned TAGGED so decode_webp can
+    route them to the vp8codec decoder."""
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
         raise ValueError("not a WebP file (missing RIFF/WEBP header)")
     pos = 12
@@ -491,18 +493,32 @@ def _find_vp8l_payload(payload: bytes) -> bytes:
         if fourcc == b"VP8L":
             return body
         if fourcc == b"VP8 ":
-            raise NotImplementedError(
-                "lossy WebP (VP8) is a DCT/bool-coder codec with no in-repo "
-                "implementation; only lossless (VP8L) decodes"
-            )
+            return b"\x00LOSSY\x00" + body
         pos += 8 + size + (size & 1)  # chunks are 2-byte aligned
-    raise ValueError("no VP8L chunk in WebP container")
+    raise ValueError("no VP8L/VP8 chunk in WebP container")
+
+
+def encode_webp_lossy(img: np.ndarray, q_index: int = 40) -> bytes:
+    """(h, w, 3) uint8 RGB -> lossy WebP bytes (RIFF-wrapped VP8
+    keyframe from vp8codec.encode_vp8)."""
+    from .vp8codec import encode_vp8
+
+    body = encode_vp8(img, q_index=q_index)
+    if len(body) & 1:
+        body += b"\x00"
+    riff = b"WEBP" + b"VP8 " + struct.pack("<I", len(body)) + body
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
 
 
 def decode_webp(payload: bytes) -> np.ndarray:
-    """WebP (lossless/VP8L) bytes -> (h, w, 3) uint8 RGB (alpha dropped,
-    matching the decode_image contract)."""
+    """WebP bytes -> (h, w, 3) uint8 RGB (alpha dropped, matching the
+    decode_image contract).  Lossless (VP8L) decodes here; lossy (VP8)
+    routes to the vp8codec keyframe decoder."""
     data = _find_vp8l_payload(payload)
+    if data[:7] == b"\x00LOSSY\x00":
+        from .vp8codec import decode_vp8
+
+        return decode_vp8(data[7:])
     if not data or data[0] != 0x2F:
         raise ValueError("bad VP8L signature byte")
     br = _BitReader(data[1:])

@@ -51,8 +51,8 @@ class ImageDecodeStage:
     """Actor stage: binary image column -> decoded metadata + luma stats.
 
     PNG, JPEG (baseline + progressive), TIFF, and lossless WebP (VP8L)
-    decode for REAL (pure-numpy codecs).  Unknown formats (avif, lossy
-    VP8, ...): stub — ``strict=True`` raises NotImplementedError, else
+    decode for REAL (pure-numpy codecs, incl. lossy VP8).  Unknown
+    formats (avif, ...): stub — ``strict=True`` raises, else
     deterministic fake dims marked ``stub_decode`` in ``decode_error``."""
 
     def __init__(self, image_col: str = "image", strict: bool = False):

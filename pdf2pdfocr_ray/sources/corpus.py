@@ -156,12 +156,18 @@ def _make_image_doc(rng: np.random.Generator) -> tuple[bytes, str, int]:
         from ..functions.jpegcodec import encode_jpeg_progressive
 
         return encode_jpeg_progressive(img, quality=95), text, 1
-    if fmt < 0.6:
+    if fmt < 0.55:
         from ..functions.webpcodec import encode_webp
 
         # palette path: scan pages are few-color, so this exercises the
         # color-indexing decode (incl. bundled sub-byte widths) for real
         return encode_webp(img, palette=True), text, 1
+    if fmt < 0.6:
+        from ..functions.webpcodec import encode_webp_lossy
+
+        # lossy VP8 (the dominant real-crawl webp flavor): q_index 6 is
+        # far above the OCR binarization robustness margin, like JPEG 95
+        return encode_webp_lossy(img, q_index=6), text, 1
     return encode_png(img), text, 1
 
 
@@ -239,10 +245,10 @@ GIANT_EVERY = 150  # every 150th doc is a skewed giant PDF (repartition/skew pat
 
 # Bump when generated content changes — cache keys (bench corpus dirs)
 # embed it so stale corpora from earlier generators never get reused.
-CORPUS_VERSION = "r3d"  # r3: WebP image docs; r3b/c: scanned-page PDFs
+CORPUS_VERSION = "r4a"  # r3: WebP image docs; r3b/c: scanned-page PDFs
 # (DCT / gray-Flate / CCITT-G4 / JBIG2 embedded images, 2% of docs);
 # r3d: realistic HTML variants (inline markup, nested script junk,
-# blockquotes, unclosed tags, BOM payloads)
+# blockquotes, unclosed tags, BOM payloads); r4a: lossy-VP8 image docs
 
 
 def _gen_doc(i: int, seed: int):

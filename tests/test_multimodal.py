@@ -39,7 +39,8 @@ def test_decode_stub_and_strict():
     jpeg_like = pa.table({"image": pa.array([b"\xff\xd8\xff\xe0fakejpeg"], pa.binary())})
     out = ImageDecodeStage()(jpeg_like)
     assert out.column("decode_error").to_pylist()[0].startswith("jpeg:")
-    # lossy VP8: known container, genuinely-absent codec -> strict gate
+    # lossy VP8 decodes for real now; a truncated body is a row-level
+    # decode error (like truncated JPEG), not a stub
     lossy = pa.table(
         {"image": pa.array(
             [b"RIFF\x10\x00\x00\x00WEBPVP8 \x04\x00\x00\x00\x00\x00\x00\x00"],
@@ -47,9 +48,15 @@ def test_decode_stub_and_strict():
         )}
     )
     out = ImageDecodeStage()(lossy)
-    assert out.column("decode_error").to_pylist() == ["webp: stub_decode"]
-    with pytest.raises(NotImplementedError):
-        ImageDecodeStage(strict=True)(lossy)
+    assert out.column("decode_error").to_pylist()[0].startswith("webp:")
+    # a real lossy-VP8 webp decodes through the stage with no error
+    from pdf2pdfocr_ray.functions.webpcodec import encode_webp_lossy
+
+    img = np.full((20, 20, 3), 200, np.uint8)
+    ok = pa.table({"image": pa.array([encode_webp_lossy(img)], pa.binary())})
+    out = ImageDecodeStage(strict=True)(ok)
+    assert out.column("decode_error").to_pylist() == [None]
+    assert out.column("width").to_pylist() == [20]
     # unknown container format entirely: stub path / strict raises
     avif_like = pa.table(
         {"image": pa.array([b"\x00\x00\x00\x20ftypavif...."], pa.binary())}

@@ -49,12 +49,12 @@ def test_roundtrip_single_pixel_and_single_row():
 def test_container_errors():
     with pytest.raises(ValueError, match="RIFF"):
         decode_webp(b"NOPE" * 8)
-    # lossy VP8 routes to the strict gate, not a crash
+    # lossy VP8 now decodes for real; a truncated body is a decode error
     lossy = (
         b"RIFF" + struct.pack("<I", 16) + b"WEBP"
         + b"VP8 " + struct.pack("<I", 4) + b"\x00" * 4
     )
-    with pytest.raises(NotImplementedError, match="lossy"):
+    with pytest.raises(ValueError, match="truncated VP8"):
         decode_webp(lossy)
     with pytest.raises(ValueError, match="truncated|signature|VP8L"):
         decode_webp(encode_webp(np.zeros((4, 4, 3), np.uint8))[:20])
