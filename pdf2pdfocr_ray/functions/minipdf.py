@@ -412,12 +412,15 @@ def build_scanned_pdf(
                 + payload
                 + b"\nendstream"
             )
-        elif frame[0] == "jbig2":
-            from .jbig2 import encode_jbig2_embedded
+        elif frame[0] in ("jbig2", "jbig2sym"):
+            from .jbig2 import encode_jbig2_embedded, encode_jbig2_symbolic
 
             arr = frame[1]
             h, w = arr.shape[:2]
-            payload = encode_jbig2_embedded(arr)
+            # "jbig2sym": the symbol-dictionary + text-region organization
+            # production scanners emit (vs one generic region)
+            payload = (encode_jbig2_symbolic(arr) if frame[0] == "jbig2sym"
+                       else encode_jbig2_embedded(arr))
             img_no = add(
                 b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "
                 b"/ColorSpace /DeviceGray /BitsPerComponent 1 "

@@ -67,12 +67,117 @@ def test_embedded_roundtrip(mmr):
 
 
 def test_unsupported_segment_types_raise():
-    # symbol dictionary (type 0) must raise, not mis-decode
-    seg = struct.pack(">IB", 0, 0) + b"\x00\x01" + struct.pack(">I", 2) + b"\x00\x00"
-    with pytest.raises(ValueError, match="symbol/text"):
+    # a symbol dict whose flags request Huffman coding must raise
+    seg = (struct.pack(">IB", 0, 0) + b"\x00\x01" + struct.pack(">I", 2)
+           + struct.pack(">H", 1))
+    with pytest.raises(ValueError, match="Huffman"):
         decode_jbig2_embedded(seg)
     with pytest.raises(ValueError):
         decode_jbig2_embedded(b"\x00\x01")  # truncated header
+
+
+def test_int_arith_roundtrip():
+    """T.88 Annex A integer coder: every bucket boundary + OOB."""
+    from pdf2pdfocr_ray.functions.jbig2 import (
+        _IADH, _IADS, _int_decode, _int_encode, _n_contexts,
+    )
+
+    vals = [0, 1, -1, 3, 4, -4, 19, 20, -83, 84, 339, 340, -4435, 4436,
+            70000, -70000, None, 2, None, -340]
+    enc = MQEncoder(_n_contexts(1))
+    for v in vals:
+        _int_encode(enc, _IADH, v)
+        _int_encode(enc, _IADS, v if v is None or v >= 0 else -v)
+    buf = enc.flush()
+    dec = MQDecoder(buf, _n_contexts(1))
+    for v in vals:
+        assert _int_decode(dec, _IADH) == v
+        assert _int_decode(dec, _IADS) == (
+            v if v is None or v >= 0 else -v)
+
+
+def test_symbolic_roundtrip_text_page():
+    """Symbol-coded organization: a rendered text page roundtrips
+    byte-identically and compresses via glyph dedup."""
+    from pdf2pdfocr_ray.functions.jbig2 import (
+        encode_jbig2_embedded as enc_gen,
+        encode_jbig2_symbolic,
+    )
+    from pdf2pdfocr_ray.functions.pagerender import render_page
+
+    page = render_page(
+        ["the quick brown fox", "the lazy dog dog dog", "totals 410 77"],
+        dpi=72,
+    )
+    bil = np.where(page.mean(axis=2) < 128, 0, 255).astype(np.uint8)
+    blob = encode_jbig2_symbolic(bil)
+    out = decode_jbig2_embedded(blob)
+    assert (out == bil).all()
+    # repeated glyphs share dictionary entries -> much smaller than the
+    # generic-region encode of the same page
+    assert len(blob) < len(enc_gen(bil))
+
+
+def test_symbolic_blank_and_single_pixel():
+    from pdf2pdfocr_ray.functions.jbig2 import encode_jbig2_symbolic
+
+    blank = np.full((12, 18), 255, np.uint8)
+    assert (decode_jbig2_embedded(encode_jbig2_symbolic(blank))
+            == blank).all()
+    one = blank.copy()
+    one[5, 7] = 0
+    assert (decode_jbig2_embedded(encode_jbig2_symbolic(one)) == one).all()
+
+
+def test_text_region_reference_corners():
+    """Decode the same symbol placed via each REFCORNER: the instance
+    lands so the named corner sits at (S, T)."""
+    from pdf2pdfocr_ray.functions.jbig2 import (
+        _IADS, _IADT, _IAFS, _iaid_encode, _int_encode, _n_contexts,
+        _symcodelen, decode_text_region,
+    )
+
+    sym = np.array([[1, 1, 1], [1, 0, 1]], np.uint8)  # 2x3 glyph
+    for corner in range(4):
+        scl = _symcodelen(1)
+        enc = MQEncoder(_n_contexts(scl))
+        _int_encode(enc, _IADT, 0)   # initial STRIPT
+        _int_encode(enc, _IADT, 5)   # strip at T=5
+        _int_encode(enc, _IAFS, 4)   # first S = 4
+        _iaid_encode(enc, scl, 0)
+        _int_encode(enc, _IADS, None)
+        body = (
+            struct.pack(">IIII", 12, 10, 0, 0) + b"\x00"
+            + struct.pack(">H", corner << 4)
+            + struct.pack(">I", 1)
+            + enc.flush()
+        )
+        bits, rx, ry = decode_text_region(body, [sym])
+        ys, xs = np.nonzero(bits)
+        # RIGHT corners advance CURS by WI-1 BEFORE drawing (T.88
+        # 6.4.5(vi)), so the first instance's left edge is FIRSTS for
+        # all four corners; the corner choice shows up in T:
+        assert (xs.min(), xs.max()) == (4, 6), corner
+        # T=5 is the top row for TOP corners, bottom row for BOTTOM
+        assert ys.min() == (5 if corner in (1, 3) else 4), corner
+
+
+def test_scanned_pdf_jbig2_symbolic_extracted():
+    from pdf2pdfocr_ray.functions.imagecodec import decode_image
+    from pdf2pdfocr_ray.functions.minipdf import build_scanned_pdf, parse_pdf
+    from pdf2pdfocr_ray.functions.ocr_core import recognize_page
+    from pdf2pdfocr_ray.functions.pagerender import render_page
+
+    page = render_page(["Symbol Coded Scan 9"], dpi=72)
+    bil = np.where(page.mean(axis=2) < 128, 0, 255).astype(np.uint8)
+    pdf = build_scanned_pdf([("jbig2sym", bil)])
+    doc = parse_pdf(pdf)
+    payload = doc.pages[0].image_bytes
+    assert payload is not None
+    img = decode_image(payload)
+    assert (img == np.repeat(bil[:, :, None], 3, axis=2)).all()
+    assert [l.text for l in recognize_page(img, 2)] == [
+        "Symbol Coded Scan 9"]
 
 
 def test_region_offset_compositions():
