@@ -194,76 +194,7 @@ def decode_g4(
             br.align()
         if br.peek(24) == int(_EOFB, 2):
             break  # EOFB before all rows: remaining rows stay white
-        cur: list[int] = []
-        a0 = -1
-        color = 0  # 0 = white run in progress, 1 = black
-        while a0 < width:
-            # b1: first ref change > a0 with opposite color to a0's run.
-            # Ref changes alternate white->black (even idx), black->white
-            # (odd): for a white run we need an even-index change, for a
-            # black run an odd-index one.
-            i = np.searchsorted(ref, a0, side="right") if ref else 0
-            while i < len(ref) and (i & 1) != color:
-                i += 1
-            while i < len(ref) and ref[i] <= a0:
-                i += 1
-                while i < len(ref) and (i & 1) != color:
-                    i += 1
-            b1 = ref[i] if i < len(ref) else width
-            b2 = ref[i + 1] if i + 1 < len(ref) else width
-            # mode decode
-            if br.peek(1) == 0b1:  # V0
-                br.pos += 1
-                a1 = b1
-                delta = 0
-                mode = "v"
-            elif br.peek(3) == 0b011:
-                br.pos += 3
-                a1 = b1 + 1
-                mode = "v"
-            elif br.peek(3) == 0b010:
-                br.pos += 3
-                a1 = b1 - 1
-                mode = "v"
-            elif br.peek(3) == 0b001:  # horizontal
-                br.pos += 3
-                start = max(a0, 0)
-                t1 = _read_run(br, _WHITE_DEC if color == 0 else _BLACK_DEC)
-                t2 = _read_run(br, _BLACK_DEC if color == 0 else _WHITE_DEC)
-                a1 = start + t1
-                a2 = a1 + t2
-                cur.append(min(a1, width))
-                cur.append(min(a2, width))
-                a0 = a2
-                continue
-            elif br.peek(4) == 0b0001:  # pass
-                br.pos += 4
-                a0 = b2
-                continue
-            elif br.peek(6) == 0b000011:
-                br.pos += 6
-                a1 = b1 + 2
-                mode = "v"
-            elif br.peek(6) == 0b000010:
-                br.pos += 6
-                a1 = b1 - 2
-                mode = "v"
-            elif br.peek(7) == 0b0000011:
-                br.pos += 7
-                a1 = b1 + 3
-                mode = "v"
-            elif br.peek(7) == 0b0000010:
-                br.pos += 7
-                a1 = b1 - 3
-                mode = "v"
-            else:
-                raise ValueError(
-                    f"invalid CCITT G4 mode code at bit {br.pos}"
-                )
-            # vertical: change at a1, color flips
-            cur.append(max(0, min(a1, width)))
-            a0 = a1
-            color ^= 1
+        cur = _decode_2d_row(br, ref, width)
         rows.append(_changes_to_row(cur, width))
         ref = cur
     while len(rows) < height:
@@ -272,6 +203,82 @@ def decode_g4(
     if black_is_1:
         img = 255 - img
     return img
+
+
+def _decode_2d_row(br: "_Bits", ref: list[int], width: int) -> list[int]:
+    """Decode ONE two-dimensionally-coded line (shared by T.6 G4 and the
+    2D rows of T.4 G3) -> the line's changing-element columns."""
+    cur: list[int] = []
+    a0 = -1
+    color = 0  # 0 = white run in progress, 1 = black
+    while a0 < width:
+        # b1: first ref change > a0 with opposite color to a0's run.
+        # Ref changes alternate white->black (even idx), black->white
+        # (odd): for a white run we need an even-index change, for a
+        # black run an odd-index one.
+        i = np.searchsorted(ref, a0, side="right") if ref else 0
+        while i < len(ref) and (i & 1) != color:
+            i += 1
+        while i < len(ref) and ref[i] <= a0:
+            i += 1
+            while i < len(ref) and (i & 1) != color:
+                i += 1
+        b1 = ref[i] if i < len(ref) else width
+        b2 = ref[i + 1] if i + 1 < len(ref) else width
+        # mode decode
+        if br.peek(1) == 0b1:  # V0
+            br.pos += 1
+            a1 = b1
+            delta = 0
+            mode = "v"
+        elif br.peek(3) == 0b011:
+            br.pos += 3
+            a1 = b1 + 1
+            mode = "v"
+        elif br.peek(3) == 0b010:
+            br.pos += 3
+            a1 = b1 - 1
+            mode = "v"
+        elif br.peek(3) == 0b001:  # horizontal
+            br.pos += 3
+            start = max(a0, 0)
+            t1 = _read_run(br, _WHITE_DEC if color == 0 else _BLACK_DEC)
+            t2 = _read_run(br, _BLACK_DEC if color == 0 else _WHITE_DEC)
+            a1 = start + t1
+            a2 = a1 + t2
+            cur.append(min(a1, width))
+            cur.append(min(a2, width))
+            a0 = a2
+            continue
+        elif br.peek(4) == 0b0001:  # pass
+            br.pos += 4
+            a0 = b2
+            continue
+        elif br.peek(6) == 0b000011:
+            br.pos += 6
+            a1 = b1 + 2
+            mode = "v"
+        elif br.peek(6) == 0b000010:
+            br.pos += 6
+            a1 = b1 - 2
+            mode = "v"
+        elif br.peek(7) == 0b0000011:
+            br.pos += 7
+            a1 = b1 + 3
+            mode = "v"
+        elif br.peek(7) == 0b0000010:
+            br.pos += 7
+            a1 = b1 - 3
+            mode = "v"
+        else:
+            raise ValueError(
+                f"invalid CCITT G4 mode code at bit {br.pos}"
+            )
+        # vertical: change at a1, color flips
+        cur.append(max(0, min(a1, width)))
+        a0 = a1
+        color ^= 1
+    return cur
 
 
 # ---------------------------------------------------------------- encoder
@@ -354,3 +361,176 @@ def encode_g4(img: np.ndarray, eofb: bool = True) -> bytes:
     if eofb:
         bw.put(_EOFB)
     return bw.to_bytes()
+
+
+# --------------------------------------------------------- Group 3 (T.4)
+_EOL = "000000000001"
+
+
+def _decode_1d_row(br: _Bits, width: int) -> list[int]:
+    """One T.4 one-dimensionally (MH) coded line -> changing-element
+    columns.  Lines always start in the white state (a zero-length
+    white run codes a line that begins black)."""
+    changes: list[int] = []
+    pos = 0
+    color = 0
+    while pos < width:
+        run = _read_run(br, _WHITE_DEC if color == 0 else _BLACK_DEC)
+        pos += run
+        changes.append(min(pos, width))
+        color ^= 1
+    return changes
+
+
+def _skip_eol(br: _Bits, require: bool) -> bool:
+    """Consume fill bits + one EOL (T.4: zeros then '1').  Returns True
+    if an EOL was consumed; with ``require=False`` leaves the reader
+    untouched when no EOL is present."""
+    start = br.pos
+    zeros = 0
+    try:
+        while True:
+            b = br.read_bit()
+            if b == 1:
+                if zeros >= 11:
+                    return True
+                break
+            zeros += 1
+    except ValueError:
+        pass
+    if require:
+        raise ValueError("missing CCITT G3 EOL")
+    br.pos = start
+    return False
+
+
+def decode_g3(
+    data: bytes,
+    width: int,
+    height: int,
+    k: int = 0,
+    black_is_1: bool = False,
+    byte_align: bool = False,
+    end_of_line: bool = False,
+) -> np.ndarray:
+    """T.4 (Group 3) stream -> (height, width) uint8, 0=black 255=white.
+
+    Mirrors /CCITTFaxDecode with /K >= 0: ``k == 0`` is pure
+    one-dimensional MH coding; ``k > 0`` is mixed 1D/2D, where every
+    line starts with an EOL followed by a tag bit (1 = the line is 1D,
+    0 = 2D against the previous line).  ``end_of_line`` accepts/requires
+    EOLs between K=0 lines (PDF default is no EOLs); trailing RTC/EOFB
+    is tolerated; short streams leave remaining rows white."""
+    br = _Bits(data)
+    rows: list[np.ndarray] = []
+    ref: list[int] = []
+    for _ in range(height):
+        if byte_align:
+            br.align()
+        try:
+            if k > 0:
+                _skip_eol(br, require=True)
+                tag = br.read_bit()
+                cur = (_decode_1d_row(br, width) if tag
+                       else _decode_2d_row(br, ref, width))
+            else:
+                _skip_eol(br, require=end_of_line)
+                if (br.pos >> 3) >= len(data):
+                    break  # stream exhausted: remaining rows stay white
+                cur = _decode_1d_row(br, width)
+        except ValueError:
+            if not rows:
+                raise
+            break  # RTC / trailing fill: remaining rows stay white
+        rows.append(_changes_to_row(cur, width))
+        ref = cur
+    while len(rows) < height:
+        rows.append(np.full(width, 255, np.uint8))
+    img = np.stack(rows)
+    if black_is_1:
+        img = 255 - img
+    return img
+
+
+def _encode_1d_row(bw: _BitW, row: np.ndarray, width: int) -> None:
+    changes = _row_changes(row) + [width]
+    pos = 0
+    color = 0
+    for c in changes:
+        if c > width:
+            break
+        _put_run(bw, c - pos, _WHITE_CODES if color == 0 else _BLACK_CODES)
+        pos = c
+        color ^= 1
+    if pos < width:
+        _put_run(bw, width - pos,
+                 _WHITE_CODES if color == 0 else _BLACK_CODES)
+
+
+def encode_g3(img: np.ndarray, k: int = 0,
+              end_of_line: bool | None = None) -> bytes:
+    """(h, w) uint8 (0=black, else white) -> T.4 G3 bytes.
+
+    ``k == 0``: pure MH lines (EOLs only when ``end_of_line``, which is
+    the fax framing; PDF streams default to none).  ``k > 0``: every
+    line gets EOL + tag; the first line of each K-group is 1D, the next
+    k-1 lines 2D against their predecessor."""
+    if img.ndim != 2:
+        raise ValueError("encode_g3 expects a (h, w) bilevel image")
+    h, w = img.shape
+    if end_of_line is None:
+        end_of_line = k > 0
+    bw = _BitW()
+    ref: list[int] = []
+    for y in range(h):
+        one_d = k <= 0 or (y % k == 0)
+        if k > 0:
+            bw.put(_EOL)
+            bw.put("1" if one_d else "0")
+        elif end_of_line:
+            bw.put(_EOL)
+        if one_d:
+            _encode_1d_row(bw, img[y], w)
+            ref = _row_changes(img[y])
+        else:
+            cur = _row_changes(img[y])
+            _encode_2d_row(bw, cur, ref, w)
+            ref = cur
+    return bw.to_bytes()
+
+
+def _encode_2d_row(bw: _BitW, cur: list[int], ref: list[int],
+                   w: int) -> None:
+    """Encode ONE line two-dimensionally against ``ref`` (the inner loop
+    of encode_g4, shared with G3 K>0 lines)."""
+    a0 = -1
+    color = 0
+    ci = 0
+    while a0 < w:
+        while ci < len(cur) and cur[ci] <= a0:
+            ci += 1
+        a1 = cur[ci] if ci < len(cur) else w
+        a2 = cur[ci + 1] if ci + 1 < len(cur) else w
+        i = 0
+        while i < len(ref) and ((i & 1) != color or ref[i] <= a0):
+            i += 1
+        b1 = ref[i] if i < len(ref) else w
+        b2 = ref[i + 1] if i + 1 < len(ref) else w
+        if b2 < a1:  # pass
+            bw.put("0001")
+            a0 = b2
+            continue
+        d = a1 - b1
+        if -3 <= d <= 3:  # vertical
+            bw.put(
+                {0: "1", 1: "011", -1: "010", 2: "000011",
+                 -2: "000010", 3: "0000011", -3: "0000010"}[d]
+            )
+            a0 = a1
+            color ^= 1
+            continue
+        bw.put("001")  # horizontal
+        start = max(a0, 0)
+        _put_run(bw, a1 - start, _WHITE_CODES if color == 0 else _BLACK_CODES)
+        _put_run(bw, a2 - a1, _BLACK_CODES if color == 0 else _WHITE_CODES)
+        a0 = a2

@@ -412,6 +412,22 @@ def build_scanned_pdf(
                 + payload
                 + b"\nendstream"
             )
+        elif frame[0] in ("g3", "g3_2d"):
+            from .ccitt import encode_g3
+
+            arr = frame[1]
+            h, w = arr.shape[:2]
+            kval = 0 if frame[0] == "g3" else 4
+            payload = encode_g3(arr, k=kval)
+            img_no = add(
+                b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "
+                b"/ColorSpace /DeviceGray /BitsPerComponent 1 "
+                b"/Filter /CCITTFaxDecode "
+                b"/DecodeParms << /K %d /Columns %d /Rows %d >> "
+                b"/Length %d >>\nstream\n" % (w, h, kval, w, h, len(payload))
+                + payload
+                + b"\nendstream"
+            )
         elif frame[0] in ("jbig2", "jbig2sym"):
             from .jbig2 import encode_jbig2_embedded, encode_jbig2_symbolic
 

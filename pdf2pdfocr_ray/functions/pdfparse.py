@@ -617,13 +617,15 @@ class PdfDocument:
 
         * /DCTDecode (possibly after earlier filters) -> the JPEG bytes
           verbatim, routed to the in-repo jpegcodec via the image sniffer;
-        * /CCITTFaxDecode with /K < 0 (Group 4 — the dominant scanned-
-          document encoding) -> decoded by the in-repo T.6 codec
-          (functions/ccitt.py), honoring /BlackIs1 and /EncodedByteAlign;
+        * /CCITTFaxDecode — /K < 0 (Group 4, the dominant scanned-
+          document encoding) via the in-repo T.6 codec, /K >= 0 (Group 3
+          1D / mixed, fax-era scans) via the T.4 codec — honoring
+          /BlackIs1, /EncodedByteAlign and /EndOfLine;
+        * /JBIG2Decode (generic AND symbol-coded organizations);
         * /FlateDecode or identity 8-bit /DeviceGray / /DeviceRGB raw
           samples -> the engine's RAWB frame encoding.
 
-        Unsupported encodings (G3 CCITT, JBIG2, other colorspaces) are
+        Unsupported encodings (refinement JBIG2, other colorspaces) are
         skipped — callers fall back to their no-image behavior."""
         out: list[bytes] = []
         res = self.resolve(page.get("Resources"))
@@ -657,8 +659,7 @@ class PdfDocument:
                     parms = self.resolve(s.dict.get("DecodeParms")) or {}
                     if isinstance(parms, list):
                         parms = self.resolve(parms[-1]) or {}
-                    if int(self.resolve(parms.get("K")) or 0) >= 0:
-                        continue  # G3 (1-D / mixed): not supported
+                    kval = int(self.resolve(parms.get("K")) or 0)
                     raw = s.raw
                     for f in filters[:-1]:
                         if f != "FlateDecode":
@@ -666,20 +667,29 @@ class PdfDocument:
                         raw = zlib.decompress(raw)
                     import numpy as np
 
-                    from .ccitt import decode_g4
+                    from .ccitt import decode_g3, decode_g4
                     from .imagecodec import encode_raw
 
                     w = int(self.resolve(parms.get("Columns")) or 1728)
                     h = int(self.resolve(s.dict.get("Height")) or 0)
                     if not h:
                         continue
-                    gray = decode_g4(
-                        raw, w, h,
-                        black_is_1=bool(self.resolve(parms.get("BlackIs1"))),
-                        byte_align=bool(
-                            self.resolve(parms.get("EncodedByteAlign"))
-                        ),
+                    black1 = bool(self.resolve(parms.get("BlackIs1")))
+                    align = bool(
+                        self.resolve(parms.get("EncodedByteAlign"))
                     )
+                    if kval < 0:  # Group 4 (T.6)
+                        gray = decode_g4(
+                            raw, w, h, black_is_1=black1, byte_align=align
+                        )
+                    else:  # Group 3 (T.4): K=0 pure 1D, K>0 mixed
+                        gray = decode_g3(
+                            raw, w, h, k=kval, black_is_1=black1,
+                            byte_align=align,
+                            end_of_line=bool(
+                                self.resolve(parms.get("EndOfLine"))
+                            ),
+                        )
                     out.append(
                         encode_raw(np.repeat(gray[:, :, None], 3, axis=2))
                     )

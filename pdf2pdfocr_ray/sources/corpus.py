@@ -245,11 +245,11 @@ GIANT_EVERY = 150  # every 150th doc is a skewed giant PDF (repartition/skew pat
 
 # Bump when generated content changes — cache keys (bench corpus dirs)
 # embed it so stale corpora from earlier generators never get reused.
-CORPUS_VERSION = "r4b"  # r3: WebP image docs; r3b/c: scanned-page PDFs
+CORPUS_VERSION = "r4c"  # r3: WebP image docs; r3b/c: scanned-page PDFs
 # (DCT / gray-Flate / CCITT-G4 / JBIG2 embedded images, 2% of docs);
 # r3d: realistic HTML variants (inline markup, nested script junk,
 # blockquotes, unclosed tags, BOM payloads); r4a: lossy-VP8 image docs;
-# r4b: symbol-coded JBIG2 scanned pages
+# r4b: symbol-coded JBIG2 scanned pages; r4c: G3 (T.4) scanned pages
 
 
 def _gen_doc(i: int, seed: int):
@@ -330,8 +330,10 @@ def _gen_doc(i: int, seed: int):
                 bil = np.where(img.mean(axis=2) < 128, 0, 255).astype(
                     np.uint8
                 )
-                kind3 = ("g4" if enc < 0.75
-                         else "jbig2" if enc < 0.875 else "jbig2sym")
+                kind3 = ("g4" if enc < 0.675
+                         else "g3" if enc < 0.75      # fax-era 1D (K=0)
+                         else "g3_2d" if enc < 0.8    # mixed T.4 (K>0)
+                         else "jbig2" if enc < 0.9 else "jbig2sym")
                 frames.append((kind3, bil))
             parts.append(normalize_ligatures("\n".join(lines)) + "\n")
         payload = build_scanned_pdf(frames)

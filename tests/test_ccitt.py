@@ -127,3 +127,53 @@ try:
 
 except ImportError:  # pragma: no cover
     pass
+
+
+def test_g3_roundtrips_all_modes():
+    """T.4 Group 3: K=0 (pure MH, with and without EOL framing) and
+    K>0 (mixed 1D/2D) roundtrip a rendered page byte-identically."""
+    from pdf2pdfocr_ray.functions.ccitt import decode_g3, encode_g3
+    from pdf2pdfocr_ray.functions.pagerender import render_page
+
+    page = render_page(["fax era scan 77", "group three test"], dpi=72)
+    bil = np.where(page.mean(axis=2) < 128, 0, 255).astype(np.uint8)
+    h, w = bil.shape
+    for k, eol in [(0, False), (0, True), (2, None), (4, None)]:
+        blob = encode_g3(bil, k=k, end_of_line=eol)
+        out = decode_g3(blob, w, h, k=k, end_of_line=bool(eol))
+        assert (out == bil).all(), (k, eol)
+    # 2D coding against the previous row must beat pure 1D on text
+    assert len(encode_g3(bil, k=4)) < len(encode_g3(bil, k=0))
+
+
+def test_g3_edge_cases():
+    from pdf2pdfocr_ray.functions.ccitt import decode_g3, encode_g3
+
+    img = np.zeros((5, 16), np.uint8)  # all black (zero-len white run)
+    blob = encode_g3(img)
+    assert (decode_g3(blob, 16, 5) == img).all()
+    assert (decode_g3(blob, 16, 5, black_is_1=True) == 255 - img).all()
+    # short stream: remaining rows stay white (fax RTC behavior)
+    page = np.full((8, 16), 255, np.uint8)
+    page[:3, 2:9] = 0
+    out = decode_g3(encode_g3(page[:3]), 16, 8)
+    assert (out[:3] == page[:3]).all() and (out[3:] == 255).all()
+
+
+def test_scanned_pdf_g3_extracted():
+    from pdf2pdfocr_ray.functions.imagecodec import decode_image
+    from pdf2pdfocr_ray.functions.minipdf import build_scanned_pdf, parse_pdf
+    from pdf2pdfocr_ray.functions.ocr_core import recognize_page
+    from pdf2pdfocr_ray.functions.pagerender import render_page
+
+    for kind in ("g3", "g3_2d"):
+        page = render_page(["Group Three Fax 3"], dpi=72)
+        bil = np.where(page.mean(axis=2) < 128, 0, 255).astype(np.uint8)
+        pdf = build_scanned_pdf([(kind, bil)])
+        doc = parse_pdf(pdf)
+        payload = doc.pages[0].image_bytes
+        assert payload is not None, kind
+        img = decode_image(payload)
+        assert (img == np.repeat(bil[:, :, None], 3, axis=2)).all(), kind
+        assert [l.text for l in recognize_page(img, 2)] == [
+            "Group Three Fax 3"], kind
