@@ -1154,8 +1154,11 @@ def _q_video_frame_dedup(sf_dir: str):
 
 def _q_audio_near_dup(sf_dir: str):
     """Multimodal near-dup, audio modality: energy-envelope fingerprints
-    over synthesized WAV clips (doc_id arithmetic, like audio_features)
-    with planted gain-scaled copies — planted pairs asserted in-query."""
+    over synthesized clips (doc_id arithmetic, like audio_features) with
+    planted gain-scaled copies — planted pairs asserted in-query.
+    CROSS-CONTAINER: every third planted copy is FLAC-encoded while its
+    source is WAV, so the pair only surfaces if both codecs decode to
+    the same PCM."""
     import numpy as np
     import pandas as pd
     import ray.data
@@ -1178,15 +1181,25 @@ def _q_audio_near_dup(sf_dir: str):
         return (0.5 * env * np.sin(2 * np.pi * (200 + 10 * (i % 23)) * t)
                 * 32000).astype(np.int16)
 
+    from pdf2pdfocr_ray.functions.flaccodec import encode_flac
+
     rows = []
     for i in ids:
         s = clip(int(i))
         rows.append({"doc_id": int(i), "audio": encode_wav(s)})
         if i % 12 == 0:  # planted gain-scaled near-dup
-            rows.append(
-                {"doc_id": int(i) + 100_000,
-                 "audio": encode_wav((s * 0.3).astype(np.int16))}
-            )
+            copy = (s * 0.3).astype(np.int16)
+            if i % 3 == 0:
+                # FLAC carries the SAME quantized PCM encode_wav would
+                # emit, so the pair matches iff both codecs agree
+                pcm16 = np.clip(
+                    np.round(copy.astype(np.float64) * 32767.0),
+                    -32768, 32767,
+                ).astype(np.int16)
+                blob = encode_flac(pcm16, 16000)
+            else:
+                blob = encode_wav(copy)
+            rows.append({"doc_id": int(i) + 100_000, "audio": blob})
     pairs = audio_near_dup(
         ray.data.from_items(rows).repartition(4), max_hamming=2
     ).to_pandas()
@@ -2156,11 +2169,13 @@ def _q_multimodal_resize(sf_dir: str):
 
 
 def _q_audio_features(sf_dir: str):
-    """REAL WAV decode, ORACLE-CHECKED: per doc a PCM WAV is synthesized
-    deterministically (sine, whole cycles, amplitude/length derived from
-    doc_id), the AudioFeatureStage decodes it, and n_samples / duration /
-    an rms-vs-amplitude/√2 verdict are compared against DuckDB arithmetic
-    on doc_id.  A decode bug breaks the hash."""
+    """REAL WAV + FLAC decode, ORACLE-CHECKED: per doc a PCM clip is
+    synthesized deterministically (sine, whole cycles, amplitude/length
+    derived from doc_id) and containered as WAV or — every third doc —
+    FLAC (the in-repo flaccodec); the AudioFeatureStage decodes it, and
+    n_samples / duration / an rms-vs-amplitude/√2 verdict are compared
+    against DuckDB arithmetic on doc_id.  A decode bug in EITHER codec
+    breaks the hash."""
     import numpy as np
     import pandas as pd
 
@@ -2170,6 +2185,7 @@ def _q_audio_features(sf_dir: str):
     ds = read(sf_dir, "documents", ["doc_id"])
 
     def synth(batch: pd.DataFrame) -> pd.DataFrame:
+        from pdf2pdfocr_ray.functions.flaccodec import encode_flac
         from pdf2pdfocr_ray.functions.wavcodec import encode_wav
 
         payloads = []
@@ -2178,7 +2194,12 @@ def _q_audio_features(sf_dir: str):
             amp = 0.1 + (int(did) % 8) * 0.1
             freq = 160 + (int(did) % 5) * 16  # whole cycles per 1000 samples
             t = np.arange(n) / 16000.0
-            payloads.append(encode_wav(amp * np.sin(2 * np.pi * freq * t), 16000))
+            pcm = amp * np.sin(2 * np.pi * freq * t)
+            if did % 3 == 0:  # FLAC rows: same PCM, other container
+                payloads.append(
+                    encode_flac((pcm * 32767).astype(np.int16), 16000))
+            else:
+                payloads.append(encode_wav(pcm, 16000))
         out = batch.copy()
         out["audio"] = payloads
         return out

@@ -130,13 +130,31 @@ class ImageResizeStage:
         return batch.append_column("image_resized", pa.array(out, pa.binary()))
 
 
+def decode_audio(payload: bytes):
+    """Route an audio payload to its real in-repo codec: RIFF/WAVE PCM
+    (wavcodec) or FLAC (flaccodec).  Returns (samples float64 in [-1, 1]
+    of shape (n, channels), sample_rate)."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        from ..functions.wavcodec import decode_wav
+
+        return decode_wav(payload)
+    if payload[:4] == b"fLaC":
+        from ..functions.flaccodec import decode_flac
+
+        samples, rate = decode_flac(payload)
+        # same int16 normalization as wavcodec (iinfo(int16).max)
+        return samples.astype(np.float64) / 32767.0, rate
+    raise ValueError("unknown audio container")
+
+
 class AudioFeatureStage:
     """Actor stage: audio binary -> (duration_s, n_samples, rms).
 
-    RIFF/WAVE (PCM) payloads decode for REAL (functions/wavcodec — no
-    native library needed).  Compressed formats (MP3/AAC/...) would need
-    codecs absent from this container and hit the stub path: ``strict``
-    raises NotImplementedError, else deterministic fakes derived from the
+    RIFF/WAVE (PCM) and FLAC payloads decode for REAL (functions/
+    wavcodec, functions/flaccodec — no native library needed).  Other
+    compressed formats (MP3/AAC/...) would need codecs absent from this
+    container and hit the stub path: ``strict`` raises
+    NotImplementedError, else deterministic fakes derived from the
     payload hash (the distributed plumbing stays exercised either way)."""
 
     def __init__(self, audio_col: str = "audio", strict: bool = False):
@@ -144,16 +162,15 @@ class AudioFeatureStage:
         self.strict = strict
 
     def _features(self, payload: bytes) -> tuple[float, int, float]:
-        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
-            from ..functions.wavcodec import decode_wav
-
-            samples, rate = decode_wav(payload)
+        if (payload[:4] == b"RIFF" and payload[8:12] == b"WAVE") or \
+                payload[:4] == b"fLaC":
+            samples, rate = decode_audio(payload)
             n = samples.shape[0]
             rms = float(np.sqrt(np.mean(samples**2))) if n else 0.0
             return n / float(rate), n, rms
         if self.strict:
             raise NotImplementedError(
-                "non-WAV audio decode not available in container"
+                "compressed audio (mp3/aac) decode not available"
             )
         h = hashlib.md5(payload[:128]).digest()
         n = max(1, len(payload)) * 4
@@ -487,14 +504,13 @@ class AudioFingerprintStage:
         return int(np.packbits(bits).view(">u8")[0])
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        from ..functions.wavcodec import decode_wav
-
         fps = np.zeros(len(batch), np.uint64)
         ok = np.zeros(len(batch), bool)
         for i, payload in enumerate(batch[self.audio_col]):
             try:
-                if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
-                    samples, _rate = decode_wav(payload)
+                if (payload[:4] == b"RIFF" and payload[8:12] == b"WAVE") \
+                        or payload[:4] == b"fLaC":
+                    samples, _rate = decode_audio(payload)
                     fps[i] = self._fingerprint(samples)
                     ok[i] = True
             except Exception:  # noqa: BLE001 — row-level isolation
