@@ -244,39 +244,37 @@ class BoolEncoder:
 
 
 # ---------------------------------------------------------------- transforms
-def idct4x4(coeffs: np.ndarray) -> np.ndarray:
-    """RFC 6386 SS14.3 exact integer inverse DCT.  coeffs: (16,) int in
-    raster order; returns (4, 4) int32 residual."""
+def idct4x4_batch(coeffs: np.ndarray) -> np.ndarray:
+    """RFC 6386 SS14.3 exact integer inverse DCT, batched: coeffs
+    (n, 16) int raster order -> (n, 4, 4) int32 residuals.  One numpy
+    pass for a whole macroblock's 24 blocks instead of 24 tiny calls."""
     c1, c2 = 20091, 35468  # cos(pi/8)*sqrt(2)-1, sin(pi/8)*sqrt(2) in Q16
-    ip = coeffs.reshape(4, 4).astype(np.int64)
-    a1 = ip[0] + ip[2]
-    b1 = ip[0] - ip[2]
-    t1 = (ip[1] * c2) >> 16
-    t2 = ip[3] + ((ip[3] * c1) >> 16)
-    cc = t1 - t2
-    t1 = ip[1] + ((ip[1] * c1) >> 16)
-    t2 = (ip[3] * c2) >> 16
-    dd = t1 + t2
-    col = np.empty((4, 4), np.int64)
-    col[0] = a1 + dd
-    col[3] = a1 - dd
-    col[1] = b1 + cc
-    col[2] = b1 - cc
-    ip = col.T
-    a1 = ip[0] + ip[2]
-    b1 = ip[0] - ip[2]
-    t1 = (ip[1] * c2) >> 16
-    t2 = ip[3] + ((ip[3] * c1) >> 16)
-    cc = t1 - t2
-    t1 = ip[1] + ((ip[1] * c1) >> 16)
-    t2 = (ip[3] * c2) >> 16
-    dd = t1 + t2
-    out = np.empty((4, 4), np.int64)
-    out[0] = (a1 + dd + 4) >> 3
-    out[3] = (a1 - dd + 4) >> 3
-    out[1] = (b1 + cc + 4) >> 3
-    out[2] = (b1 - cc + 4) >> 3
-    return out.T.astype(np.int32)
+    ip = coeffs.reshape(-1, 4, 4).astype(np.int64)
+    a1 = ip[:, 0] + ip[:, 2]
+    b1 = ip[:, 0] - ip[:, 2]
+    cc = ((ip[:, 1] * c2) >> 16) - (ip[:, 3] + ((ip[:, 3] * c1) >> 16))
+    dd = (ip[:, 1] + ((ip[:, 1] * c1) >> 16)) + ((ip[:, 3] * c2) >> 16)
+    col = np.empty_like(ip)
+    col[:, 0] = a1 + dd
+    col[:, 3] = a1 - dd
+    col[:, 1] = b1 + cc
+    col[:, 2] = b1 - cc
+    ip = col.transpose(0, 2, 1)
+    a1 = ip[:, 0] + ip[:, 2]
+    b1 = ip[:, 0] - ip[:, 2]
+    cc = ((ip[:, 1] * c2) >> 16) - (ip[:, 3] + ((ip[:, 3] * c1) >> 16))
+    dd = (ip[:, 1] + ((ip[:, 1] * c1) >> 16)) + ((ip[:, 3] * c2) >> 16)
+    out = np.empty_like(ip)
+    out[:, 0] = (a1 + dd + 4) >> 3
+    out[:, 3] = (a1 - dd + 4) >> 3
+    out[:, 1] = (b1 + cc + 4) >> 3
+    out[:, 2] = (b1 - cc + 4) >> 3
+    return out.transpose(0, 2, 1).astype(np.int32)
+
+
+def idct4x4(coeffs: np.ndarray) -> np.ndarray:
+    """Single-block wrapper over :func:`idct4x4_batch`."""
+    return idct4x4_batch(np.asarray(coeffs).reshape(1, 16))[0]
 
 
 def iwht4x4(coeffs: np.ndarray) -> np.ndarray:
@@ -737,35 +735,132 @@ def _parse_header(bd: BoolDecoder) -> _FrameHeader:
 def _decode_block_coeffs(bd: BoolDecoder, probs, plane: int, ctx: int,
                          first: int, dqf: tuple[int, int]):
     """Token-decode one 4x4 block (RFC 6386 SS13.3).  Returns
-    (dequantized (16,) int32 raster coefficients, eob position)."""
+    (dequantized (16,) int32 raster coefficients, eob position).
+
+    The bool decoder is inlined with local-variable state (this loop is
+    the lossy-WebP hot path: ~10^5 arithmetic decisions per page)."""
+    buf = bd.buf
+    end = bd.end
+    pos = bd.pos
+    value = bd.value
+    rng = bd.range
+    bitc = bd.bit_count
+    over = bd.over
     out = np.zeros(16, np.int32)
     i = first
     start = 0  # tree entry: 0 checks EOB; 2 skips it (after a zero)
     nz = ctx
-    while i < 16:
-        band = COEFF_BANDS[i]
-        p = probs[plane][band][nz]
-        tok = bd.read_tree(COEFF_TREE, p, start)
-        if tok == EOB_TOK:
-            break
-        if tok == ZERO_TOK:
-            nz = 0
-            start = 2
-        else:
+    tree = COEFF_TREE
+    bands = COEFF_BANDS
+    zz = ZIGZAG
+    pplane = probs[plane]
+    try:
+        while i < 16:
+            p = pplane[bands[i]][nz]
+            node = start
+            while True:
+                prob = p[node >> 1]
+                split = 1 + (((rng - 1) * prob) >> 8)
+                big = split << 8
+                if value >= big:
+                    b = 1
+                    rng -= split
+                    value -= big
+                else:
+                    b = 0
+                    rng = split
+                while rng < 128:
+                    value = (value << 1) & 0xFFFF
+                    rng <<= 1
+                    bitc += 1
+                    if bitc == 8:
+                        bitc = 0
+                        if pos < end:
+                            value |= buf[pos]
+                            pos += 1
+                        else:
+                            over += 1
+                            if over > 4:
+                                raise ValueError(
+                                    "VP8 bool decoder overran its partition"
+                                )
+                node = tree[node + b]
+                if node <= 0:
+                    tok = -node
+                    break
+            if tok == EOB_TOK:
+                break
+            if tok == ZERO_TOK:
+                nz = 0
+                start = 2
+                i += 1
+                continue
             start = 0
             if tok <= FOUR_TOK:
                 val = tok
             else:
                 extra = 0
-                for pb in CAT_PROBS[tok]:
-                    extra = (extra << 1) | bd.get_bool(pb)
+                for prob in CAT_PROBS[tok]:
+                    split = 1 + (((rng - 1) * prob) >> 8)
+                    big = split << 8
+                    if value >= big:
+                        b = 1
+                        rng -= split
+                        value -= big
+                    else:
+                        b = 0
+                        rng = split
+                    while rng < 128:
+                        value = (value << 1) & 0xFFFF
+                        rng <<= 1
+                        bitc += 1
+                        if bitc == 8:
+                            bitc = 0
+                            if pos < end:
+                                value |= buf[pos]
+                                pos += 1
+                            else:
+                                over += 1
+                                if over > 4:
+                                    raise ValueError(
+                                        "VP8 bool decoder overran its "
+                                        "partition"
+                                    )
+                    extra = (extra << 1) | b
                 val = CAT_BASE[tok] + extra
-            if bd.get_bool(128):
+            # sign bit (prob 128)
+            split = 1 + (((rng - 1) * 128) >> 8)
+            big = split << 8
+            if value >= big:
+                rng -= split
+                value -= big
                 val = -val
-            nz = 1 if abs(val) == 1 else 2
-            q = dqf[0] if i == 0 else dqf[1]
-            out[ZIGZAG[i]] = val * q
-        i += 1
+            else:
+                rng = split
+            while rng < 128:
+                value = (value << 1) & 0xFFFF
+                rng <<= 1
+                bitc += 1
+                if bitc == 8:
+                    bitc = 0
+                    if pos < end:
+                        value |= buf[pos]
+                        pos += 1
+                    else:
+                        over += 1
+                        if over > 4:
+                            raise ValueError(
+                                "VP8 bool decoder overran its partition"
+                            )
+            nz = 1 if val in (1, -1) else 2
+            out[zz[i]] = val * (dqf[0] if i == 0 else dqf[1])
+            i += 1
+    finally:
+        bd.pos = pos
+        bd.value = value
+        bd.range = rng
+        bd.bit_count = bitc
+        bd.over = over
     return out, i - first
 
 
@@ -906,8 +1001,9 @@ def decode_vp8(payload: bytes) -> np.ndarray:
                 dcs = iwht4x4(blocks[24])
                 for sb in range(16):
                     blocks[sb][0] = dcs[sb]
+            res = None if skip else idct4x4_batch(blocks[:24])
             _reconstruct_mb(ypl, upl, vpl, mx, my, mb_w,
-                            ymode, bmodes, uvmode, blocks, skip)
+                            ymode, bmodes, uvmode, res)
             mb_filter_info.append((seg, ymode, eobtotal > 0))
 
     if hdr.filter_level:
@@ -935,15 +1031,18 @@ def _mb_edges(plane, y0, x0, size, mx, my):
 
 
 def _reconstruct_mb(ypl, upl, vpl, mx, my, mb_w,
-                    ymode, bmodes, uvmode, blocks, skip) -> None:
+                    ymode, bmodes, uvmode, res) -> None:
+    """``res``: (24, 4, 4) int32 batched IDCT residuals (16 Y, 4 U,
+    4 V), or None for a skipped macroblock."""
     y0, x0 = my * 16, mx * 16
+    skip = res is None
     if ymode != B_PRED:
         above, left, tl = _mb_edges(ypl, y0, x0, 16, mx, my)
         out = _pred_block(ymode, above, left, tl, 16).copy()
         if not skip:
-            for sb in range(16):
-                r, c = sb >> 2, sb & 3
-                out[r * 4: r * 4 + 4, c * 4: c * 4 + 4] += idct4x4(blocks[sb])
+            # (4,4,4,4) residual grid -> one 16x16 add
+            out += res[:16].reshape(4, 4, 4, 4).transpose(
+                0, 2, 1, 3).reshape(16, 16)
         ypl[y0: y0 + 16, x0: x0 + 16] = np.clip(out, 0, 255).astype(np.uint8)
     else:
         # subblock reconstruction with the spec's above-right rules:
@@ -969,7 +1068,7 @@ def _reconstruct_mb(ypl, upl, vpl, mx, my, mb_w,
             ar = buf[0, 17:21] if c == 3 else buf[r * 4, c * 4 + 5: c * 4 + 9]
             p = _pred4(bmodes[sb], a, al, lf, ar)
             if not skip:
-                p = p + idct4x4(blocks[sb])
+                p = p + res[sb]
             buf[r * 4 + 1: r * 4 + 5, c * 4 + 1: c * 4 + 5] = np.clip(
                 p, 0, 255)
         ypl[y0: y0 + 16, x0: x0 + 16] = buf[1:, 1:17].astype(np.uint8)
@@ -978,10 +1077,8 @@ def _reconstruct_mb(ypl, upl, vpl, mx, my, mb_w,
         above, left, tl = _mb_edges(plane, cy0, cx0, 8, mx, my)
         out = _pred_block(uvmode, above, left, tl, 8).copy()
         if not skip:
-            for sb in range(4):
-                r, c = sb >> 1, sb & 1
-                out[r * 4: r * 4 + 4, c * 4: c * 4 + 4] += idct4x4(
-                    blocks[base + sb])
+            out += res[base: base + 4].reshape(2, 2, 4, 4).transpose(
+                0, 2, 1, 3).reshape(8, 8)
         plane[cy0: cy0 + 8, cx0: cx0 + 8] = np.clip(out, 0, 255).astype(
             np.uint8)
 
