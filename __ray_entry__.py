@@ -2117,24 +2117,28 @@ def _q_checkpointed_extract(sf_dir: str):
 
 
 def _q_multimodal_decode(sf_dir: str):
-    """Image rows of the corpus (PNG + JPEG single-frame payloads; TIFF
-    frames arrive PNG-encoded from the S5 fan-out) through the real decode
-    actor stage — zero stub_decode rows."""
-    import pyarrow.compute as pc
+    """Image rows of the corpus (PNG/JPEG/WebP-incl-lossy-VP8 payloads;
+    TIFF frames arrive PNG-encoded from the S5 fan-out) through the real
+    decode actor stage.  ORACLE-CHECKED: the page count and the summed
+    decoded dimensions are deterministic (fixed-seed corpus) — SQL pins
+    them, so a codec regression (wrong size, stub row, decode error)
+    breaks the hash."""
+    import pandas as pd
 
     from pdf2pdfocr_ray.ops.multimodal import decode_images
-    from pdf2pdfocr_ray.stages.fanout import FanOut
-    from pdf2pdfocr_ray.stages.sniff import sniff_route
 
-    ds, _ = _corpus_ds(120)
-    pages = ds.map_batches(sniff_route, batch_format="pyarrow").map_batches(
-        FanOut(), batch_format="pyarrow"
-    )
-    imgs = pages.map_batches(
-        lambda t: t.filter(pc.is_valid(t["image"])), batch_format="pyarrow"
-    )
-    return decode_images(imgs).select_columns(
+    decoded = decode_images(_image_pages(120)).select_columns(
         ["url", "page_no", "width", "height", "channels"]
+    ).to_pandas()
+    return pd.DataFrame(
+        {
+            "n_pages": pd.Series([len(decoded)], dtype="int64"),
+            "sum_width": pd.Series(
+                [int(decoded["width"].sum())], dtype="int64"),
+            "sum_height": pd.Series(
+                [int(decoded["height"].sum())], dtype="int64"),
+            "all_rgb": [bool((decoded["channels"] == 3).all())],
+        }
     )
 
 
@@ -2395,6 +2399,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "video_frames": _q_video_frames,
         "checkpointed_extract": _q_checkpointed_extract,
         "pdf_roundtrip": _q_pdf_roundtrip,
+        "multimodal_decode": _q_multimodal_decode,
         # ---- rows-only tail (self-checking asserts live in-query)
         "dedup_jaccard": _q_dedup_jaccard,
         "lm_score": _q_lm_score,
@@ -2409,7 +2414,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": _q_dedup_simhash,
         "dedup_clusters": _q_dedup_clusters,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
-        "multimodal_decode": _q_multimodal_decode,
         "multimodal_reencode": _q_multimodal_reencode,
         "multimodal_resize": _q_multimodal_resize,
     }
@@ -3026,6 +3030,10 @@ def _oracle_sql_static() -> dict[str, str]:
         "image_near_dup": (
             "SELECT 5::BIGINT AS n_planted, true AS all_planted_found, "
             "true AS pairs_nonempty"
+        ),
+        "multimodal_decode": (
+            "SELECT 141::BIGINT AS n_pages, 39423::BIGINT AS sum_width, "
+            "14309::BIGINT AS sum_height, true AS all_rgb"
         ),
         "audio_near_dup": (
             "SELECT COUNT(*)::BIGINT AS n_planted_found, "
