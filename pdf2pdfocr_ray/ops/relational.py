@@ -155,8 +155,17 @@ def build_broadcast(ds: "ray.data.Dataset", build_fn):
     import ray
 
     @ray.remote
-    def _build(*blocks: pa.Table):
-        real = [t for t in blocks if t.num_columns > 0]
+    def _build(*blocks):
+        import pandas as pd
+
+        real = []
+        for t in blocks:
+            # under memory pressure Ray can hand back a pandas block even
+            # from to_arrow_refs (observed as a load-induced flake)
+            if isinstance(t, pd.DataFrame):
+                t = pa.Table.from_pandas(t)
+            if t.num_columns > 0:
+                real.append(t)
         if not real:
             return build_fn(None)
         return build_fn(pa.concat_tables(real))
