@@ -573,6 +573,20 @@ def _q_dedup_clusters(sf_dir: str):
     return _minhash_clusters(sf_dir)[["node", "cluster_id"]]
 
 
+def _q_substring_dedup(sf_dir: str):
+    """Substring-level exact dedup census (Lee et al. 2022 shape):
+    per doc, how many of its word-8-gram spans occur in >= 2 distinct
+    documents.  ORACLE-CHECKED end to end: DuckDB reproduces the whole
+    computation (regexp tokens -> unnest windows -> distinct-doc
+    frequency -> left-join count), so the hash pins the operator's
+    exact semantics — not just a verdict row."""
+    from pdf2pdfocr_ray.ops.dedup import dedup_substrings
+    from pdf2pdfocr_ray.ops.relational import read
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    return dedup_substrings(ds, n_tokens=8)
+
+
 def _q_dedup_simhash(sf_dir: str):
     from pdf2pdfocr_ray.ops.dedup import dedup_simhash
     from pdf2pdfocr_ray.ops.relational import read
@@ -2400,6 +2414,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "checkpointed_extract": _q_checkpointed_extract,
         "pdf_roundtrip": _q_pdf_roundtrip,
         "multimodal_decode": _q_multimodal_decode,
+        "substring_dedup": _q_substring_dedup,
         # ---- rows-only tail (self-checking asserts live in-query)
         "dedup_jaccard": _q_dedup_jaccard,
         "lm_score": _q_lm_score,
@@ -3034,6 +3049,26 @@ def _oracle_sql_static() -> dict[str, str]:
         "multimodal_decode": (
             "SELECT 141::BIGINT AS n_pages, 39423::BIGINT AS sum_width, "
             "14309::BIGINT AS sum_height, true AS all_rgb"
+        ),
+        # full-semantics oracle: SQL recomputes the substring-dedup
+        # census itself (tokens -> windows -> distinct-doc df -> counts)
+        "substring_dedup": (
+            "WITH toks AS (SELECT doc_id, "
+            "regexp_extract_all(text, '\\S+') AS t FROM documents), "
+            "idx AS (SELECT doc_id, t, "
+            "unnest(range(1, len(t) - 6)) AS i FROM toks "
+            "WHERE len(t) >= 8), "
+            "grams AS (SELECT doc_id, array_to_string(t[i:i+7], ' ') AS g "
+            "FROM idx), "
+            "dup AS (SELECT g FROM (SELECT DISTINCT doc_id, g FROM grams) "
+            "GROUP BY g HAVING count(*) >= 2), "
+            "cnt AS (SELECT grams.doc_id, count(*) AS n_spans, "
+            "count(dup.g) AS n_dup_spans FROM grams "
+            "LEFT JOIN dup ON grams.g = dup.g GROUP BY grams.doc_id) "
+            "SELECT d.doc_id, coalesce(n_spans, 0)::BIGINT AS n_spans, "
+            "coalesce(n_dup_spans, 0)::BIGINT AS n_dup_spans, "
+            "coalesce(n_dup_spans / n_spans::DOUBLE, 0.0) AS dup_frac "
+            "FROM documents d LEFT JOIN cnt ON d.doc_id = cnt.doc_id"
         ),
         "audio_near_dup": (
             "SELECT COUNT(*)::BIGINT AS n_planted_found, "

@@ -739,3 +739,160 @@ def tune_lsh(
         if err < best_err:
             best_err, best = err, (bands, rows)
     return best
+
+
+# ------------------------------------------------------ substring dedup
+def dedup_substrings(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_tokens: int = 8,
+    max_broadcast_hashes: int = 5_000_000,
+) -> "ray.data.Dataset":
+    """Cross-document duplicated-substring census — the substring-level
+    exact dedup of "Deduplicating Training Data Makes Language Models
+    Better" (Lee et al. 2022), at word-n-gram granularity.
+
+    A span is one window of ``n_tokens`` consecutive whitespace tokens
+    (stride 1).  A span is DUPLICATED iff its text occurs in >= 2
+    distinct documents (in-document repeats alone don't count).  Output:
+    one row per input doc — (id, n_spans, n_dup_spans, dup_frac).
+
+    100 TB shape: pass 1 ships (64-bit span hash, 1) partials (hashes
+    deduped per doc map-side, so each doc contributes once per span
+    text) through a combine-groupby -> document frequency; only hashes
+    with df >= 2 survive.  Pass 2 re-scans the text and counts span
+    hits against that set — broadcast as a worker-built sorted array
+    under ``max_broadcast_hashes``, else a hash-key sort-merge join of
+    exploded span hashes (both passes move hashes, never text).
+    Counts assume collision-free 64-bit span hashing (2^-64-scale
+    error; the standard trade in suffix/ngram dedup at scale).
+    """
+    import ray
+
+    from .grouped import combined_groupby_agg
+    from .text_analysis import _TOKEN_RE
+
+    def span_hashes(text: str) -> np.ndarray:
+        toks = _TOKEN_RE.findall(text)
+        if len(toks) < n_tokens:
+            return np.empty(0, np.int64)
+        joined = [" ".join(toks[i: i + n_tokens])
+                  for i in range(len(toks) - n_tokens + 1)]
+        import hashlib
+
+        # 63-bit (int64-positive) blake2b: Arrow/pandas join machinery
+        # casts unsigned keys unsafely, so hashes stay signed-positive
+        return np.fromiter(
+            (int.from_bytes(
+                hashlib.blake2b(s.encode(), digest_size=8).digest(), "big")
+             & 0x7FFFFFFFFFFFFFFF
+             for s in joined),
+            np.int64, len(joined),
+        )
+
+    def df_partial(df: pd.DataFrame) -> pd.DataFrame:
+        # per doc: DISTINCT span hashes (a doc votes once per span text)
+        hs: list[np.ndarray] = [
+            np.unique(span_hashes(t or "")) for t in df[text_col]
+        ]
+        flat = (np.concatenate(hs) if hs else np.empty(0, np.int64))
+        if not len(flat):
+            return pd.DataFrame({"h": pd.Series([], dtype="int64"),
+                                 "docs": pd.Series([], dtype="int64")})
+        uniq, cnt = np.unique(flat, return_counts=True)
+        return pd.DataFrame({"h": uniq, "docs": cnt.astype(np.int64)})
+
+    df_tab = combined_groupby_agg(
+        ds.map_batches(df_partial, batch_format="pandas"),
+        "h",
+        {"docs": ("docs", "sum")},
+    )
+    dup = df_tab.map_batches(
+        lambda d: d[d["docs"] >= 2][["h"]], batch_format="pandas"
+    ).materialize()
+
+    n_dup = dup.count()
+    if n_dup <= max_broadcast_hashes:
+        import pyarrow as pa
+
+        from .relational import build_broadcast
+
+        def keys_of(t: "pa.Table | None"):
+            if t is None:
+                return np.empty(0, np.int64)
+            return np.sort(
+                t.column("h").to_numpy(zero_copy_only=False).astype(
+                    np.int64)
+            )
+
+        ref = build_broadcast(dup, keys_of)
+
+        def count_hits(df: pd.DataFrame) -> pd.DataFrame:
+            keys = ray.get(ref)
+            n_spans, n_dups = [], []
+            for t in df[text_col]:
+                hs = span_hashes(t or "")
+                n_spans.append(len(hs))
+                if len(hs) and len(keys):
+                    pos = np.searchsorted(keys, hs)
+                    pos[pos >= len(keys)] = len(keys) - 1
+                    n_dups.append(int((keys[pos] == hs).sum()))
+                else:
+                    n_dups.append(0)
+            out = pd.DataFrame(
+                {
+                    id_col: df[id_col],
+                    "n_spans": pd.Series(n_spans, dtype="int64"),
+                    "n_dup_spans": pd.Series(n_dups, dtype="int64"),
+                }
+            )
+            out["dup_frac"] = np.where(
+                out["n_spans"] > 0, out["n_dup_spans"] / out["n_spans"], 0.0
+            )
+            return out
+
+        return ds.map_batches(count_hits, batch_format="pandas")
+
+    # scale fallback: explode (id, h) spans and SMJ against the dup set
+    from .grouped import sorted_groupby
+    from .relational import sort_merge_join
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        ids, hs = [], []
+        for i, t in zip(df[id_col], df[text_col]):
+            h = span_hashes(t or "")
+            ids.extend([i] * len(h))
+            hs.append(h)
+        return pd.DataFrame(
+            {id_col: ids,
+             "h": (np.concatenate(hs) if hs else np.empty(0, np.int64))}
+        )
+
+    spans = ds.map_batches(explode, batch_format="pandas")
+    hits = sort_merge_join(spans, dup.map_batches(
+        lambda d: d.assign(is_dup=True), batch_format="pandas"), ["h"],
+        how="left")
+
+    def agg_block(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(id_col, as_index=False).agg(
+            n_spans=("h", "size"), n_dup_spans=("is_dup", "sum"))
+        g["n_dup_spans"] = g["n_dup_spans"].fillna(0).astype("int64")
+        g["dup_frac"] = np.where(
+            g["n_spans"] > 0, g["n_dup_spans"] / g["n_spans"], 0.0)
+        return g
+
+    counted = sorted_groupby(hits, id_col, agg_block)
+    # docs with < n_tokens tokens never exploded: re-attach with zeros
+    from .relational import dim_join
+
+    base = ds.map_batches(
+        lambda df: df[[id_col]], batch_format="pandas")
+    joined = dim_join(base, counted, id_col, id_col,
+                      ["n_spans", "n_dup_spans", "dup_frac"])
+    return joined.map_batches(
+        lambda df: df.fillna(
+            {"n_spans": 0, "n_dup_spans": 0, "dup_frac": 0.0}).astype(
+            {"n_spans": "int64", "n_dup_spans": "int64"}),
+        batch_format="pandas",
+    )

@@ -164,7 +164,9 @@ def build_broadcast(ds: "ray.data.Dataset", build_fn):
             # from to_arrow_refs (observed as a load-induced flake)
             if isinstance(t, pd.DataFrame):
                 t = pa.Table.from_pandas(t)
-            if t.num_columns > 0:
+            # zero-row blocks can carry null-typed columns (e.g. an empty
+            # uint64 frame arrives as h: null) that poison concat_tables
+            if t.num_columns > 0 and t.num_rows > 0:
                 real.append(t)
         if not real:
             return build_fn(None)

@@ -1524,3 +1524,52 @@ def test_tune_lsh_scurve():
     for t, (b, r) in [(0.3, (b_lo, r_lo)), (0.9, (b_hi, r_hi))]:
         mid = (1.0 / b) ** (1.0 / r)
         assert abs(mid - t) < 0.2, (t, b, r, mid)
+
+
+def test_dedup_substrings_planted_and_paths(ray_session):
+    """Substring-level exact dedup (Lee et al. 2022 shape): planted
+    cross-document 8-gram spans are counted, in-document repeats alone
+    don't count, short docs get zero-span rows, and the broadcast and
+    SMJ-fallback paths agree."""
+    import ray.data
+
+    from pdf2pdfocr_ray.ops.dedup import dedup_substrings
+
+    w = [f"w{i}" for i in range(30)]
+    shared = " ".join(w[:8])  # one 8-token span shared by docs 0 and 1
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3, 4],
+            "text": [
+                shared + " tail0 a b",
+                "lead1 " + shared,
+                " ".join(w[10:25]),          # unique content
+                ("rep " * 16).strip(),        # in-doc repeats only
+                "too short",                  # < 8 tokens
+            ],
+        }
+    )
+    got = (
+        dedup_substrings(ray.data.from_pandas(docs).repartition(3))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    # doc0: 11 tokens -> 4 spans, exactly the leading one duplicated
+    assert got.loc[0, "n_spans"] == 4 and got.loc[0, "n_dup_spans"] == 1
+    assert got.loc[1, "n_spans"] == 2 and got.loc[1, "n_dup_spans"] == 1
+    assert got.loc[2, "n_dup_spans"] == 0
+    # doc3 repeats "rep" 16 times -> 9 identical spans, but only within
+    # ONE document: not duplicated
+    assert got.loc[3, "n_spans"] == 9 and got.loc[3, "n_dup_spans"] == 0
+    assert got.loc[4, "n_spans"] == 0 and got.loc[4, "dup_frac"] == 0.0
+    # SMJ fallback produces identical counts
+    smj = (
+        dedup_substrings(
+            ray.data.from_pandas(docs).repartition(3),
+            max_broadcast_hashes=0,
+        )
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["doc_id", "n_spans", "n_dup_spans"]],
+        smj[["doc_id", "n_spans", "n_dup_spans"]],
+    )
