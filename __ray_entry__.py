@@ -573,6 +573,41 @@ def _q_dedup_clusters(sf_dir: str):
     return _minhash_clusters(sf_dir)[["node", "cluster_id"]]
 
 
+def _q_dsir_weights(sf_dir: str):
+    """DSIR importance weights (Xie et al. 2023): target = docs whose
+    text mentions 'customer', raw = the full corpus.  ORACLE-CHECKED
+    verdict row: the doc/target counts are real SQL; the behavioral law
+    — the weight IS a log-likelihood-ratio classifier score for the
+    target set, so target docs must average strictly higher — and
+    finiteness are asserted in-query and hashed as verdict columns."""
+    import numpy as np
+    import pandas as pd
+
+    from pdf2pdfocr_ray.ops.relational import read
+    from pdf2pdfocr_ray.ops.text_analysis import dsir_logweights
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"]).materialize()
+    target = ds.map_batches(
+        lambda df: df[df["text"].str.contains("customer", regex=False)],
+        batch_format="pandas",
+    )
+    scored = dsir_logweights(ds, target).to_pandas()
+    texts = ds.to_pandas()
+    is_t = texts["text"].str.contains("customer", regex=False).to_numpy()
+    logw = scored.set_index("doc_id").loc[
+        texts["doc_id"], "dsir_logw"].to_numpy()
+    assert np.isfinite(logw).all()
+    sep = float(logw[is_t].mean() - logw[~is_t].mean())
+    return pd.DataFrame(
+        {
+            "n_docs": pd.Series([len(texts)], dtype="int64"),
+            "n_target": pd.Series([int(is_t.sum())], dtype="int64"),
+            "target_scores_higher": [bool(sep > 0)],
+            "weights_finite": [True],
+        }
+    )
+
+
 def _q_substring_dedup(sf_dir: str):
     """Substring-level exact dedup census (Lee et al. 2022 shape):
     per doc, how many of its word-8-gram spans occur in >= 2 distinct
@@ -2415,6 +2450,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pdf_roundtrip": _q_pdf_roundtrip,
         "multimodal_decode": _q_multimodal_decode,
         "substring_dedup": _q_substring_dedup,
+        "dsir_weights": _q_dsir_weights,
         # ---- rows-only tail (self-checking asserts live in-query)
         "dedup_jaccard": _q_dedup_jaccard,
         "lm_score": _q_lm_score,
@@ -3049,6 +3085,12 @@ def _oracle_sql_static() -> dict[str, str]:
         "multimodal_decode": (
             "SELECT 141::BIGINT AS n_pages, 39423::BIGINT AS sum_width, "
             "14309::BIGINT AS sum_height, true AS all_rgb"
+        ),
+        "dsir_weights": (
+            "SELECT count(*)::BIGINT AS n_docs, "
+            "count(*) FILTER (WHERE text LIKE '%customer%')::BIGINT "
+            "AS n_target, true AS target_scores_higher, "
+            "true AS weights_finite FROM documents"
         ),
         # full-semantics oracle: SQL recomputes the substring-dedup
         # census itself (tokens -> windows -> distinct-doc df -> counts)

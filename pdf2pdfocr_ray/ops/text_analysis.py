@@ -1465,3 +1465,87 @@ def robots_filter(
         RobotsFilterStage, fn_constructor_args=(robots_by_host, agent),
         batch_format="pandas", concurrency=stage_pool(),
     )
+
+
+# --------------------------------------------------- DSIR importance weights
+def dsir_logweights(
+    ds: "ray.data.Dataset",
+    target_ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 8192,
+) -> "ray.data.Dataset":
+    """Data Selection via Importance Resampling (Xie et al., 2023):
+    per-doc log importance weight log p_target(x) - log p_raw(x) under
+    hashed unigram+bigram multinomial models.
+
+    100 TB shape: BOTH feature distributions are fit with one pass each
+    — per-batch sparse (bucket, count) partials through a map-combined
+    groupby (the shuffle carries <= n_buckets rows per block, never
+    text) — then the (n_buckets,) log-likelihood-ratio vector
+    broadcasts once via ``ray.put`` and scoring is a pure map.  Add-one
+    smoothing keeps unseen buckets finite.  Hashing is crc32 (process-
+    stable), so weights are deterministic across runs and partitions.
+
+    Returns (id, dsir_logw, n_feats); docs with no tokens get logw 0.
+    """
+    import zlib
+
+    import ray
+
+    from .grouped import combined_groupby_agg
+
+    mask = n_buckets - 1
+    if n_buckets & mask:
+        raise ValueError("n_buckets must be a power of two")
+
+    def feats(text: str) -> np.ndarray:
+        toks = _TOKEN_RE.findall((text or "").lower())
+        if not toks:
+            return np.empty(0, np.int64)
+        out = np.empty(2 * len(toks) - 1, np.int64)
+        for i, t in enumerate(toks):
+            out[i] = zlib.crc32(t.encode()) & mask
+        for i in range(len(toks) - 1):
+            out[len(toks) + i] = zlib.crc32(
+                (toks[i] + " " + toks[i + 1]).encode()) & mask
+        return out
+
+    def bucket_partial(df: pd.DataFrame) -> pd.DataFrame:
+        fs = [feats(t) for t in df[text_col]]
+        flat = np.concatenate(fs) if fs else np.empty(0, np.int64)
+        if not len(flat):
+            return pd.DataFrame({"b": pd.Series([], dtype="int64"),
+                                 "n": pd.Series([], dtype="int64")})
+        uniq, cnt = np.unique(flat, return_counts=True)
+        return pd.DataFrame({"b": uniq, "n": cnt.astype(np.int64)})
+
+    def fit(side: "ray.data.Dataset") -> np.ndarray:
+        tab = combined_groupby_agg(
+            side.map_batches(bucket_partial, batch_format="pandas"),
+            "b",
+            {"n": ("n", "sum")},
+        ).to_pandas()
+        vec = np.ones(n_buckets, np.float64)  # add-one smoothing
+        vec[tab["b"].to_numpy(np.int64)] += tab["n"].to_numpy(np.float64)
+        return np.log(vec / vec.sum())
+
+    llr = fit(target_ds) - fit(ds)
+    ref = ray.put(llr)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        lv = ray.get(ref)
+        ws, ns = [], []
+        for t in df[text_col]:
+            f = feats(t)
+            ns.append(len(f))
+            ws.append(float(lv[f].sum()) if len(f) else 0.0)
+        return pd.DataFrame(
+            {
+                id_col: df[id_col],
+                "dsir_logw": np.asarray(ws, np.float64),
+                "n_feats": pd.Series(ns, dtype="int64"),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pandas")

@@ -1573,3 +1573,51 @@ def test_dedup_substrings_planted_and_paths(ray_session):
         got[["doc_id", "n_spans", "n_dup_spans"]],
         smj[["doc_id", "n_spans", "n_dup_spans"]],
     )
+
+
+def test_dsir_logweights_separates_target(ray_session):
+    """DSIR (hashed-ngram importance resampling): docs drawn from the
+    target vocabulary must score strictly higher than off-target docs,
+    weights are finite, and the result is partition-independent."""
+    import ray.data
+
+    from pdf2pdfocr_ray.ops.text_analysis import dsir_logweights
+
+    rng = np.random.default_rng(9)
+    tgt_vocab = ["alpha", "beta", "gamma", "delta"]
+    raw_vocab = ["one", "two", "three", "four", "five", "six"]
+
+    def doc(vocab, n=30):
+        return " ".join(vocab[i] for i in rng.integers(0, len(vocab), n))
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(40),
+            "text": [doc(tgt_vocab) for _ in range(12)]
+            + [doc(raw_vocab) for _ in range(26)]
+            + ["", "alpha beta"],  # empty doc -> logw 0; tiny target doc
+        }
+    )
+    ds = ray.data.from_pandas(docs).repartition(4)
+    target = ds.map_batches(
+        lambda df: df[df["text"].str.contains("alpha")],
+        batch_format="pandas",
+    )
+    out = (
+        dsir_logweights(ds, target)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert np.isfinite(out["dsir_logw"]).all()
+    assert out.loc[38, "dsir_logw"] == 0.0 and out.loc[38, "n_feats"] == 0
+    tgt_mean = out.loc[:11, "dsir_logw"].mean()
+    raw_mean = out.loc[12:37, "dsir_logw"].mean()
+    assert tgt_mean > raw_mean + 1.0, (tgt_mean, raw_mean)
+    # partition independence: same weights under a different layout
+    out2 = (
+        dsir_logweights(ray.data.from_pandas(docs).repartition(7), target)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    np.testing.assert_allclose(
+        out["dsir_logw"].to_numpy(), out2["dsir_logw"].to_numpy(),
+        rtol=0, atol=1e-12,
+    )
