@@ -2451,12 +2451,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_decode": _q_multimodal_decode,
         "substring_dedup": _q_substring_dedup,
         "dsir_weights": _q_dsir_weights,
+        "dedup_purge": _q_dedup_purge,
+        "curation_pipeline": _q_curation_pipeline,
         # ---- rows-only tail (self-checking asserts live in-query)
         "dedup_jaccard": _q_dedup_jaccard,
         "lm_score": _q_lm_score,
         "repetition_signals": _q_repetition_signals,
-        "dedup_purge": _q_dedup_purge,
-        "curation_pipeline": _q_curation_pipeline,
         "doc_meta_corpus": _q_doc_meta_corpus,
         "smart_preset": _q_smart_preset,
         "page_zip_merge": _q_page_zip_merge,
@@ -3085,6 +3085,21 @@ def _oracle_sql_static() -> dict[str, str]:
         "multimodal_decode": (
             "SELECT 141::BIGINT AS n_pages, 39423::BIGINT AS sum_width, "
             "14309::BIGINT AS sum_height, true AS all_rgb"
+        ),
+        # near-dup purge / curation composites: their summary rows are
+        # deterministic (pinned MinHash signatures, global banding,
+        # partition-independent CC) — verified identical across cpu
+        # counts before pinning; n_docs stays real SQL
+        "dedup_purge": (
+            "SELECT count(*)::BIGINT AS n_docs, 24::BIGINT AS n_removed, "
+            "476::BIGINT AS n_kept, true AS consistent FROM documents"
+        ),
+        "curation_pipeline": (
+            "SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs, "
+            "453::BIGINT AS n_lang_en, 448::BIGINT AS n_after_exact_dedup, "
+            "22::BIGINT AS n_near_dup_removed, 426::BIGINT AS n_final, "
+            "24759::BIGINT AS n_tokens, 42::BIGINT AS n_test, "
+            "true AS consistent"
         ),
         "dsir_weights": (
             "SELECT count(*)::BIGINT AS n_docs, "
