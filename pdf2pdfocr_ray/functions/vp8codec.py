@@ -1187,10 +1187,15 @@ def _encode_block_tokens(be: BoolEncoder, probs, plane: int, ctx: int,
     return int(last >= first)
 
 
-def encode_vp8(img: np.ndarray, q_index: int = 40) -> bytes:
+def encode_vp8(img: np.ndarray, q_index: int = 40,
+               n_token_parts: int = 1) -> bytes:
     """(h, w, 3) uint8 RGB -> VP8 keyframe bytes ('VP8 ' chunk body).
-    Minimal conforming encoder: DC_PRED 16x16 everywhere, one token
-    partition, default probabilities, loop filter off."""
+    Minimal conforming encoder: DC_PRED 16x16 everywhere, default
+    probabilities, loop filter off.  ``n_token_parts`` (1/2/4/8) splits
+    coefficient rows across token partitions (row i -> partition
+    i mod n) the way real encoders do for parallel decode."""
+    if n_token_parts not in (1, 2, 4, 8):
+        raise ValueError("n_token_parts must be 1, 2, 4 or 8")
     img = np.ascontiguousarray(img)
     if img.ndim == 2:
         img = np.stack([img] * 3, -1)
@@ -1216,7 +1221,7 @@ def encode_vp8(img: np.ndarray, q_index: int = 40) -> bytes:
     be.put_literal(0, 6)  # filter level 0
     be.put_literal(0, 3)  # sharpness
     be.put_bool(128, 0)  # lf deltas off
-    be.put_literal(0, 2)  # one token partition
+    be.put_literal({1: 0, 2: 1, 4: 2, 8: 3}[n_token_parts], 2)
     be.put_literal(q_index, 7)
     for _ in range(5):
         be.put_bool(128, 0)  # no quantizer deltas
@@ -1231,8 +1236,8 @@ def encode_vp8(img: np.ndarray, q_index: int = 40) -> bytes:
         be.write_tree(KF_YMODE_TREE, KF_YMODE_PROB, DC_PRED)
         be.write_tree(UV_MODE_TREE, KF_UV_MODE_PROB, DC_PRED)
 
-    # ---- token partition + reconstruction-in-lockstep
-    tp = BoolEncoder()
+    # ---- token partitions + reconstruction-in-lockstep
+    tps = [BoolEncoder() for _ in range(n_token_parts)]
     probs = DEFAULT_COEFF_PROBS
     recon_y = np.zeros_like(ypad)
     recon_u = np.zeros_like(upad)
@@ -1240,6 +1245,7 @@ def encode_vp8(img: np.ndarray, q_index: int = 40) -> bytes:
     above_nz = [np.zeros(9, np.int32) for _ in range(mb_w)]
     for my in range(mb_h):
         left_nz = np.zeros(9, np.int32)
+        tp = tps[my % n_token_parts]
         for mx in range(mb_w):
             y0, x0 = my * 16, mx * 16
             cy0, cx0 = my * 8, mx * 8
@@ -1310,9 +1316,13 @@ def encode_vp8(img: np.ndarray, q_index: int = 40) -> bytes:
                     outc, 0, 255).astype(np.uint8)
 
     part1 = be.finish()
-    tokens = tp.finish()
+    parts = [t.finish() for t in tps]
+    sizes = b"".join(
+        bytes([len(p) & 0xFF, (len(p) >> 8) & 0xFF, (len(p) >> 16) & 0xFF])
+        for p in parts[:-1]
+    )
     tag = (len(part1) << 5) | (1 << 4) | 0  # show_frame, version 0, keyframe
     head = bytes([tag & 0xFF, (tag >> 8) & 0xFF, (tag >> 16) & 0xFF])
     head += b"\x9d\x01\x2a"
     head += struct.pack("<HH", w, h)
-    return head + part1 + tokens
+    return head + part1 + sizes + b"".join(parts)

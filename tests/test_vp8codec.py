@@ -161,3 +161,17 @@ def test_truncated_vp8_raises():
     good = encode_vp8(np.full((16, 16, 3), 99, np.uint8))
     with pytest.raises(ValueError):
         decode_vp8(good[:8])
+
+
+def test_multi_token_partitions():
+    """Rows split across 2/4/8 token partitions (real encoders' parallel
+    layout) decode identically to the single-partition stream."""
+    r = np.linspace(0, 255, 80).astype(np.uint8)
+    gy, gx = np.meshgrid(r, r, indexing="ij")
+    img = np.stack([gy, gx, np.full_like(gy, 90)], -1)
+    ref = decode_vp8(encode_vp8(img, q_index=12, n_token_parts=1))
+    for n in (2, 4, 8):
+        out = decode_vp8(encode_vp8(img, q_index=12, n_token_parts=n))
+        assert (out == ref).all(), n
+    with pytest.raises(ValueError, match="n_token_parts"):
+        encode_vp8(img, n_token_parts=3)
