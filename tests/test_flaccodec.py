@@ -105,3 +105,113 @@ def test_decode_audio_routing():
     np.testing.assert_allclose(wav_s[:, 0], flac_s[:, 0], atol=0)
     with pytest.raises(ValueError, match="unknown audio"):
         decode_audio(b"\x00\x01\x02\x03garbage")
+
+
+def _stream_with_frame(frame_body_bits, n_samples, channels=1,
+                       rate=8000) -> bytes:
+    """Wrap hand-written subframe bits in a valid frame + STREAMINFO."""
+    import struct
+
+    from pdf2pdfocr_ray.functions.flaccodec import _crc8, _crc16
+
+    hdr = _BitWriter()
+    hdr.write(0x3FFE, 14)
+    hdr.write(0, 1)
+    hdr.write(0, 1)
+    hdr.write(7, 4)       # 16-bit blocksize at end of header
+    hdr.write(0, 4)       # rate from STREAMINFO
+    hdr.write(channels - 1, 4)
+    hdr.write(4, 3)       # 16-bit samples
+    hdr.write(0, 1)
+    hdr.align()
+    head = hdr.to_bytes() + b"\x00"  # frame number 0
+    head += struct.pack(">H", n_samples - 1)
+    head += bytes([_crc8(head)])
+    frame = head + frame_body_bits
+    frame += struct.pack(">H", _crc16(frame))
+
+    info = _BitWriter()
+    info.write(4096, 16)
+    info.write(4096, 16)
+    info.write(0, 24)
+    info.write(0, 24)
+    info.write(rate, 20)
+    info.write(channels - 1, 3)
+    info.write(15, 5)  # bps-1
+    info.write(n_samples, 36)
+    info.align()
+    si = info.to_bytes() + b"\x00" * 16
+    meta = bytes([0x80]) + struct.pack(">I", len(si))[1:] + si
+    return b"fLaC" + meta + frame
+
+
+def test_lpc_subframe_decodes():
+    """Hand-built LPC subframe (order 2, shift 1, coefs [3, -1]): the
+    decoder must reproduce sample[i] = ((3*s[i-1] - s[i-2]) >> 1) + r[i]
+    — a path our fixed-predictor encoder never emits."""
+    warm = [100, 110]
+    residuals = [5, -3, 0, 7, -2, 1]
+    bw = _BitWriter()
+    bw.write(0, 1)
+    bw.write(32 + 1, 6)  # LPC, order = (type & 31) + 1 = 2
+    bw.write(0, 1)       # no wasted bits
+    for wv in warm:
+        bw.write(wv, 16)
+    bw.write(11, 4)      # precision-1 -> 12-bit coefficients
+    bw.write(1, 5)       # shift 1
+    for c in (3, -1):
+        bw.write(c & 0xFFF, 12)
+    bw.write(0, 2)       # rice method 0
+    bw.write(0, 4)       # partition order 0
+    bw.write(3, 4)       # rice parameter 3
+    for v in residuals:
+        u = (v << 1) if v >= 0 else ((-v) << 1) - 1  # zigzag
+        bw.write_unary(u >> 3)
+        bw.write(u & 7, 3)
+    bw.align()
+    blob = _stream_with_frame(bw.to_bytes(), 8)
+    out, sr = decode_flac(blob)
+    exp = list(warm)
+    for r in residuals:
+        pred = (3 * exp[-1] - exp[-2]) >> 1
+        exp.append(pred + r)
+    assert out[:, 0].tolist() == exp
+
+
+def test_escape_partition_and_order():
+    """Partition order 1 with one rice and one ESCAPED (raw 6-bit)
+    partition — paths the encoder never writes."""
+    n = 8
+    vals = [7, -7, 3, -3]  # second partition, raw 6-bit signed
+    bw = _BitWriter()
+    bw.write(0, 1)
+    bw.write(8, 6)   # FIXED order 0
+    bw.write(0, 1)
+    bw.write(0, 2)   # rice method 0
+    bw.write(1, 4)   # partition order 1 -> two partitions of 4
+    bw.write(2, 4)   # partition 1: rice param 2
+    for v in (1, -1, 2, 0):
+        u = (v << 1) if v >= 0 else ((-v) << 1) - 1
+        bw.write_unary(u >> 2)
+        bw.write(u & 3, 2)
+    bw.write(15, 4)  # partition 2: escape
+    bw.write(6, 5)   # raw 6-bit residuals
+    for v in vals:
+        bw.write(v & 0x3F, 6)
+    bw.align()
+    out, _ = decode_flac(_stream_with_frame(bw.to_bytes(), n))
+    assert out[:, 0].tolist() == [1, -1, 2, 0] + vals
+
+
+def test_wasted_bits_shift():
+    """A subframe with 2 wasted bits: decoded samples are shifted left
+    by 2 (the spec's trailing-zero optimization)."""
+    bw = _BitWriter()
+    bw.write(0, 1)
+    bw.write(0, 6)   # CONSTANT
+    bw.write(1, 1)   # wasted-bits flag
+    bw.write_unary(1)  # 1 + unary(1) = 2 wasted bits
+    bw.write(25, 14)   # constant coded at bps - 2 = 14 bits
+    bw.align()
+    out, _ = decode_flac(_stream_with_frame(bw.to_bytes(), 5))
+    assert (out[:, 0] == 100).all()  # 25 << 2

@@ -222,3 +222,54 @@ def test_scanned_pdf_jbig2_extracted():
     img = decode_image(payload)
     assert (img == np.repeat(bil[:, :, None], 3, axis=2)).all()
     assert [l.text for l in recognize_page(img, 2)] == ["Jbig Two Page 7"]
+
+
+def test_text_region_dsoffset_combop_defpixel():
+    """Hand-built text regions exercising fields our encoder never
+    writes: a nonzero signed SBDSOFFSET widens inter-symbol gaps, XOR
+    composition onto an all-black (SBDEFPIXEL=1) region carves the
+    symbol out of the background."""
+    from pdf2pdfocr_ray.functions.jbig2 import (
+        _IADS, _IADT, _IAFS, _iaid_encode, _int_encode, _n_contexts,
+        _symcodelen, decode_text_region,
+    )
+
+    sym = np.ones((2, 2), np.uint8)
+    scl = _symcodelen(1)
+
+    # --- SBDSOFFSET = 3: second instance lands 3 columns later than the
+    # IDS delta alone would place it
+    enc = MQEncoder(_n_contexts(scl))
+    _int_encode(enc, _IADT, 0)
+    _int_encode(enc, _IADT, 0)   # strip at T=0
+    _int_encode(enc, _IAFS, 0)   # first S = 0
+    _iaid_encode(enc, scl, 0)
+    _int_encode(enc, _IADS, 1)   # CURS += 1 + dsoffset(3)
+    _iaid_encode(enc, scl, 0)
+    _int_encode(enc, _IADS, None)
+    flags = (1 << 4) | (3 << 10)  # TOPLEFT, SBDSOFFSET=+3
+    body = (
+        struct.pack(">IIII", 12, 4, 0, 0) + b"\x00"
+        + struct.pack(">H", flags) + struct.pack(">I", 2) + enc.flush()
+    )
+    bits, _, _ = decode_text_region(body, [sym])
+    xs = sorted(set(np.nonzero(bits)[1].tolist()))
+    # first instance at x 0-1 (CURS advances to 1), second: 1+1+3=5 -> 5-6
+    assert xs == [0, 1, 5, 6], xs
+
+    # --- SBDEFPIXEL=1 + XOR: symbol pixels flip the black background
+    enc = MQEncoder(_n_contexts(scl))
+    _int_encode(enc, _IADT, 0)
+    _int_encode(enc, _IADT, 1)
+    _int_encode(enc, _IAFS, 1)
+    _iaid_encode(enc, scl, 0)
+    _int_encode(enc, _IADS, None)
+    flags = (1 << 4) | (1 << 9) | (2 << 7)  # TOPLEFT, defpixel 1, XOR
+    body = (
+        struct.pack(">IIII", 5, 4, 0, 0) + b"\x00"
+        + struct.pack(">H", flags) + struct.pack(">I", 1) + enc.flush()
+    )
+    bits, _, _ = decode_text_region(body, [sym])
+    exp = np.ones((4, 5), np.uint8)
+    exp[1:3, 1:3] = 0  # XOR carved the 2x2 symbol out
+    assert (bits == exp).all()
