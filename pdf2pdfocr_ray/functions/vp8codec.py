@@ -1188,12 +1188,16 @@ def _encode_block_tokens(be: BoolEncoder, probs, plane: int, ctx: int,
 
 
 def encode_vp8(img: np.ndarray, q_index: int = 40,
-               n_token_parts: int = 1) -> bytes:
+               n_token_parts: int = 1, filter_level: int = 0,
+               filter_simple: bool = False) -> bytes:
     """(h, w, 3) uint8 RGB -> VP8 keyframe bytes ('VP8 ' chunk body).
     Minimal conforming encoder: DC_PRED 16x16 everywhere, default
-    probabilities, loop filter off.  ``n_token_parts`` (1/2/4/8) splits
-    coefficient rows across token partitions (row i -> partition
-    i mod n) the way real encoders do for parallel decode."""
+    probabilities.  ``n_token_parts`` (1/2/4/8) splits coefficient rows
+    across token partitions (row i -> partition i mod n) the way real
+    encoders do for parallel decode.  ``filter_level``/``filter_simple``
+    signal in-loop deblocking: for a still image the filter only smooths
+    the decoder's OUTPUT (intra prediction uses unfiltered pixels), so
+    any level stays conforming."""
     if n_token_parts not in (1, 2, 4, 8):
         raise ValueError("n_token_parts must be 1, 2, 4 or 8")
     img = np.ascontiguousarray(img)
@@ -1217,8 +1221,8 @@ def encode_vp8(img: np.ndarray, q_index: int = 40,
     be.put_bool(128, 0)  # color space
     be.put_bool(128, 0)  # clamping
     be.put_bool(128, 0)  # segmentation off
-    be.put_bool(128, 0)  # filter type normal (unused: level 0)
-    be.put_literal(0, 6)  # filter level 0
+    be.put_bool(128, 1 if filter_simple else 0)  # filter profile
+    be.put_literal(filter_level & 63, 6)
     be.put_literal(0, 3)  # sharpness
     be.put_bool(128, 0)  # lf deltas off
     be.put_literal({1: 0, 2: 1, 4: 2, 8: 3}[n_token_parts], 2)

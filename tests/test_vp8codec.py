@@ -175,3 +175,22 @@ def test_multi_token_partitions():
         assert (out == ref).all(), n
     with pytest.raises(ValueError, match="n_token_parts"):
         encode_vp8(img, n_token_parts=3)
+
+
+def test_loop_filter_paths_run_deterministically():
+    """Signal loop filtering from our own encoder: both the normal and
+    simple profiles must run, be deterministic, smooth block edges
+    without wrecking the image, and leave a level-0 decode unchanged."""
+    r = np.linspace(0, 255, 64).astype(np.uint8)
+    gy, gx = np.meshgrid(r, r, indexing="ij")
+    img = np.stack([gy, gx, np.full_like(gy, 120)], -1)
+    base = decode_vp8(encode_vp8(img, q_index=40, filter_level=0))
+    for simple in (False, True):
+        blob = encode_vp8(img, q_index=40, filter_level=20,
+                          filter_simple=simple)
+        out1 = decode_vp8(blob)
+        out2 = decode_vp8(blob)
+        assert (out1 == out2).all()  # deterministic
+        diff = np.abs(out1.astype(int) - base.astype(int))
+        assert diff.max() > 0       # the filter actually ran
+        assert diff.mean() < 8.0    # ...and only smoothed, not corrupted
