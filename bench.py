@@ -159,6 +159,8 @@ BENCH_QUERIES = [
     "weighted_sample",
     "profile_docs",
     "ann_pq",
+    "substring_dedup",
+    "dsir_weights",
 ]
 
 
