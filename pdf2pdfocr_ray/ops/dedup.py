@@ -381,8 +381,12 @@ def connected_components(
     min node id in the component.  Iterative distributed min-label
     propagation: each round joins labels across edges and takes the
     per-node min; labels only decrease, so convergence is detected by the
-    (cheap) global label sum going stationary.  Rounds needed = component
-    diameter — tiny for LSH candidate cliques (~2).
+    (cheap) global label sum going stationary.  LSH candidate cliques
+    (diameter ~2) converge in 1-2 rounds; from round 3 on, POINTER
+    DOUBLING kicks in (label <- label[label], one extra node-sized SMJ
+    per round), so a pathological diameter-D chain needs O(log D) rounds
+    instead of D — the long-path insurance at corpus scale without
+    taxing the common clique case.
 
     Docs not in any pair are their own singleton cluster by definition;
     callers map missing ids to themselves.  Scale: the node set is the
@@ -419,7 +423,7 @@ def connected_components(
 
     from .relational import sort_merge_join
 
-    for _ in range(max_iters):
+    for it in range(max_iters):
         lab_as_dst = labels.map_batches(
             lambda df: df.rename(columns={"node": "dst"}), batch_format="pandas"
         )
@@ -437,6 +441,34 @@ def connected_components(
             lambda df: df.groupby("node", as_index=False).agg(label=("label", "min")),
             partitions=8,
         ).materialize()
+        if it >= 2:
+            # not converged after two edge rounds: the component diameter
+            # exceeds a clique's — add pointer doubling (label[label])
+            as_ptr = labels.map_batches(
+                lambda df: df.rename(
+                    columns={"node": "ptr", "label": "ptr_label"}),
+                batch_format="pandas",
+            )
+            with_ptr = sort_merge_join(
+                labels.map_batches(
+                    lambda df: df.rename(columns={"label": "ptr"}),
+                    batch_format="pandas",
+                ),
+                as_ptr, ["ptr"], how="left",
+            )
+            labels = with_ptr.map_batches(
+                lambda df: pd.DataFrame(
+                    {
+                        "node": df["node"].astype("int64"),
+                        "label": np.minimum(
+                            df["ptr"].to_numpy(np.int64),
+                            df["ptr_label"].fillna(df["ptr"]).to_numpy(
+                                np.int64),
+                        ),
+                    }
+                ),
+                batch_format="pandas",
+            ).materialize()
         cur_sum = labels.sum("label")
         if cur_sum == prev_sum:  # labels only decrease -> fixpoint
             break

@@ -1621,3 +1621,23 @@ def test_dsir_logweights_separates_target(ray_session):
         out["dsir_logw"].to_numpy(), out2["dsir_logw"].to_numpy(),
         rtol=0, atol=1e-12,
     )
+
+
+def test_connected_components_long_chain_doubling(ray_session):
+    """A diameter-19 chain: pointer doubling (label[label] from round 3)
+    must reach the fixpoint well inside max_iters=8, where pure
+    propagation would need 19 rounds."""
+    import ray.data
+
+    from pdf2pdfocr_ray.ops.dedup import connected_components
+
+    src = np.arange(19, dtype=np.int64)
+    edges = pd.DataFrame({"id_a": src + 100, "id_b": src + 101})
+    out = (
+        connected_components(
+            ray.data.from_pandas(edges).repartition(3), max_iters=8
+        )
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    assert (out["cluster_id"] == 100).all()
+    assert out["node"].tolist() == list(range(100, 120))
