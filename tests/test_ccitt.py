@@ -177,3 +177,27 @@ def test_scanned_pdf_g3_extracted():
         assert (img == np.repeat(bil[:, :, None], 3, axis=2)).all(), kind
         assert [l.text for l in recognize_page(img, 2)] == [
             "Group Three Fax 3"], kind
+
+
+def test_g3_property_roundtrip():
+    """Property: any bilevel image roundtrips through every G3 mode."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pdf2pdfocr_ray.functions.ccitt import decode_g3, encode_g3
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        h=st.integers(1, 24),
+        w=st.integers(1, 40),
+        p=st.floats(0.0, 1.0),
+        k=st.sampled_from([0, 2, 4]),
+        seed=st.integers(0, 2**31),
+    )
+    def check(h, w, p, k, seed):
+        rng = np.random.default_rng(seed)
+        img = np.where(rng.random((h, w)) < p, 0, 255).astype(np.uint8)
+        out = decode_g3(encode_g3(img, k=k), w, h, k=k)
+        assert (out == img).all()
+
+    check()

@@ -215,3 +215,36 @@ def test_wasted_bits_shift():
     bw.align()
     out, _ = decode_flac(_stream_with_frame(bw.to_bytes(), 5))
     assert (out[:, 0] == 100).all()  # 25 << 2
+
+
+def test_flac_property_roundtrip():
+    """Property: any int16 sample array (1-2 channels, any length)
+    roundtrips losslessly."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        n=st.integers(1, 600),
+        ch=st.integers(1, 2),
+        seed=st.integers(0, 2**31),
+        kind=st.sampled_from(["noise", "smooth", "const", "alt"]),
+    )
+    def check(n, ch, seed, kind):
+        rng = np.random.default_rng(seed)
+        if kind == "noise":
+            pcm = rng.integers(-32768, 32768, (n, ch)).astype(np.int16)
+        elif kind == "smooth":
+            t = np.arange(n)[:, None] + np.arange(ch)[None, :]
+            pcm = (np.sin(t / 9.0) * 20000).astype(np.int16)
+        elif kind == "const":
+            pcm = np.full((n, ch), int(rng.integers(-32768, 32768)),
+                          np.int16)
+        else:
+            pcm = (((np.arange(n * ch) % 2) * 2 - 1) * 30000).reshape(
+                n, ch).astype(np.int16)
+        out, sr = decode_flac(encode_flac(pcm, 22050))
+        assert sr == 22050
+        assert (out == pcm).all()
+
+    check()

@@ -194,3 +194,45 @@ def test_loop_filter_paths_run_deterministically():
         diff = np.abs(out1.astype(int) - base.astype(int))
         assert diff.max() > 0       # the filter actually ran
         assert diff.mean() < 8.0    # ...and only smoothed, not corrupted
+
+
+def test_vp8_truncation_fuzz_never_crashes():
+    """Truncating or corrupting a valid stream must yield a ValueError
+    or a successful (possibly different) decode — never a crash — so
+    the decode actor stages' row-level fault isolation holds."""
+    img = np.full((32, 48, 3), 77, np.uint8)
+    img[8:24, 10:30] = (200, 40, 90)
+    good = encode_vp8(img, q_index=20)
+    for cut in (9, 10, 12, len(good) // 3, len(good) // 2, len(good) - 2):
+        try:
+            out = decode_vp8(good[:cut])
+            assert out.shape == (32, 48, 3)
+        except ValueError:
+            pass
+    rng = np.random.default_rng(2)
+    for _ in range(20):
+        blob = bytearray(good)
+        for pos in rng.integers(3, len(blob), 3):
+            blob[pos] ^= int(rng.integers(1, 256))
+        try:
+            out = decode_vp8(bytes(blob))
+            assert out.shape == (32, 48, 3)
+        except ValueError:
+            pass
+
+
+def test_image_stage_isolates_corrupt_vp8():
+    """A corrupt lossy-webp row becomes a row-level decode_error, not a
+    stage failure."""
+    import pyarrow as pa
+
+    from pdf2pdfocr_ray.functions.webpcodec import encode_webp_lossy
+    from pdf2pdfocr_ray.ops.multimodal import ImageDecodeStage
+
+    good = encode_webp_lossy(np.full((20, 20, 3), 130, np.uint8))
+    bad = good[:40]  # truncated mid-stream
+    t = pa.table({"image": pa.array([good, bad], pa.binary())})
+    out = ImageDecodeStage()(t)
+    errs = out.column("decode_error").to_pylist()
+    assert errs[0] is None
+    assert errs[1] is not None and errs[1].startswith("webp:")
