@@ -622,6 +622,32 @@ def _q_substring_dedup(sf_dir: str):
     return dedup_substrings(ds, n_tokens=8)
 
 
+def _q_decontaminate(sf_dir: str):
+    """Benchmark decontamination (GPT-3 appendix-C / Pile 13-gram rule):
+    the eval set is synthesized deterministically from the corpus itself
+    — every 37th doc contributes one passage (its word tokens 4..35) —
+    so contamination has exact ground truth.  ORACLE-CHECKED end to end:
+    DuckDB rebuilds the benchmark, both n-gram sets and the overlap
+    census from scratch."""
+    import re
+
+    import pandas as pd
+
+    from pdf2pdfocr_ray.ops.dedup import decontaminate
+    from pdf2pdfocr_ray.ops.relational import read
+
+    docs = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def mk_bench(df: "pd.DataFrame") -> "pd.DataFrame":
+        sel = df[df["doc_id"] % 37 == 0]
+        return pd.DataFrame({
+            "text": [" ".join(re.findall(r"\S+", t or "")[3:35])
+                     for t in sel["text"]]})
+
+    bench = docs.map_batches(mk_bench, batch_format="pandas")
+    return decontaminate(docs, bench, n_tokens=13)
+
+
 def _q_dedup_simhash(sf_dir: str):
     from pdf2pdfocr_ray.ops.dedup import dedup_simhash
     from pdf2pdfocr_ray.ops.relational import read
@@ -2450,6 +2476,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pdf_roundtrip": _q_pdf_roundtrip,
         "multimodal_decode": _q_multimodal_decode,
         "substring_dedup": _q_substring_dedup,
+        "decontaminate": _q_decontaminate,
         "dsir_weights": _q_dsir_weights,
         "dedup_purge": _q_dedup_purge,
         "curation_pipeline": _q_curation_pipeline,
@@ -3125,6 +3152,30 @@ def _oracle_sql_static() -> dict[str, str]:
             "SELECT d.doc_id, coalesce(n_spans, 0)::BIGINT AS n_spans, "
             "coalesce(n_dup_spans, 0)::BIGINT AS n_dup_spans, "
             "coalesce(n_dup_spans / n_spans::DOUBLE, 0.0) AS dup_frac "
+            "FROM documents d LEFT JOIN cnt ON d.doc_id = cnt.doc_id"
+        ),
+        # full-semantics oracle: rebuild the synthetic benchmark (every
+        # 37th doc's tokens 4..35), both lowercased 13-gram sets, and
+        # the overlap census from scratch in SQL
+        "decontaminate": (
+            "WITH toks AS (SELECT doc_id, "
+            "regexp_extract_all(lower(text), '\\S+') AS t FROM documents), "
+            "btoks AS (SELECT t[4:35] AS t FROM toks WHERE doc_id % 37 = 0), "
+            "bidx AS (SELECT t, unnest(range(1, len(t) - 11)) AS i "
+            "FROM btoks WHERE len(t) >= 13), "
+            "bgrams AS (SELECT DISTINCT array_to_string(t[i:i+12], ' ') AS g "
+            "FROM bidx), "
+            "idx AS (SELECT doc_id, t, unnest(range(1, len(t) - 11)) AS i "
+            "FROM toks WHERE len(t) >= 13), "
+            "grams AS (SELECT doc_id, array_to_string(t[i:i+12], ' ') AS g "
+            "FROM idx), "
+            "cnt AS (SELECT grams.doc_id, count(*) AS n_spans, "
+            "count(bgrams.g) AS n_contaminated FROM grams "
+            "LEFT JOIN bgrams ON grams.g = bgrams.g GROUP BY grams.doc_id) "
+            "SELECT d.doc_id, coalesce(n_spans, 0)::BIGINT AS n_spans, "
+            "coalesce(n_contaminated, 0)::BIGINT AS n_contaminated, "
+            "coalesce(n_contaminated / n_spans::DOUBLE, 0.0) AS contam_frac, "
+            "coalesce(n_contaminated, 0) > 0 AS contaminated "
             "FROM documents d LEFT JOIN cnt ON d.doc_id = cnt.doc_id"
         ),
         "audio_near_dup": (

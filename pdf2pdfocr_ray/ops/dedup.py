@@ -928,3 +928,149 @@ def dedup_substrings(
             {"n_spans": "int64", "n_dup_spans": "int64"}),
         batch_format="pandas",
     )
+
+
+def _word_ngram_hashes(text: str, n_tokens: int) -> np.ndarray:
+    """Signed-positive 63-bit blake2b hashes of the lowercased word
+    ``n_tokens``-grams of ``text`` (stride 1).  Lowercasing matches the
+    standard benchmark-decontamination normalization (GPT-3 appendix C /
+    The Pile): eval passages are compared case-insensitively."""
+    import hashlib
+    import re
+
+    toks = re.findall(r"\S+", text.lower())
+    if len(toks) < n_tokens:
+        return np.empty(0, np.int64)
+    joined = (" ".join(toks[i: i + n_tokens])
+              for i in range(len(toks) - n_tokens + 1))
+    return np.fromiter(
+        (int.from_bytes(
+            hashlib.blake2b(s.encode(), digest_size=8).digest(), "big")
+         & 0x7FFFFFFFFFFFFFFF
+         for s in joined),
+        np.int64, len(toks) - n_tokens + 1,
+    )
+
+
+def decontaminate(
+    ds: "ray.data.Dataset",
+    bench: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    n_tokens: int = 13,
+    max_broadcast_hashes: int = 50_000_000,
+) -> "ray.data.Dataset":
+    """Benchmark decontamination: flag training documents that share any
+    lowercased word-``n_tokens``-gram with an evaluation/benchmark set
+    (the GPT-3 appendix-C / Pile 13-gram overlap rule).
+
+    Output: one row per input doc — (id, n_spans, n_contaminated,
+    contam_frac, contaminated).
+
+    100 TB shape: the benchmark side is SMALL relative to the corpus —
+    its distinct n-gram hashes are built once worker-side and broadcast
+    (``ray.put`` via build_broadcast; each scoring actor reads the
+    sorted int64 array zero-copy and searchsorted-probes it), so the
+    corpus pass is a pure map: no shuffle touches document text.  Past
+    ``max_broadcast_hashes`` the op falls back to a hash-key sort-merge
+    join of exploded corpus span hashes against the benchmark hash
+    table — hashes move, text never does.  Collision risk is the
+    standard 2^-63-scale n-gram-hash trade."""
+    import ray
+
+    from .grouped import sorted_groupby
+    from .relational import build_broadcast, dim_join, sort_merge_join
+
+    def bench_partial(df: pd.DataFrame) -> pd.DataFrame:
+        hs = [np.unique(_word_ngram_hashes(t or "", n_tokens))
+              for t in df[bench_text_col]]
+        flat = np.concatenate(hs) if hs else np.empty(0, np.int64)
+        return pd.DataFrame({"h": pd.Series(np.unique(flat), dtype="int64")})
+
+    bench_hashes = bench.map_batches(
+        bench_partial, batch_format="pandas").materialize()
+    n_bench = bench_hashes.count()
+
+    def score_df(ids, texts, keys) -> pd.DataFrame:
+        n_spans, n_hits = [], []
+        for t in texts:
+            hs = _word_ngram_hashes(t or "", n_tokens)
+            n_spans.append(len(hs))
+            if len(hs) and len(keys):
+                pos = np.searchsorted(keys, hs)
+                pos[pos >= len(keys)] = len(keys) - 1
+                n_hits.append(int((keys[pos] == hs).sum()))
+            else:
+                n_hits.append(0)
+        out = pd.DataFrame({
+            id_col: ids,
+            "n_spans": pd.Series(n_spans, dtype="int64"),
+            "n_contaminated": pd.Series(n_hits, dtype="int64"),
+        })
+        out["contam_frac"] = np.where(
+            out["n_spans"] > 0, out["n_contaminated"] / out["n_spans"], 0.0)
+        out["contaminated"] = out["n_contaminated"] > 0
+        return out
+
+    if n_bench <= max_broadcast_hashes:
+        def keys_of(t):
+            if t is None:
+                return np.empty(0, np.int64)
+            return np.sort(np.unique(
+                t.column("h").to_numpy(zero_copy_only=False).astype(
+                    np.int64)))
+
+        ref = build_broadcast(bench_hashes, keys_of)
+
+        def count_hits(df: pd.DataFrame) -> pd.DataFrame:
+            return score_df(df[id_col], df[text_col], ray.get(ref))
+
+        return ds.map_batches(count_hits, batch_format="pandas")
+
+    # scale fallback: explode (id, h) and SMJ against the benchmark set
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        ids, hs = [], []
+        for i, t in zip(df[id_col], df[text_col]):
+            h = _word_ngram_hashes(t or "", n_tokens)
+            ids.extend([i] * len(h))
+            hs.append(h)
+        return pd.DataFrame(
+            {id_col: ids,
+             "h": (np.concatenate(hs) if hs else np.empty(0, np.int64))})
+
+    # bench_partial dedups per block only: make hashes GLOBALLY distinct
+    # before the join, else cross-block repeats overcount hits
+    from .grouped import combined_groupby_agg
+
+    uniq_bench = combined_groupby_agg(
+        bench_hashes.map_batches(
+            lambda d: d.assign(n=np.int64(1)), batch_format="pandas"),
+        "h", {"n": ("n", "sum")},
+    ).map_batches(
+        lambda d: d[["h"]].assign(is_hit=True), batch_format="pandas")
+    spans = ds.map_batches(explode, batch_format="pandas")
+    hits = sort_merge_join(spans, uniq_bench, ["h"], how="left")
+
+    def agg_block(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(id_col, as_index=False).agg(
+            n_spans=("h", "size"), n_contaminated=("is_hit", "sum"))
+        g["n_contaminated"] = g["n_contaminated"].fillna(0).astype("int64")
+        g["contam_frac"] = np.where(
+            g["n_spans"] > 0, g["n_contaminated"] / g["n_spans"], 0.0)
+        g["contaminated"] = g["n_contaminated"] > 0
+        return g
+
+    counted = sorted_groupby(hits, id_col, agg_block)
+    base = ds.map_batches(lambda df: df[[id_col]], batch_format="pandas")
+    joined = dim_join(base, counted, id_col, id_col,
+                      ["n_spans", "n_contaminated", "contam_frac",
+                       "contaminated"])
+    return joined.map_batches(
+        lambda df: df.fillna(
+            {"n_spans": 0, "n_contaminated": 0, "contam_frac": 0.0,
+             "contaminated": False}).astype(
+            {"n_spans": "int64", "n_contaminated": "int64",
+             "contaminated": "bool"}),
+        batch_format="pandas",
+    )

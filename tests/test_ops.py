@@ -1575,6 +1575,57 @@ def test_dedup_substrings_planted_and_paths(ray_session):
     )
 
 
+def test_decontaminate_planted_overlap(ray_session):
+    """Benchmark decontamination (13-gram overlap rule): a doc embedding
+    an eval passage is flagged with the exact window count, case
+    differences don't hide contamination, clean/short docs stay clean,
+    and the broadcast and SMJ-fallback paths agree."""
+    import ray.data
+
+    from pdf2pdfocr_ray.ops.dedup import decontaminate
+
+    passage = " ".join(f"tok{i}" for i in range(20))  # 20-token passage
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                "intro words " + passage.upper() + " outro",  # case-insensitive hit
+                " ".join(f"clean{i}" for i in range(40)),
+                "too short to window",
+                passage,  # verbatim
+            ],
+        }
+    )
+    bench = pd.DataFrame({"text": [passage, "unrelated eval row"]})
+    mk = lambda: (  # noqa: E731
+        ray.data.from_pandas(docs).repartition(3),
+        ray.data.from_pandas(bench),
+    )
+    ds, b = mk()
+    got = (
+        decontaminate(ds, b, n_tokens=13)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    # doc0: 23 tokens -> 11 windows; the 20 passage tokens yield 8 fully-
+    # inside windows despite the upper-casing
+    assert got.loc[0, "n_spans"] == 11 and got.loc[0, "n_contaminated"] == 8
+    assert bool(got.loc[0, "contaminated"])
+    assert got.loc[1, "n_contaminated"] == 0 and not bool(
+        got.loc[1, "contaminated"])
+    assert got.loc[2, "n_spans"] == 0 and not bool(got.loc[2, "contaminated"])
+    # doc3 is the passage itself: all 8 windows contaminated
+    assert got.loc[3, "n_spans"] == 8 and got.loc[3, "n_contaminated"] == 8
+    ds, b = mk()
+    smj = (
+        decontaminate(ds, b, n_tokens=13, max_broadcast_hashes=0)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["doc_id", "n_spans", "n_contaminated", "contaminated"]],
+        smj[["doc_id", "n_spans", "n_contaminated", "contaminated"]],
+    )
+
+
 def test_dsir_logweights_separates_target(ray_session):
     """DSIR (hashed-ngram importance resampling): docs drawn from the
     target vocabulary must score strictly higher than off-target docs,
