@@ -130,10 +130,23 @@ class ImageResizeStage:
         return batch.append_column("image_resized", pa.array(out, pa.binary()))
 
 
+def is_mp3(payload: bytes) -> bool:
+    """Loose mp3 sniff: ID3v2 prefix, or an MPEG-1/2 Layer III frame
+    sync.  Checked AFTER the unambiguous containers (RIFF/fLaC)."""
+    if payload[:3] == b"ID3":
+        return True
+    if len(payload) >= 4 and payload[0] == 0xFF and \
+            (payload[1] & 0xE0) == 0xE0:
+        version = (payload[1] >> 3) & 3
+        layer = (payload[1] >> 1) & 3
+        return version in (2, 3) and layer == 1
+    return False
+
+
 def decode_audio(payload: bytes):
     """Route an audio payload to its real in-repo codec: RIFF/WAVE PCM
-    (wavcodec) or FLAC (flaccodec).  Returns (samples float64 in [-1, 1]
-    of shape (n, channels), sample_rate)."""
+    (wavcodec), FLAC (flaccodec) or mp3 (mp3codec).  Returns (samples
+    float64 in [-1, 1] of shape (n, channels), sample_rate)."""
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         from ..functions.wavcodec import decode_wav
 
@@ -144,18 +157,24 @@ def decode_audio(payload: bytes):
         samples, rate = decode_flac(payload)
         # same int16 normalization as wavcodec (iinfo(int16).max)
         return samples.astype(np.float64) / 32767.0, rate
+    if is_mp3(payload):
+        from ..functions.mp3codec import decode_mp3
+
+        return decode_mp3(payload)
     raise ValueError("unknown audio container")
 
 
 class AudioFeatureStage:
     """Actor stage: audio binary -> (duration_s, n_samples, rms).
 
-    RIFF/WAVE (PCM) and FLAC payloads decode for REAL (functions/
-    wavcodec, functions/flaccodec — no native library needed).  Other
-    compressed formats (MP3/AAC/...) would need codecs absent from this
-    container and hit the stub path: ``strict`` raises
-    NotImplementedError, else deterministic fakes derived from the
-    payload hash (the distributed plumbing stays exercised either way)."""
+    RIFF/WAVE (PCM), FLAC and mp3 payloads decode for REAL (functions/
+    wavcodec, flaccodec, mp3codec — no native library needed; mp3
+    frames selecting Huffman tables outside mp3codec's validated
+    subset surface as row-level errors).  Other compressed formats
+    (AAC/Opus/...) would need codecs absent from this container and
+    hit the stub path: ``strict`` raises NotImplementedError, else
+    deterministic fakes derived from the payload hash (the distributed
+    plumbing stays exercised either way)."""
 
     def __init__(self, audio_col: str = "audio", strict: bool = False):
         self.audio_col = audio_col
@@ -163,14 +182,14 @@ class AudioFeatureStage:
 
     def _features(self, payload: bytes) -> tuple[float, int, float]:
         if (payload[:4] == b"RIFF" and payload[8:12] == b"WAVE") or \
-                payload[:4] == b"fLaC":
+                payload[:4] == b"fLaC" or is_mp3(payload):
             samples, rate = decode_audio(payload)
             n = samples.shape[0]
             rms = float(np.sqrt(np.mean(samples**2))) if n else 0.0
             return n / float(rate), n, rms
         if self.strict:
             raise NotImplementedError(
-                "compressed audio (mp3/aac) decode not available"
+                "compressed audio (aac/opus) decode not available"
             )
         h = hashlib.md5(payload[:128]).digest()
         n = max(1, len(payload)) * 4
@@ -509,7 +528,7 @@ class AudioFingerprintStage:
         for i, payload in enumerate(batch[self.audio_col]):
             try:
                 if (payload[:4] == b"RIFF" and payload[8:12] == b"WAVE") \
-                        or payload[:4] == b"fLaC":
+                        or payload[:4] == b"fLaC" or is_mp3(payload):
                     samples, _rate = decode_audio(payload)
                     fps[i] = self._fingerprint(samples)
                     ok[i] = True
