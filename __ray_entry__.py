@@ -1253,9 +1253,11 @@ def _q_audio_near_dup(sf_dir: str):
     """Multimodal near-dup, audio modality: energy-envelope fingerprints
     over synthesized clips (doc_id arithmetic, like audio_features) with
     planted gain-scaled copies — planted pairs asserted in-query.
-    CROSS-CONTAINER: every third planted copy is FLAC-encoded while its
-    source is WAV, so the pair only surfaces if both codecs decode to
-    the same PCM."""
+    CROSS-CONTAINER: planted copies alternate FLAC (i % 24 == 0) and
+    MP3 (the other i % 12 == 0) while their sources are WAV, so a pair
+    only surfaces if both codecs decode to the same waveform (for mp3,
+    to within its lossy floor — clip lengths are 1152-multiples so the
+    sample grids align exactly)."""
     import numpy as np
     import pandas as pd
     import ray.data
@@ -1271,31 +1273,39 @@ def _q_audio_near_dup(sf_dir: str):
         .to_pandas()["doc_id"].nsmallest(60).reset_index(drop=True)
     )
 
+    # envelope design for lossy cross-container robustness: 8 window-
+    # aligned segments from 1-2-transition balanced masks, levels
+    # 0.25/1.0 (no zero floor) so mp3's ~576-sample transition smear
+    # can never push a window's rms across the bimodal median; clip
+    # lengths are 1152-multiples so the mp3 sample grid aligns exactly
+    masks = (0xF0, 0x0F, 0x3C, 0xC3)
+
     def clip(i: int) -> np.ndarray:
-        n = 8000 + (i % 7) * 1000
+        n = 1152 * (14 + i % 7)
+        seg = (np.arange(n) * 8) // n
+        level = 0.25 + 0.75 * ((masks[i % 4] >> (7 - seg)) & 1)
         t = np.arange(n) / 16000.0
-        env = (np.sin(2 * np.pi * (1.0 + (i % 5)) * t) > 0).astype(np.float64)
-        return (0.5 * env * np.sin(2 * np.pi * (200 + 10 * (i % 23)) * t)
-                * 32000).astype(np.int16)
+        return 0.45 * level * np.sin(2 * np.pi * (200 + 10 * (i % 23)) * t)
 
     from pdf2pdfocr_ray.functions.flaccodec import encode_flac
+    from pdf2pdfocr_ray.functions.mp3codec import encode_mp3
 
     rows = []
     for i in ids:
         s = clip(int(i))
-        rows.append({"doc_id": int(i), "audio": encode_wav(s)})
+        rows.append({"doc_id": int(i), "audio": encode_wav(s, 16000)})
         if i % 12 == 0:  # planted gain-scaled near-dup
-            copy = (s * 0.3).astype(np.int16)
-            if i % 3 == 0:
+            if i % 24 == 0:
                 # FLAC carries the SAME quantized PCM encode_wav would
                 # emit, so the pair matches iff both codecs agree
                 pcm16 = np.clip(
-                    np.round(copy.astype(np.float64) * 32767.0),
-                    -32768, 32767,
+                    np.round(s * 0.3 * 32767.0), -32768, 32767,
                 ).astype(np.int16)
                 blob = encode_flac(pcm16, 16000)
             else:
-                blob = encode_wav(copy)
+                # MP3: lossy — the envelope fingerprint must survive the
+                # full encode->decode chain to surface the pair
+                blob = encode_mp3(s * 0.3, 44100)
             rows.append({"doc_id": int(i) + 100_000, "audio": blob})
     pairs = audio_near_dup(
         ray.data.from_items(rows).repartition(4), max_hamming=2
@@ -2270,13 +2280,16 @@ def _q_multimodal_resize(sf_dir: str):
 
 
 def _q_audio_features(sf_dir: str):
-    """REAL WAV + FLAC decode, ORACLE-CHECKED: per doc a PCM clip is
-    synthesized deterministically (sine, whole cycles, amplitude/length
-    derived from doc_id) and containered as WAV or — every third doc —
-    FLAC (the in-repo flaccodec); the AudioFeatureStage decodes it, and
-    n_samples / duration / an rms-vs-amplitude/√2 verdict are compared
-    against DuckDB arithmetic on doc_id.  A decode bug in EITHER codec
-    breaks the hash."""
+    """REAL WAV + FLAC + MP3 decode, ORACLE-CHECKED: per doc a PCM clip
+    is synthesized deterministically (sine, whole cycles,
+    amplitude/length derived from doc_id) and containered by doc_id % 3
+    as FLAC (0), MP3 (1, the in-repo mp3codec — lossy, frame-padded) or
+    WAV (2); the AudioFeatureStage decodes it, and n_samples / duration
+    / an rms-vs-amplitude/√2 verdict are compared against DuckDB
+    arithmetic on doc_id (mp3 rows expect ceil(n/1152)*1152 samples at
+    44.1 kHz and an rms verdict scaled by the zero-padding, at lossy
+    tolerance).  A decode bug in ANY of the three codecs breaks the
+    hash."""
     import numpy as np
     import pandas as pd
 
@@ -2299,6 +2312,10 @@ def _q_audio_features(sf_dir: str):
             if did % 3 == 0:  # FLAC rows: same PCM, other container
                 payloads.append(
                     encode_flac((pcm * 32767).astype(np.int16), 16000))
+            elif did % 3 == 1:  # MP3 rows: lossy, frame-padded, 44.1k
+                from pdf2pdfocr_ray.functions.mp3codec import encode_mp3
+
+                payloads.append(encode_mp3(pcm, 44100))
             else:
                 payloads.append(encode_wav(pcm, 16000))
         out = batch.copy()
@@ -2315,12 +2332,22 @@ def _q_audio_features(sf_dir: str):
 
     def digest(batch: pd.DataFrame) -> pd.DataFrame:
         amp = 0.1 + (batch["doc_id"] % 8) * 0.1
+        n_in = 4000 + (batch["doc_id"] % 5) * 1000
+        is_mp3 = batch["doc_id"] % 3 == 1
+        # mp3 rows: rms diluted by the frame padding, lossy tolerance
+        expected = (amp / np.sqrt(2)) * np.where(
+            is_mp3, np.sqrt(n_in / batch["n_samples"].astype(float)), 1.0)
+        # lossy floor: measured max relative rms error over all 120
+        # deterministic (n, amp, freq) combos is 6.7% (short clips pay
+        # the encoder warmup transient); 12% = ~2x margin while still
+        # failing hard on any broken decode
+        tol = np.where(is_mp3, 0.12 * expected, 1e-3)
         return pd.DataFrame(
             {
                 "doc_id": batch["doc_id"],
                 "n_samples": batch["n_samples"],
                 "duration_ms": np.floor(batch["duration_s"] * 1000).astype("int64"),
-                "rms_ok": (batch["rms"] - amp / np.sqrt(2)).abs() < 1e-3,
+                "rms_ok": (batch["rms"] - expected).abs() < tol,
             }
         )
 
@@ -3041,9 +3068,17 @@ def _oracle_sql_static() -> dict[str, str]:
         # arithmetic, so the decoded counts/durations are SQL-recomputable
         # and the rms verdict is asserted true.
         "audio_features": (
-            "SELECT doc_id, (4000 + (doc_id % 5) * 1000)::BIGINT AS n_samples, "
-            "CAST(floor((4000 + (doc_id % 5) * 1000) / 16.0) AS BIGINT) "
-            "AS duration_ms, true AS rms_ok FROM documents"
+            "WITH base AS (SELECT doc_id, "
+            "(4000 + (doc_id % 5) * 1000) AS n_in FROM documents) "
+            "SELECT doc_id, "
+            "CASE WHEN doc_id % 3 = 1 "
+            "THEN (CAST(ceil(n_in / 1152.0) AS BIGINT) * 1152) "
+            "ELSE n_in::BIGINT END AS n_samples, "
+            "CASE WHEN doc_id % 3 = 1 "
+            "THEN CAST(floor(CAST(ceil(n_in / 1152.0) AS BIGINT) * 1152 "
+            "* 1000.0 / 44100.0) AS BIGINT) "
+            "ELSE CAST(floor(n_in / 16.0) AS BIGINT) END AS duration_ms, "
+            "true AS rms_ok FROM base"
         ),
         "video_frames": (
             "SELECT doc_id, LEAST(3, 2 + doc_id % 4)::BIGINT AS n_sampled "
