@@ -1169,7 +1169,9 @@ def _q_video_frame_dedup(sf_dir: str):
     (real avicodec), sample frames, perceptual-hash each, pair frames
     ACROSS clips — clips sharing scene content surface as frame pairs
     (planted: clip i+100000 reuses clip i's frames re-encoded at a
-    different JPEG quality, for i % 9 == 0).  Asserted in-query."""
+    different JPEG quality, for i % 9 == 0 — and CROSS-CONTAINER: the
+    planted copy is MJPEG-MP4 while sources are AVI, so the pair only
+    surfaces if both demuxers agree).  Asserted in-query."""
     import numpy as np
     import pandas as pd
     import ray.data
@@ -1203,10 +1205,14 @@ def _q_video_frame_dedup(sf_dir: str):
         rows.append(
             {"doc_id": int(i), "video": mux_avi_mjpeg(frames_of(int(i), 90))}
         )
-        if i % 9 == 0:  # planted: same scenes, different encode quality
+        if i % 9 == 0:  # planted: same scenes, different encode quality,
+            # OTHER container (MJPEG-MP4 vs the sources' AVI)
+            from pdf2pdfocr_ray.functions.mp4box import mux_mp4
+
             rows.append(
                 {"doc_id": int(i) + 100_000,
-                 "video": mux_avi_mjpeg(frames_of(int(i), 60))}
+                 "video": mux_mp4(video_frames=frames_of(int(i), 60),
+                                  fps=10.0, width=96, height=96)}
             )
     clips = ray.data.from_items(rows).repartition(4)
     from pdf2pdfocr_ray.ops.grouped import stage_pool
@@ -2355,10 +2361,12 @@ def _q_audio_features(sf_dir: str):
 
 
 def _q_video_frames(sf_dir: str):
-    """REAL MJPEG-AVI demux + JPEG decode, ORACLE-CHECKED: per doc an AVI
-    with (2 + doc_id%4) JPEG frames is muxed deterministically, the
-    VideoFrameSampleStage demuxes + decodes + samples ≤3 frames, and the
-    counts are compared against DuckDB arithmetic on doc_id."""
+    """REAL MJPEG demux + JPEG decode across TWO containers,
+    ORACLE-CHECKED: per doc (2 + doc_id%4) JPEG frames are muxed
+    deterministically as MJPEG-AVI (even doc_id) or MJPEG-MP4 (odd —
+    the full ISO-BMFF box walk + sample tables), the
+    VideoFrameSampleStage demuxes + decodes + samples ≤3 frames, and
+    the counts are compared against DuckDB arithmetic on doc_id."""
     import numpy as np
     import pandas as pd
     import pyarrow as pa
@@ -2371,6 +2379,7 @@ def _q_video_frames(sf_dir: str):
     def synth(batch: pd.DataFrame) -> pd.DataFrame:
         from pdf2pdfocr_ray.functions.avicodec import mux_avi_mjpeg
         from pdf2pdfocr_ray.functions.jpegcodec import encode_jpeg
+        from pdf2pdfocr_ray.functions.mp4box import mux_mp4
 
         payloads = []
         for did in batch["doc_id"]:
@@ -2381,7 +2390,12 @@ def _q_video_frames(sf_dir: str):
                 frames.append(
                     encode_jpeg(np.full((16, 24, 3), shade, dtype=np.uint8), 90)
                 )
-            payloads.append(mux_avi_mjpeg(frames, fps=10.0, width=24, height=16))
+            if did % 2:
+                payloads.append(mux_mp4(video_frames=frames, fps=10.0,
+                                        width=24, height=16))
+            else:
+                payloads.append(
+                    mux_avi_mjpeg(frames, fps=10.0, width=24, height=16))
         out = batch.copy()
         out["video"] = payloads
         return out

@@ -143,10 +143,16 @@ def is_mp3(payload: bytes) -> bool:
     return False
 
 
+def is_isobmff(payload: bytes) -> bool:
+    """ISO-BMFF (mp4/m4a/mov) sniff: an ftyp box leads the file."""
+    return len(payload) >= 12 and payload[4:8] == b"ftyp"
+
+
 def decode_audio(payload: bytes):
     """Route an audio payload to its real in-repo codec: RIFF/WAVE PCM
-    (wavcodec), FLAC (flaccodec) or mp3 (mp3codec).  Returns (samples
-    float64 in [-1, 1] of shape (n, channels), sample_rate)."""
+    (wavcodec), FLAC (flaccodec), mp3 (mp3codec) or an mp4/m4a audio
+    track (mp4box: PCM16 or mp3-in-mp4 real; AAC gated).  Returns
+    (samples float64 in [-1, 1] of shape (n, channels), sample_rate)."""
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         from ..functions.wavcodec import decode_wav
 
@@ -161,6 +167,10 @@ def decode_audio(payload: bytes):
         from ..functions.mp3codec import decode_mp3
 
         return decode_mp3(payload)
+    if is_isobmff(payload):
+        from ..functions.mp4box import decode_mp4_audio
+
+        return decode_mp4_audio(payload)
     raise ValueError("unknown audio container")
 
 
@@ -182,11 +192,18 @@ class AudioFeatureStage:
 
     def _features(self, payload: bytes) -> tuple[float, int, float]:
         if (payload[:4] == b"RIFF" and payload[8:12] == b"WAVE") or \
-                payload[:4] == b"fLaC" or is_mp3(payload):
-            samples, rate = decode_audio(payload)
-            n = samples.shape[0]
-            rms = float(np.sqrt(np.mean(samples**2))) if n else 0.0
-            return n / float(rate), n, rms
+                payload[:4] == b"fLaC" or is_mp3(payload) or \
+                is_isobmff(payload):
+            try:
+                samples, rate = decode_audio(payload)
+                n = samples.shape[0]
+                rms = float(np.sqrt(np.mean(samples**2))) if n else 0.0
+                return n / float(rate), n, rms
+            except NotImplementedError:
+                # known container, genuinely-absent codec (e.g. AAC in
+                # mp4): same strict gate as unknown formats below
+                if self.strict:
+                    raise
         if self.strict:
             raise NotImplementedError(
                 "compressed audio (aac/opus) decode not available"
@@ -210,11 +227,13 @@ class AudioFeatureStage:
 class VideoFrameSampleStage:
     """Actor stage: video binary -> K sampled frames (PNG bytes).
 
-    MJPEG-in-AVI payloads demux + decode for REAL (functions/avicodec +
-    the engine's own JPEG decoder): K evenly-spaced frames re-encoded as
-    PNG.  Other containers (mp4/mkv) need native demuxers absent from
-    this container and hit the stub path: ``strict`` raises, else
-    deterministic solid-color fakes."""
+    MJPEG-in-AVI (functions/avicodec) and MJPEG-in-MP4 (functions/
+    mp4box — the full ISO-BMFF box walk + sample tables are real)
+    demux + decode for REAL via the engine's own JPEG decoder: K
+    evenly-spaced frames re-encoded as PNG.  mp4 tracks whose BITSTREAM
+    codec is genuinely absent (avc1/hev1) and other containers (mkv)
+    hit the stub path: ``strict`` raises, else deterministic
+    solid-color fakes."""
 
     def __init__(self, n_frames: int = 3, video_col: str = "video",
                  strict: bool = False):
@@ -229,9 +248,20 @@ class VideoFrameSampleStage:
             return [
                 encode_png(f) for f in sample_frames(payload, self.n_frames)
             ]
+        if is_isobmff(payload):
+            from ..functions.mp4box import sample_frames_mp4
+
+            try:
+                return [encode_png(f)
+                        for f in sample_frames_mp4(payload, self.n_frames)]
+            except NotImplementedError:
+                # demux is real; the track's bitstream codec (avc1/...)
+                # is genuinely absent -> same strict gate as below
+                if self.strict:
+                    raise
         if self.strict:
             raise NotImplementedError(
-                "non-AVI video demux not available in container"
+                "non-AVI/MP4 video demux not available in container"
             )
         h = hashlib.md5(payload[:64]).digest()
         out = []
@@ -528,7 +558,8 @@ class AudioFingerprintStage:
         for i, payload in enumerate(batch[self.audio_col]):
             try:
                 if (payload[:4] == b"RIFF" and payload[8:12] == b"WAVE") \
-                        or payload[:4] == b"fLaC" or is_mp3(payload):
+                        or payload[:4] == b"fLaC" or is_mp3(payload) \
+                        or is_isobmff(payload):
                     samples, _rate = decode_audio(payload)
                     fps[i] = self._fingerprint(samples)
                     ok[i] = True
