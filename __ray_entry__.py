@@ -622,6 +622,35 @@ def _q_substring_dedup(sf_dir: str):
     return dedup_substrings(ds, n_tokens=8)
 
 
+def _q_semdedup(sf_dir: str):
+    """SemDeDup (k-means buckets + in-cluster exact cosine, multi-probe
+    assignment).  ORACLE-CHECKED verdict row: the exact-pair count is
+    real SQL (cross-join cosine); precision (every found pair is a true
+    pair at the threshold) and a recall floor vs the exact broadcast
+    path (measured 0.93 at these settings; floor 0.6 absorbs k-means
+    float jitter) are asserted in-query."""
+    import pandas as pd
+
+    from pdf2pdfocr_ray.ops.dedup import embedding_near_dup, semdedup
+    from pdf2pdfocr_ray.ops.relational import read
+
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"]).materialize()
+    sem = semdedup(ds, threshold=0.45, k=16, n_probe=4).to_pandas()
+    ex = embedding_near_dup(ds, threshold=0.45).to_pandas()
+    sp = {tuple(sorted(p)) for p in zip(sem["id_a"], sem["id_b"])}
+    ep = {tuple(sorted(p)) for p in zip(ex["id_a"], ex["id_b"])}
+    precision_ok = sp <= ep
+    recall = len(sp & ep) / max(len(ep), 1)
+    return pd.DataFrame(
+        {
+            "n_exact": pd.Series([len(ep)], dtype="int64"),
+            "precision_ok": [bool(precision_ok)],
+            "recall_ok": [bool(recall >= 0.6)],
+            "no_silent_caps": [bool(not sem["cluster_truncated"].any())],
+        }
+    )
+
+
 def _q_decontaminate(sf_dir: str):
     """Benchmark decontamination (GPT-3 appendix-C / Pile 13-gram rule):
     the eval set is synthesized deterministically from the corpus itself
@@ -2518,6 +2547,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_decode": _q_multimodal_decode,
         "substring_dedup": _q_substring_dedup,
         "decontaminate": _q_decontaminate,
+        "semdedup": _q_semdedup,
         "dsir_weights": _q_dsir_weights,
         "dedup_purge": _q_dedup_purge,
         "curation_pipeline": _q_curation_pipeline,
@@ -3202,6 +3232,16 @@ def _oracle_sql_static() -> dict[str, str]:
             "coalesce(n_dup_spans, 0)::BIGINT AS n_dup_spans, "
             "coalesce(n_dup_spans / n_spans::DOUBLE, 0.0) AS dup_frac "
             "FROM documents d LEFT JOIN cnt ON d.doc_id = cnt.doc_id"
+        ),
+        # the exact-pair census is real SQL; the behavioral laws
+        # (precision/recall vs the exact path) are asserted in-query
+        "semdedup": (
+            "SELECT count(*)::BIGINT AS n_exact, true AS precision_ok, "
+            "true AS recall_ok, true AS no_silent_caps "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE list_dot_product(a.embedding, b.embedding) / "
+            "(sqrt(list_dot_product(a.embedding, a.embedding)) * "
+            " sqrt(list_dot_product(b.embedding, b.embedding))) >= 0.45"
         ),
         # full-semantics oracle: rebuild the synthetic benchmark (every
         # 37th doc's tokens 4..35), both lowercased 13-gram sets, and

@@ -930,6 +930,111 @@ def dedup_substrings(
     )
 
 
+def semdedup(
+    ds: "ray.data.Dataset",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+    k: int = 64,
+    iters: int = 8,
+    seed: int = 7,
+    max_cluster: int = 20_000,
+    n_probe: int = 2,
+) -> "ray.data.Dataset":
+    """SemDeDup (Abbas et al. 2023 shape): semantic near-dup pairs via
+    k-means bucketing + exact within-cluster cosine.
+
+    Returns (id_a, id_b, cos, cluster_truncated) pairs with
+    ``cos >= threshold`` — feed into ``connected_components`` /
+    ``dedup_purge`` to keep one representative per group, exactly like
+    the MinHash text path.
+
+    100 TB shape: centroids train on a sample with tiny per-pass
+    partials (``kmeans_fit``) and broadcast once; assignment is a pure
+    map — each vector goes to its ``n_probe`` nearest clusters
+    (multi-probe: a pair is found if the two sets overlap, the same
+    recall lever as IVF probing; duplicate finds are merged by a
+    pair-key pass); ONE cluster-key shuffle moves each vector
+    ``n_probe`` times; the quadratic within-cluster scan is bounded by
+    cluster sizes — an oversized cluster is truncated to
+    ``max_cluster`` members with the cap SURFACED on every emitted
+    pair of that cluster (``cluster_truncated``), the engine's
+    no-silent-caps rule.  Precision is exact (cosine verified
+    in-bucket); recall misses only pairs whose probe sets are
+    disjoint — the standard SemDeDup trade, measured in the gate query
+    against the exact all-pairs path."""
+    import ray
+
+    from .grouped import sorted_groupby
+    from .similarity import kmeans_fit
+
+    cents, _ = kmeans_fit(ds, k=k, iters=iters, vec_col=vec_col,
+                          seed=seed)
+    npb = max(1, min(n_probe, len(cents)))
+    ref = ray.put(np.asarray(cents, np.float64))
+
+    def assign_probes(df: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(ref)
+        mat = np.stack([np.asarray(v, np.float64) for v in df[vec_col]])
+        d2 = ((mat * mat).sum(axis=1)[:, None] - 2.0 * (mat @ c.T)
+              + (c * c).sum(axis=1)[None, :])
+        near = np.argpartition(d2, npb - 1, axis=1)[:, :npb]
+        rep = df.loc[df.index.repeat(npb)].reset_index(drop=True)
+        rep["cluster"] = near.reshape(-1).astype(np.int32)
+        return rep
+
+    assigned = ds.map_batches(assign_probes, batch_format="pandas")
+
+    def pairs_of(df: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_c, out_t = [], [], [], []
+        for _, grp in df.groupby("cluster", sort=False):
+            truncated = len(grp) > max_cluster
+            if truncated:
+                grp = grp.nsmallest(max_cluster, id_col)
+            if len(grp) < 2:
+                continue
+            mat = np.stack([np.asarray(v, np.float64)
+                            for v in grp[vec_col]])
+            norms = np.linalg.norm(mat, axis=1)
+            norms[norms == 0] = 1.0
+            mat = mat / norms[:, None]
+            gram = mat @ mat.T
+            ids = grp[id_col].to_numpy()
+            ii, jj = np.triu_indices(len(grp), k=1)
+            keep = gram[ii, jj] >= threshold
+            a, b = ids[ii[keep]], ids[jj[keep]]
+            swap = a > b
+            out_a.append(np.where(swap, b, a))
+            out_b.append(np.where(swap, a, b))
+            out_c.append(gram[ii, jj][keep])
+            out_t.append(np.full(int(keep.sum()), truncated))
+        if not out_a:
+            return pd.DataFrame({
+                "id_a": pd.Series([], dtype="int64"),
+                "id_b": pd.Series([], dtype="int64"),
+                "cos": pd.Series([], dtype="float64"),
+                "cluster_truncated": pd.Series([], dtype="bool")})
+        return pd.DataFrame({
+            "id_a": np.concatenate(out_a).astype(np.int64),
+            "id_b": np.concatenate(out_b).astype(np.int64),
+            "cos": np.concatenate(out_c),
+            "cluster_truncated": np.concatenate(out_t)})
+
+    pairs = sorted_groupby(assigned, "cluster", pairs_of)
+    if npb == 1:
+        return pairs
+
+    def merge_dupes(df: pd.DataFrame) -> pd.DataFrame:
+        # a pair found in several shared probe clusters appears once per
+        # cluster: merge, aggregating the truncation flag with any() so
+        # the output is block-order-independent
+        return df.groupby(["id_a", "id_b"], as_index=False).agg(
+            cos=("cos", "max"),
+            cluster_truncated=("cluster_truncated", "any"))
+
+    return sorted_groupby(pairs, ["id_a", "id_b"], merge_dupes)
+
+
 def _word_ngram_hashes(text: str, n_tokens: int) -> np.ndarray:
     """Signed-positive 63-bit blake2b hashes of the lowercased word
     ``n_tokens``-grams of ``text`` (stride 1).  Lowercasing matches the

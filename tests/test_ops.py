@@ -1575,6 +1575,44 @@ def test_dedup_substrings_planted_and_paths(ray_session):
     )
 
 
+def test_semdedup_planted_clusters(ray_session):
+    """SemDeDup: planted near-identical vector pairs inside well-
+    separated blobs are all found (multi-probe), precision is exact,
+    and a tiny max_cluster surfaces the truncation flag."""
+    import ray.data
+
+    from pdf2pdfocr_ray.ops.dedup import semdedup
+
+    rng = np.random.default_rng(5)
+    rows = []
+    vid = 0
+    planted = []
+    for blob in range(4):
+        center = rng.normal(size=16) * 10.0
+        for j in range(20):
+            v = center + rng.normal(size=16) * 0.5
+            rows.append({"vec_id": vid, "embedding": v.tolist()})
+            if j < 2:  # plant an exact near-dup of this vector
+                dup = v + rng.normal(size=16) * 1e-3
+                rows.append({"vec_id": vid + 10_000,
+                             "embedding": dup.tolist()})
+                planted.append((vid, vid + 10_000))
+            vid += 1
+    ds = ray.data.from_items(rows).repartition(3)
+    pairs = semdedup(ds, threshold=0.999, k=4, n_probe=2,
+                     seed=3).to_pandas()
+    got = {tuple(sorted(p)) for p in zip(pairs["id_a"], pairs["id_b"])}
+    for p in planted:
+        assert p in got, p
+    # precision: every reported cosine really is above threshold
+    assert (pairs["cos"] >= 0.999).all()
+    assert not pairs["cluster_truncated"].any()
+    capped = semdedup(ds, threshold=0.999, k=4, n_probe=1, seed=3,
+                      max_cluster=5).to_pandas()
+    if len(capped):
+        assert capped["cluster_truncated"].any()
+
+
 def test_decontaminate_planted_overlap(ray_session):
     """Benchmark decontamination (13-gram overlap rule): a doc embedding
     an eval passage is flagged with the exact window count, case
