@@ -2,18 +2,23 @@
 
 One entry point for every stage that consumes an opaque image ``binary``
 column (OCR, multimodal decode/resize/re-encode): magic-byte dispatch to
-the PNG (pngcodec), baseline JPEG (jpegcodec) or baseline TIFF (tiffcodec)
-decoder.  Mirrors the reference's reliance on `file -b --mime-type` +
-ImageMagick's own dispatch (/root/reference/pdf2pdfocr.py:1229-1236,
-1133-1141) without external binaries.
+the PNG (pngcodec), JPEG (jpegcodec), TIFF (tiffcodec), WebP (webpcodec,
+lossless VP8L and lossy VP8), GIF (gifcodec), BMP (bmpcodec) or PNM
+(pnmcodec) decoder.  Mirrors the reference's reliance on
+`file -b --mime-type` + ImageMagick's own dispatch
+(/root/reference/pdf2pdfocr.py:1229-1236, 1133-1141) without external
+binaries.
 """
 
 from __future__ import annotations
 
 import numpy as np
 
+from .bmpcodec import decode_bmp
+from .gifcodec import GIF_MAGICS, decode_gif
 from .jpegcodec import decode_jpeg
 from .pngcodec import decode_png
+from .pnmcodec import PNM_MAGIC_RE, decode_pnm
 from .tiffcodec import decode_tiff
 from .webpcodec import decode_webp
 
@@ -45,6 +50,13 @@ def sniff_image_format(payload: bytes) -> str | None:
         return "raw"
     if payload.startswith(WEBP_RIFF) and payload[8:12] == b"WEBP":
         return "webp"
+    if payload[:6] in GIF_MAGICS:
+        return "gif"
+    # BMP: "BM" + 4-byte size + the two reserved words, zero per spec
+    if payload[:2] == b"BM" and payload[6:10] == b"\x00\x00\x00\x00":
+        return "bmp"
+    if PNM_MAGIC_RE.match(payload):
+        return "pnm"
     return None
 
 
@@ -59,22 +71,30 @@ def decode_image(payload: bytes) -> np.ndarray:
     if fmt == "tiff":
         return decode_tiff(payload)[0]
     if fmt == "webp":
-        # lossless (VP8L) decodes for real; lossy VP8 raises
-        # NotImplementedError out of webpcodec (multimodal strict gate)
+        # lossless (VP8L) and lossy VP8 keyframes both decode for real
         return decode_webp(payload)
+    if fmt == "gif":
+        return decode_gif(payload)[0]
+    if fmt == "bmp":
+        return decode_bmp(payload)
+    if fmt == "pnm":
+        return decode_pnm(payload)
     if fmt == "raw":
         h = int.from_bytes(payload[4:8], "little")
         w = int.from_bytes(payload[8:12], "little")
         if len(payload) < 12 + h * w * 3:
             raise ValueError("truncated RAWB frame")
         return np.frombuffer(payload, np.uint8, h * w * 3, offset=12).reshape(h, w, 3)
-    raise ValueError("unknown image format (not PNG/JPEG/TIFF/WebP/RAWB)")
+    raise ValueError(
+        "unknown image format (not PNG/JPEG/TIFF/WebP/GIF/BMP/PNM/RAWB)")
 
 
 def decode_image_frames(payload: bytes) -> list[np.ndarray]:
     """Image bytes -> list of (H,W,3) uint8 frames (len > 1 only for
-    multi-frame TIFF — the S5 fan-out case)."""
+    multi-frame TIFF and animated GIF — the S5 fan-out cases)."""
     fmt = sniff_image_format(payload)
     if fmt == "tiff":
         return decode_tiff(payload)
+    if fmt == "gif":
+        return decode_gif(payload)
     return [decode_image(payload)]

@@ -3,9 +3,11 @@ columns with typed metadata.
 
 The Ray-side plumbing — schemas, actor-pool stages, batch sizing for wide
 binary rows, error columns — is real and tested.  Image codecs are REAL
-and in-process: PNG (pngcodec), baseline JPEG (jpegcodec, decode+encode),
-baseline multi-frame TIFF (tiffcodec).  Codec internals that still need
-native libraries absent from this container (audio resample, video demux)
+and in-process: PNG (pngcodec), JPEG incl. progressive (jpegcodec,
+decode+encode), multi-frame TIFF (tiffcodec), WebP lossless+lossy
+(webpcodec/vp8codec), GIF incl. animation (gifcodec), BMP (bmpcodec),
+PNM (pnmcodec).  Codec internals that still need
+native libraries absent from this container (AAC audio, H.264 video)
 remain STUBBED: they either raise NotImplementedError (``strict=True``) or
 produce a clearly-marked deterministic fake derived from the payload hash
 (``strict=False``), so those pipelines exercise the full distributed path

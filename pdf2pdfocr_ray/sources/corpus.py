@@ -123,15 +123,24 @@ def _render_scan(rng: np.random.Generator) -> tuple[np.ndarray, str]:
     return img, normalize_ligatures("\n".join(lines)) + "\n"
 
 
+def _pad_to(img: np.ndarray, h: int, w: int) -> np.ndarray:
+    """White-pad a scan render to (h, w) — animated-GIF frames must share
+    the logical screen size; white margin is OCR-invariant."""
+    out = np.full((h, w, 3), 255, np.uint8)
+    out[: img.shape[0], : img.shape[1]] = img
+    return out
+
+
 def _make_image_doc(rng: np.random.Generator) -> tuple[bytes, str, int]:
-    """One image document: PNG (~40%), baseline JPEG (~20%), progressive
-    JPEG (~10%, the web's dominant large-photo encoding), lossless WebP
-    (~10%), or multi-frame TIFF (~20%, 2-3 frames -> the S5 fan-out
-    path).  Returns (payload, golden_text, n_pages).  JPEG at quality 95
-    — lossy but verified above the OCR engine's binarization robustness
-    margin; WebP lossless is exact."""
+    """One image document: PNG (~30%), baseline JPEG (~18%), progressive
+    JPEG (~9%), lossless WebP (~5%), lossy-VP8 WebP (~5%), single-frame
+    GIF (~6%, mixed interlace/local-palette), BMP (~4%), P6 PPM (~3%),
+    multi-frame TIFF (~14%) or animated GIF (~6%) — the last two hit the
+    S5 fan-out path.  Returns (payload, golden_text, n_pages).  JPEG at
+    quality 95 and VP8 at q_index 6 are lossy but verified above the OCR
+    engine's binarization robustness margin; the others are exact."""
     fmt = rng.random()
-    if fmt < 0.2:
+    if fmt < 0.14:
         from ..functions.tiffcodec import encode_tiff
 
         n_frames = int(rng.integers(2, 4))
@@ -147,27 +156,63 @@ def _make_image_doc(rng: np.random.Generator) -> tuple[bytes, str, int]:
             "".join(texts),
             n_frames,
         )
+    if fmt < 0.2:
+        from ..functions.gifcodec import encode_gif
+
+        n_frames = int(rng.integers(2, 4))
+        frames, texts = [], []
+        for _ in range(n_frames):
+            img, text = _render_scan(rng)
+            frames.append(img)
+            texts.append(text)
+        h = max(f.shape[0] for f in frames)
+        w = max(f.shape[1] for f in frames)
+        frames = [_pad_to(f, h, w) for f in frames]
+        return (
+            encode_gif(frames, interlace=bool(rng.random() < 0.5)),
+            "".join(texts),
+            n_frames,
+        )
     img, text = _render_scan(rng)
-    if fmt < 0.4:
+    if fmt < 0.38:
         from ..functions.jpegcodec import encode_jpeg
 
         return encode_jpeg(img, quality=95), text, 1
-    if fmt < 0.5:
+    if fmt < 0.47:
         from ..functions.jpegcodec import encode_jpeg_progressive
 
         return encode_jpeg_progressive(img, quality=95), text, 1
-    if fmt < 0.55:
+    if fmt < 0.52:
         from ..functions.webpcodec import encode_webp
 
         # palette path: scan pages are few-color, so this exercises the
         # color-indexing decode (incl. bundled sub-byte widths) for real
         return encode_webp(img, palette=True), text, 1
-    if fmt < 0.6:
+    if fmt < 0.57:
         from ..functions.webpcodec import encode_webp_lossy
 
         # lossy VP8 (the dominant real-crawl webp flavor): q_index 6 is
         # far above the OCR binarization robustness margin, like JPEG 95
         return encode_webp_lossy(img, q_index=6), text, 1
+    if fmt < 0.63:
+        from ..functions.gifcodec import encode_gif
+
+        # exercise interlace and local-color-table decode paths for real
+        return (
+            encode_gif(img, interlace=bool(rng.random() < 0.5),
+                       local_palettes=bool(rng.random() < 0.3)),
+            text,
+            1,
+        )
+    if fmt < 0.67:
+        from ..functions.bmpcodec import encode_bmp
+
+        return encode_bmp(img), text, 1
+    if fmt < 0.7:
+        from ..functions.pnmcodec import encode_pnm
+
+        # P6 PPM: what the reference's pdftoppm emits (pdf2pdfocr.py:56-75)
+        return encode_pnm(img), text, 1
     return encode_png(img), text, 1
 
 

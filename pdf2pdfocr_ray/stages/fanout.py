@@ -126,15 +126,17 @@ class FanOut:
                     emit(url, ts, route, 0, 1, 0, None, None, f"html_parse: {e}")
                 continue
             if route == ROUTE_IMAGE:
-                # S5: multi-frame containers (TIFF IFD chain) fan out to
-                # numbered page rows (reference pdf2pdfocr.py:1133-1138);
-                # single-frame payloads pass through undecoded (the OCR
-                # stage owns the decode).
-                if payload[:4] in (b"II*\x00", b"MM\x00*"):
+                # S5: multi-frame containers (TIFF IFD chain, animated
+                # GIF) fan out to numbered page rows (reference
+                # pdf2pdfocr.py:1133-1138); single-frame payloads pass
+                # through undecoded (the OCR stage owns the decode).
+                if payload[:4] in (b"II*\x00", b"MM\x00*") or payload[:6] in (
+                    b"GIF87a", b"GIF89a"
+                ):
                     try:
-                        from ..functions.tiffcodec import decode_tiff
+                        from ..functions.imagecodec import decode_image_frames
 
-                        frames = decode_tiff(payload)
+                        frames = decode_image_frames(payload)
                     except ValueError as e:
                         emit(url, ts, route, 0, 1, 0, None, None,
                              f"image_decode: {e}")

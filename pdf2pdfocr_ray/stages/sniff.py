@@ -13,7 +13,8 @@ ROUTE_IMAGE = "image"
 ROUTE_HTML = "html"
 ROUTE_ERROR = "error"
 
-_IMAGE_MAGICS = (b"\x89PNG\r\n\x1a\n", b"\xff\xd8\xff", b"II*\x00", b"MM\x00*")
+_IMAGE_MAGICS = (b"\x89PNG\r\n\x1a\n", b"\xff\xd8\xff", b"II*\x00", b"MM\x00*",
+                 b"GIF87a", b"GIF89a")
 
 
 def sniff_route(batch: pa.Table) -> pa.Table:
@@ -30,6 +31,16 @@ def sniff_route(batch: pa.Table) -> pa.Table:
     # WebP: RIFF container with a WEBP form type at offset 8
     is_img = pc.or_(
         is_img, pc.match_substring_regex(col, r"^RIFF(?s:.{4})WEBP")
+    )
+    # BMP: "BM" + 4-byte size + two reserved words, zero per spec ("BM"
+    # alone is too weak a prefix for crawl payloads)
+    is_img = pc.or_(
+        is_img, pc.match_substring_regex(col, r"^BM(?s:.{4})\x00\x00\x00\x00")
+    )
+    # PNM: P1-P6 magic then whitespace or a '#' comment (pdftoppm's output
+    # family, reference pdf2pdfocr.py:56-75)
+    is_img = pc.or_(
+        is_img, pc.match_substring_regex(col, r"^P[1-6][\s#]")
     )
     # html: first non-whitespace (or post-BOM) byte is '<' — crawl payloads
     # frequently lead with whitespace or a UTF-8 BOM.
