@@ -213,6 +213,23 @@ def _make_image_doc(rng: np.random.Generator) -> tuple[bytes, str, int]:
 
         # P6 PPM: what the reference's pdftoppm emits (pdf2pdfocr.py:56-75)
         return encode_pnm(img), text, 1
+    if fmt < 0.85:
+        # real-crawl PNG flavors: palette / gray color types, adaptive
+        # per-row filters (libpng default), Adam7 — exercises the full
+        # decode surface; scan renders are few-color so palette is exact
+        ct = ("palette", "gray", "rgb")[int(rng.integers(0, 3))]
+        if ct == "gray" and not (
+            (img[..., 0] == img[..., 1]).all()
+            and (img[..., 1] == img[..., 2]).all()
+        ):
+            ct = "rgb"
+        return (
+            encode_png(img, colortype=ct,
+                       filter_type="adaptive" if rng.random() < 0.7 else 4,
+                       interlace=bool(rng.random() < 0.3)),
+            text,
+            1,
+        )
     return encode_png(img), text, 1
 
 

@@ -31,3 +31,94 @@ def test_bad_magic_rejected():
 def test_magic_prefix():
     img = np.zeros((2, 2, 3), dtype=np.uint8)
     assert encode_png(img).startswith(b"\x89PNG\r\n\x1a\n")
+
+
+# ---------------------------------------------------------------------------
+# full-spec decode surface (color types, depths, filters, Adam7, tRNS)
+# ---------------------------------------------------------------------------
+
+import struct
+import zlib
+
+import pytest
+
+from pdf2pdfocr_ray.functions.pngcodec import _MAGIC, _chunk
+
+
+def _few_color_img(h=37, w=53, ncol=7, seed=0):
+    rng = np.random.default_rng(seed)
+    pal = rng.integers(0, 256, (ncol, 3), dtype=np.uint8)
+    return pal[rng.integers(0, ncol, (h, w))]
+
+
+@pytest.mark.parametrize("colortype", ["rgb", "gray", "palette"])
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4, "adaptive"])
+@pytest.mark.parametrize("interlace", [False, True])
+def test_png_full_matrix_roundtrip(colortype, filter_type, interlace):
+    rng = np.random.default_rng(1)
+    if colortype == "gray":
+        img = np.repeat(rng.integers(0, 256, (37, 53, 1), np.uint8), 3, axis=2)
+    elif colortype == "palette":
+        img = _few_color_img()
+    else:
+        img = rng.integers(0, 256, (37, 53, 3), dtype=np.uint8)
+    enc = encode_png(img, colortype=colortype, filter_type=filter_type,
+                     interlace=interlace)
+    assert np.array_equal(decode_png(enc), img)
+
+
+def _build_png(w, h, depth, ct, row_bytes_list, extra=b""):
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ct, 0, 0, 0)
+    rows = b"".join(b"\x00" + r for r in row_bytes_list)
+    return (_MAGIC + _chunk(b"IHDR", ihdr) + extra
+            + _chunk(b"IDAT", zlib.compress(rows)) + _chunk(b"IEND", b""))
+
+
+def test_png_rgba_composites_over_white():
+    px = np.array([[[255, 0, 0, 255], [0, 255, 0, 0], [10, 20, 30, 128]]],
+                  np.uint8)
+    d = decode_png(_build_png(3, 1, 8, 6, [px[0].tobytes()]))
+    assert tuple(d[0, 0]) == (255, 0, 0)
+    assert tuple(d[0, 1]) == (255, 255, 255)
+    assert d[0, 2, 0] == (10 * 128 + 255 * 127) // 255
+
+
+def test_png_gray_alpha_and_16bit():
+    ga = np.array([[[0, 255], [128, 0]]], np.uint8)
+    d = decode_png(_build_png(2, 1, 8, 4, [ga[0].tobytes()]))
+    assert tuple(d[0, 0]) == (0, 0, 0) and tuple(d[0, 1]) == (255, 255, 255)
+    r16 = np.array([[[65535, 0, 32768]]], ">u2")
+    d = decode_png(_build_png(1, 1, 16, 2, [r16.tobytes()]))
+    assert tuple(d[0, 0]) == (255, 0, 128)
+
+
+def test_png_subbyte_gray_depths():
+    bits = np.packbits(np.array([[1, 0, 1, 1, 0, 1, 0, 0, 1, 1]], np.uint8),
+                       axis=1)
+    d = decode_png(_build_png(10, 1, 1, 0, [bits[0].tobytes()]))
+    assert tuple(d[0, 0]) == (255, 255, 255) and tuple(d[0, 1]) == (0, 0, 0)
+    d = decode_png(_build_png(2, 1, 4, 0, [bytes([0xF8])]))
+    assert tuple(d[0, 0]) == (255, 255, 255)
+    assert d[0, 1, 0] == 8 * 255 // 15
+
+
+def test_png_trns_palette_and_colorkey():
+    pal = np.array([[10, 20, 30], [200, 100, 50]], np.uint8)
+    d = decode_png(_build_png(
+        2, 1, 8, 3, [bytes([0, 1])],
+        extra=_chunk(b"PLTE", pal.tobytes()) + _chunk(b"tRNS", bytes([0]))))
+    assert tuple(d[0, 0]) == (255, 255, 255)
+    assert tuple(d[0, 1]) == (200, 100, 50)
+    d = decode_png(_build_png(
+        2, 1, 8, 2, [bytes([1, 2, 3, 7, 8, 9])],
+        extra=_chunk(b"tRNS", struct.pack(">HHH", 1, 2, 3))))
+    assert tuple(d[0, 0]) == (255, 255, 255) and tuple(d[0, 1]) == (7, 8, 9)
+
+
+def test_png_invalid_headers_rejected():
+    with pytest.raises(ValueError, match="bad color type"):
+        decode_png(_build_png(1, 1, 8, 5, [b"\x00"]))
+    with pytest.raises(ValueError, match="bad bit depth"):
+        decode_png(_build_png(1, 1, 3, 0, [b"\x00"]))
+    with pytest.raises(ValueError, match="invalid for type"):
+        decode_png(_build_png(1, 1, 4, 2, [b"\x00"]))
