@@ -608,6 +608,61 @@ def _q_dsir_weights(sf_dir: str):
     )
 
 
+def _q_quality_classifier(sf_dir: str):
+    """Trained hashed-ngram quality classifier (the CCNet/RefinedWeb
+    filtering step, ops/text_classifier.py): labels from a deterministic
+    lexical rule (whitespace-token 'customer' present), train on
+    doc_id % 5 != 0, score the held-out fifth.  ORACLE-CHECKED verdict
+    row: the split and label counts are real SQL; held-out accuracy
+    >= 0.95 and byte-identical retrain (full-batch training is
+    partition-independent) are asserted in-query and hashed as verdict
+    columns."""
+    import pandas as pd
+
+    from pdf2pdfocr_ray.ops.relational import read
+    from pdf2pdfocr_ray.ops.text_classifier import (
+        score_quality_classifier,
+        train_quality_classifier,
+    )
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        lambda df: df.assign(
+            label=df["text"].str.lower().str.contains(
+                r"(?:^|\s)customer(?:\s|$)", regex=True).astype("int64")
+        ),
+        batch_format="pandas",
+    ).materialize()
+    train = ds.map_batches(
+        lambda df: df[df["doc_id"] % 5 != 0], batch_format="pandas"
+    ).materialize()
+    test = ds.map_batches(
+        lambda df: df[df["doc_id"] % 5 == 0], batch_format="pandas")
+    # L1 sparsifies the templated background vocabulary; the held-out
+    # fifth then classifies perfectly on the presence feature
+    model = train_quality_classifier(
+        train, dim=1 << 16, epochs=30, l1=1e-2)
+    model2 = train_quality_classifier(
+        train, dim=1 << 16, epochs=30, l1=1e-2)
+    scored = score_quality_classifier(test, model).to_pandas()
+    acc = float(
+        ((scored["quality_prob"] >= 0.5).astype("int64")
+         == scored["label"]).mean())
+    assert acc >= 0.95, acc
+    n_docs = int(ds.count())
+    return pd.DataFrame(
+        {
+            "n_docs": pd.Series([n_docs], dtype="int64"),
+            "n_train": pd.Series([int(train.count())], dtype="int64"),
+            "n_test": pd.Series([len(scored)], dtype="int64"),
+            "n_target": pd.Series(
+                [int(scored["label"].sum())
+                 + int(train.to_pandas()["label"].sum())], dtype="int64"),
+            "test_accuracy_ok": [bool(acc >= 0.95)],
+            "model_deterministic": [bool(model2["w"] == model["w"])],
+        }
+    )
+
+
 def _q_substring_dedup(sf_dir: str):
     """Substring-level exact dedup census (Lee et al. 2022 shape):
     per doc, how many of its word-8-gram spans occur in >= 2 distinct
@@ -2549,6 +2604,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": _q_decontaminate,
         "semdedup": _q_semdedup,
         "dsir_weights": _q_dsir_weights,
+        "quality_classifier": _q_quality_classifier,
         "dedup_purge": _q_dedup_purge,
         "curation_pipeline": _q_curation_pipeline,
         # ---- rows-only tail (self-checking asserts live in-query)
@@ -3212,6 +3268,15 @@ def _oracle_sql_static() -> dict[str, str]:
             "count(*) FILTER (WHERE text LIKE '%customer%')::BIGINT "
             "AS n_target, true AS target_scores_higher, "
             "true AS weights_finite FROM documents"
+        ),
+        "quality_classifier": (
+            "SELECT count(*)::BIGINT AS n_docs, "
+            "count(*) FILTER (WHERE doc_id % 5 != 0)::BIGINT AS n_train, "
+            "count(*) FILTER (WHERE doc_id % 5 = 0)::BIGINT AS n_test, "
+            "count(*) FILTER (WHERE regexp_matches(lower(text), "
+            "'(^|\\s)customer(\\s|$)'))::BIGINT "
+            "AS n_target, true AS test_accuracy_ok, "
+            "true AS model_deterministic FROM documents"
         ),
         # full-semantics oracle: SQL recomputes the substring-dedup
         # census itself (tokens -> windows -> distinct-doc df -> counts)

@@ -161,6 +161,8 @@ BENCH_QUERIES = [
     "ann_pq",
     "substring_dedup",
     "dsir_weights",
+    # round-4 fourth wave: trained quality-classifier filtering
+    "quality_classifier",
 ]
 
 
