@@ -2399,13 +2399,22 @@ def _q_audio_features(sf_dir: str):
             freq = 160 + (int(did) % 5) * 16  # whole cycles per 1000 samples
             t = np.arange(n) / 16000.0
             pcm = amp * np.sin(2 * np.pi * freq * t)
-            if did % 3 == 0:  # FLAC rows: same PCM, other container
+            m = did % 6
+            if m == 0:  # FLAC rows: same PCM, other container
                 payloads.append(
                     encode_flac((pcm * 32767).astype(np.int16), 16000))
-            elif did % 3 == 1:  # MP3 rows: lossy, frame-padded, 44.1k
+            elif m == 1:  # MP3 rows: lossy, frame-padded, 44.1k
                 from pdf2pdfocr_ray.functions.mp3codec import encode_mp3
 
                 payloads.append(encode_mp3(pcm, 44100))
+            elif m == 3:  # G.711 A-law (telephony WAV, format tag 6)
+                from pdf2pdfocr_ray.functions.wavcodec import encode_alaw
+
+                payloads.append(encode_alaw(pcm, 16000))
+            elif m == 4:  # G.711 mu-law (format tag 7)
+                from pdf2pdfocr_ray.functions.wavcodec import encode_mulaw
+
+                payloads.append(encode_mulaw(pcm, 16000))
             else:
                 payloads.append(encode_wav(pcm, 16000))
         out = batch.copy()
@@ -2423,15 +2432,18 @@ def _q_audio_features(sf_dir: str):
     def digest(batch: pd.DataFrame) -> pd.DataFrame:
         amp = 0.1 + (batch["doc_id"] % 8) * 0.1
         n_in = 4000 + (batch["doc_id"] % 5) * 1000
-        is_mp3 = batch["doc_id"] % 3 == 1
+        is_mp3 = batch["doc_id"] % 6 == 1
+        is_g711 = (batch["doc_id"] % 6).isin([3, 4])
         # mp3 rows: rms diluted by the frame padding, lossy tolerance
         expected = (amp / np.sqrt(2)) * np.where(
             is_mp3, np.sqrt(n_in / batch["n_samples"].astype(float)), 1.0)
-        # lossy floor: measured max relative rms error over all 120
+        # lossy floors: mp3 measured max relative rms error over all 120
         # deterministic (n, amp, freq) combos is 6.7% (short clips pay
         # the encoder warmup transient); 12% = ~2x margin while still
-        # failing hard on any broken decode
-        tol = np.where(is_mp3, 0.12 * expected, 1e-3)
+        # failing hard on any broken decode.  G.711 log-PCM measured max
+        # 0.57%; 1.2% = ~2x margin.
+        tol = np.where(is_mp3, 0.12 * expected,
+                       np.where(is_g711, 0.012 * expected, 1e-3))
         return pd.DataFrame(
             {
                 "doc_id": batch["doc_id"],
@@ -3171,10 +3183,10 @@ def _oracle_sql_static() -> dict[str, str]:
             "WITH base AS (SELECT doc_id, "
             "(4000 + (doc_id % 5) * 1000) AS n_in FROM documents) "
             "SELECT doc_id, "
-            "CASE WHEN doc_id % 3 = 1 "
+            "CASE WHEN doc_id % 6 = 1 "
             "THEN (CAST(ceil(n_in / 1152.0) AS BIGINT) * 1152) "
             "ELSE n_in::BIGINT END AS n_samples, "
-            "CASE WHEN doc_id % 3 = 1 "
+            "CASE WHEN doc_id % 6 = 1 "
             "THEN CAST(floor(CAST(ceil(n_in / 1152.0) AS BIGINT) * 1152 "
             "* 1000.0 / 44100.0) AS BIGINT) "
             "ELSE CAST(floor(n_in / 16.0) AS BIGINT) END AS duration_ms, "

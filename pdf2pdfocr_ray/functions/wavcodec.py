@@ -20,6 +20,71 @@ _FMT_DTYPES = {
 }
 
 
+def _g711_tables() -> tuple[np.ndarray, np.ndarray]:
+    """G.711 expansion tables, derived from the ITU formulas (both laws
+    are pure segment/mantissa codecs — no tabulated constants).
+
+    A-law: code XORed with 0x55; segment s = bits 4-6, mantissa m = bits
+    0-3; magnitude = (m<<4)+8 for s=0 else ((m<<4)+0x108) << (s-1).
+    mu-law: code inverted; magnitude = ((m<<3)+0x84) << s, minus the 0x84
+    bias."""
+    codes = np.arange(256, dtype=np.uint8)
+
+    a = codes ^ 0x55
+    sign_a = np.where(a & 0x80, 1.0, -1.0)  # MSB set = positive in A-law
+    seg = (a >> 4) & 0x07
+    man = (a & 0x0F).astype(np.int64)
+    mag = np.where(seg == 0, (man << 4) + 8, ((man << 4) + 0x108) << np.maximum(seg - 1, 0))
+    alaw = (sign_a * mag).astype(np.int64)
+
+    u = (~codes) & 0xFF
+    sign_u = np.where(codes & 0x80, 1.0, -1.0)  # inverted-domain MSB: code
+    # 0x00 -> u=0xFF (sign bit set) = negative full-scale -32124
+    seg_u = (u >> 4) & 0x07
+    man_u = (u & 0x0F).astype(np.int64)
+    mag_u = (((man_u << 3) + 0x84) << seg_u) - 0x84
+    mulaw = (sign_u * mag_u).astype(np.int64)
+    return alaw, mulaw
+
+
+_ALAW_TABLE, _MULAW_TABLE = _g711_tables()
+
+
+def encode_alaw(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """float [-1, 1] (n,) or (n, ch) -> A-law WAV bytes (format tag 6),
+    encoded by nearest-magnitude inverse of the expansion table."""
+    return _encode_g711(samples, rate, fmt_tag=6)
+
+
+def encode_mulaw(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """float [-1, 1] -> mu-law WAV bytes (format tag 7)."""
+    return _encode_g711(samples, rate, fmt_tag=7)
+
+
+def _encode_g711(samples: np.ndarray, rate: int, fmt_tag: int) -> bytes:
+    table = _ALAW_TABLE if fmt_tag == 6 else _MULAW_TABLE
+    x = np.asarray(samples, dtype=np.float64)
+    if x.ndim == 1:
+        x = x[:, None]
+    ch = x.shape[1]
+    pcm = np.clip(np.round(x * 32767.0), -32768, 32767).astype(np.int64)
+    # nearest expanded value via the sorted table (256 entries)
+    order = np.argsort(table)
+    sorted_vals = table[order]
+    pos = np.searchsorted(sorted_vals, pcm.reshape(-1))
+    pos = np.clip(pos, 1, 255)
+    left = sorted_vals[pos - 1]
+    right = sorted_vals[np.minimum(pos, 255)]
+    pick = np.where(np.abs(pcm.reshape(-1) - left)
+                    <= np.abs(right - pcm.reshape(-1)), pos - 1, pos)
+    codes = order[pick].astype(np.uint8)
+    payload = codes.tobytes()
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(payload)) + b"WAVE"
+    fmt = struct.pack("<HHIIHH", fmt_tag, ch, rate, rate * ch, ch, 8)
+    return (hdr + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(payload)) + payload)
+
+
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     """WAV bytes -> (samples float64 in [-1, 1] of shape (n, channels),
     sample_rate)."""
@@ -43,11 +108,19 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     if fmt is None or payload is None:
         raise ValueError("WAV missing fmt/data chunk")
     audio_fmt, channels, rate, _byte_rate, _block, bits = fmt
+    if audio_fmt in (6, 7):  # G.711 A-law / mu-law (telephony WAVs)
+        raw8 = np.frombuffer(payload, dtype=np.uint8)
+        pcm = (_ALAW_TABLE if audio_fmt == 6 else _MULAW_TABLE)[raw8]
+        if channels > 1:
+            pcm = pcm[: len(pcm) - len(pcm) % channels].reshape(-1, channels)
+        else:
+            pcm = pcm.reshape(-1, 1)
+        return pcm.astype(np.float64) / 32767.0, int(rate)
     dtype = _FMT_DTYPES.get((audio_fmt, bits))
     if dtype is None:
         raise ValueError(
-            f"unsupported WAV format {audio_fmt}/{bits}-bit (PCM 8/16/32 "
-            "and float32 only)"
+            f"unsupported WAV format {audio_fmt}/{bits}-bit (PCM 8/16/32, "
+            "float32, A-law, mu-law only)"
         )
     raw = np.frombuffer(payload, dtype=dtype)
     if channels > 1:

@@ -159,15 +159,29 @@ def _make_image_doc(rng: np.random.Generator) -> tuple[bytes, str, int]:
     if fmt < 0.2:
         from ..functions.gifcodec import encode_gif
 
+        # Animated GIF frames must share ONE logical screen size, but the
+        # padding has to land on the margin sides of the PRE-rotation
+        # page (pad-after-rot puts white on a side the OCR's derotation
+        # maps elsewhere, skewing the joint rot+deskew estimate): shear
+        # first, square-pad right/bottom, THEN rotate.
         n_frames = int(rng.integers(2, 4))
-        frames, texts = [], []
+        rendered, texts, rots = [], [], []
         for _ in range(n_frames):
-            img, text = _render_scan(rng)
-            frames.append(img)
-            texts.append(text)
-        h = max(f.shape[0] for f in frames)
-        w = max(f.shape[1] for f in frames)
-        frames = [_pad_to(f, h, w) for f in frames]
+            lines = [_pdf_line(rng) for _ in range(int(rng.integers(1, 4)))]
+            img = render_page(
+                lines, dpi=72,
+                ink=COLOR_INK if rng.random() < 0.2 else (0, 0, 0))
+            if rng.random() < 0.3:
+                img = apply_shear(
+                    img,
+                    float(DESKEW_SLOPES[rng.integers(0, len(DESKEW_SLOPES))]))
+            rots.append(int(rng.integers(0, 4)) if rng.random() < 0.3 else 0)
+            rendered.append(img)
+            texts.append(normalize_ligatures("\n".join(lines)) + "\n")
+        side = max(max(f.shape[0] for f in rendered),
+                   max(f.shape[1] for f in rendered))
+        frames = [apply_rot90(_pad_to(f, side, side), k)
+                  for f, k in zip(rendered, rots)]
         return (
             encode_gif(frames, interlace=bool(rng.random() < 0.5)),
             "".join(texts),
@@ -307,11 +321,15 @@ GIANT_EVERY = 150  # every 150th doc is a skewed giant PDF (repartition/skew pat
 
 # Bump when generated content changes — cache keys (bench corpus dirs)
 # embed it so stale corpora from earlier generators never get reused.
-CORPUS_VERSION = "r4c"  # r3: WebP image docs; r3b/c: scanned-page PDFs
+CORPUS_VERSION = "r4e"  # r3: WebP image docs; r3b/c: scanned-page PDFs
 # (DCT / gray-Flate / CCITT-G4 / JBIG2 embedded images, 2% of docs);
 # r3d: realistic HTML variants (inline markup, nested script junk,
 # blockquotes, unclosed tags, BOM payloads); r4a: lossy-VP8 image docs;
-# r4b: symbol-coded JBIG2 scanned pages; r4c: G3 (T.4) scanned pages
+# r4b: symbol-coded JBIG2 scanned pages; r4c: G3 (T.4) scanned pages;
+# r4d: GIF (single + animated) / BMP / PPM image docs + variant PNG
+# flavors (palette/gray color types, adaptive filters, Adam7);
+# r4e: animated-GIF frames square-pad BEFORE rotation (25/120k joint
+# rot+deskew misestimates on pad-after-rot frames)
 
 
 def _gen_doc(i: int, seed: int):

@@ -397,3 +397,37 @@ def test_popcount64_vectorized():
     vals[:3] = [0, 1, 2**64 - 1]
     ref = np.array([bin(int(v)).count("1") for v in vals], dtype=np.int64)
     assert (popcount64(vals) == ref).all()
+
+
+def test_wav_g711_alaw_mulaw_decode():
+    """G.711 telephony WAVs (format tags 6/7): tables derive from the
+    ITU segment/mantissa formulas; anchors pinned against the published
+    expansion values."""
+    import numpy as np
+
+    from pdf2pdfocr_ray.functions.wavcodec import (
+        _ALAW_TABLE,
+        _MULAW_TABLE,
+        decode_wav,
+        encode_alaw,
+        encode_mulaw,
+    )
+
+    # published anchor values (ITU G.711 expansion)
+    assert _MULAW_TABLE[0x00] == -32124 and _MULAW_TABLE[0x80] == 32124
+    assert _MULAW_TABLE[0xFF] == 0 and _MULAW_TABLE[0x7F] == 0
+    assert _ALAW_TABLE[0x55] == -8 and _ALAW_TABLE[0xD5] == 8
+    assert _ALAW_TABLE[0x00] == -5504
+    assert _ALAW_TABLE.max() == 32256 and _MULAW_TABLE.max() == 32124
+
+    rng = np.random.default_rng(0)
+    x = (rng.random(2000) * 2 - 1) * 0.8
+    for enc in (encode_alaw, encode_mulaw):
+        y, rate = decode_wav(enc(x, 8000))
+        assert rate == 8000 and y.shape == (2000, 1)
+        snr = 10 * np.log10((x ** 2).mean() / ((y[:, 0] - x) ** 2).mean())
+        assert snr > 30, snr
+    # stereo interleave
+    x2 = np.stack([x, -x], axis=1)
+    y2, _ = decode_wav(encode_mulaw(x2, 8000))
+    assert y2.shape == (2000, 2)
