@@ -608,6 +608,30 @@ def _q_dsir_weights(sf_dir: str):
     )
 
 
+def _q_domain_mix(sf_dir: str):
+    """Temperature-based domain rebalancing (sample domain ∝ n_d^alpha,
+    the multilingual-training mixing rule).  The documents table's
+    sources are uniform, so a SKEWED domain is synthesized from doc_id
+    (60/30/10) with the same construction in SQL — the heavy domain must
+    actually downsample.  ORACLE-CHECKED end to end: DuckDB recomputes
+    the per-domain counts, tempered acceptance rates and the md5
+    acceptance rule, so the hash pins the operator's exact row-level
+    semantics."""
+    import pandas as pd
+
+    from pdf2pdfocr_ray.ops.relational import read
+    from pdf2pdfocr_ray.ops.text_analysis import domain_mix
+
+    ds = read(sf_dir, "documents", ["doc_id"]).map_batches(
+        lambda df: df.assign(
+            domain="d" + pd.cut(df["doc_id"] % 10, [-1, 5, 8, 9],
+                                labels=["0", "1", "2"]).astype(str)),
+        batch_format="pandas",
+    )
+    return domain_mix(ds, domain_col="domain", alpha=0.5).select_columns(
+        ["doc_id", "domain"])
+
+
 def _q_quality_classifier(sf_dir: str):
     """Trained hashed-ngram quality classifier (the CCNet/RefinedWeb
     filtering step, ops/text_classifier.py): labels from a deterministic
@@ -2617,6 +2641,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semdedup": _q_semdedup,
         "dsir_weights": _q_dsir_weights,
         "quality_classifier": _q_quality_classifier,
+        "domain_mix": _q_domain_mix,
         "dedup_purge": _q_dedup_purge,
         "curation_pipeline": _q_curation_pipeline,
         # ---- rows-only tail (self-checking asserts live in-query)
@@ -3280,6 +3305,22 @@ def _oracle_sql_static() -> dict[str, str]:
             "count(*) FILTER (WHERE text LIKE '%customer%')::BIGINT "
             "AS n_target, true AS target_scores_higher, "
             "true AS weights_finite FROM documents"
+        ),
+        # full-semantics oracle: SQL recomputes counts -> tempered rates
+        # -> md5 acceptance, row for row
+        "domain_mix": (
+            "WITH tagged AS (SELECT doc_id, 'd' || "
+            "(CASE WHEN doc_id % 10 <= 5 THEN 0 "
+            "WHEN doc_id % 10 <= 8 THEN 1 ELSE 2 END) AS domain "
+            "FROM documents), "
+            "counts AS (SELECT domain, count(*)::DOUBLE AS n "
+            "FROM tagged GROUP BY domain), "
+            "rates AS (SELECT domain, pow(n, -0.5) / "
+            "(SELECT max(pow(n, -0.5)) FROM counts) AS rate FROM counts) "
+            "SELECT t.doc_id, t.domain FROM tagged t "
+            "JOIN rates r USING (domain) "
+            "WHERE ('0x' || substr(md5('mix1' || t.doc_id), 1, 16))::UBIGINT "
+            "% 1000000 < CAST(floor(r.rate * 1000000) AS UBIGINT)"
         ),
         "quality_classifier": (
             "SELECT count(*)::BIGINT AS n_docs, "

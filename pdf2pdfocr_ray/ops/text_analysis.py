@@ -483,6 +483,61 @@ def hash_split(
     return ds.map_batches(assign, batch_format="pandas")
 
 
+def domain_mix(
+    ds: "ray.data.Dataset",
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+    seed: str = "mix1",
+) -> "ray.data.Dataset":
+    """Temperature-based domain rebalancing (the multilingual-training
+    mixing rule: sample domain d with probability ∝ n_d^alpha).
+
+    One-pass filter formulation: per-domain acceptance rate
+    ``r_d = n_d^(alpha-1) / max_d n_d^(alpha-1)`` — at alpha < 1 the
+    rarest domain keeps everything and heavy domains are deterministically
+    downsampled toward the tempered distribution.  Acceptance is
+    ``md5(seed || id) mod 1e6 < floor(r_d * 1e6)`` — a pure map, stable
+    under re-runs/resharding and reproducible in SQL (same convention as
+    :func:`hash_split`).
+
+    Scale shape: domain counts come from a map-side value_counts combine
+    (domains are a BOUNDED set — sources/langs/hosts-classes, not urls);
+    the rate table broadcasts in the closure; the filter pass is
+    shuffle-free.
+    """
+    if alpha < 0 or alpha > 1:
+        raise ValueError(f"domain_mix: alpha must be in [0, 1], got {alpha}")
+
+    counts_df = ds.map_batches(
+        lambda df: df[domain_col].value_counts().rename_axis(domain_col)
+        .reset_index(name="n"),
+        batch_format="pandas",
+    ).to_pandas().groupby(domain_col)["n"].sum()
+    if counts_df.empty:
+        raise ValueError("domain_mix: empty dataset")
+    pw = counts_df.astype(np.float64) ** (alpha - 1.0)
+    rates = (pw / pw.max()).to_dict()
+    thresholds = {d: int(np.floor(r * 1_000_000)) for d, r in rates.items()}
+
+    def accept(df: pd.DataFrame) -> pd.DataFrame:
+        buckets = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.md5((seed + str(i)).encode()).digest()[:8], "big"
+                )
+                % 1_000_000
+                for i in df[id_col]
+            ),
+            dtype=np.int64,
+            count=len(df),
+        )
+        thr = df[domain_col].map(thresholds).fillna(0).to_numpy(np.int64)
+        return df[buckets < thr]
+
+    return ds.map_batches(accept, batch_format="pandas")
+
+
 # ----------------------------------------------- paragraph-level dedup
 def paragraph_dedup(
     ds: "ray.data.Dataset", text_col: str = "text", id_col: str = "doc_id"

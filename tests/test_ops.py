@@ -1730,3 +1730,35 @@ def test_connected_components_long_chain_doubling(ray_session):
     )
     assert (out["cluster_id"] == 100).all()
     assert out["node"].tolist() == list(range(100, 120))
+
+
+def test_domain_mix_tempering(ray_session):
+    """Temperature resampling: rarest domain keeps everything, heavy
+    domains downsample toward n^alpha shares; deterministic and
+    shuffle-free."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from pdf2pdfocr_ray.ops.text_analysis import domain_mix
+
+    rows = []
+    for i in range(1000):
+        d = "big" if i % 10 < 8 else ("mid" if i % 10 < 9 else "rare")
+        rows.append({"doc_id": i, "source": d})
+    ds = ray.data.from_pandas(pd.DataFrame(rows))
+    kept = domain_mix(ds, alpha=0.5).to_pandas()
+    counts = kept["source"].value_counts()
+    assert counts["rare"] == 100  # rarest keeps all rows
+    # big: n=800 -> rate = sqrt(100/800) ~ 0.3536 -> ~283 expected
+    assert 220 <= counts["big"] <= 340, counts["big"]
+    assert counts["mid"] < 200 and counts["mid"] > 100 * 0.7
+    # deterministic under resharding
+    kept2 = domain_mix(ds.repartition(7), alpha=0.5).to_pandas()
+    assert set(kept2["doc_id"]) == set(kept["doc_id"])
+    # alpha=1: natural distribution, nothing dropped
+    assert domain_mix(ds, alpha=1.0).count() == 1000
+    import pytest
+
+    with pytest.raises(ValueError, match="alpha"):
+        domain_mix(ds, alpha=1.5)
