@@ -632,6 +632,50 @@ def _q_domain_mix(sf_dir: str):
         ["doc_id", "domain"])
 
 
+def _q_wet_roundtrip(sf_dir: str):
+    """WET sink + source (the Common-Crawl extracted-text interchange
+    format): the cached flagship extraction writes sharded
+    .warc.wet.gz conversion records, read_wet streams them back, and the
+    row carries byte-identity vs the golden text (self-checking).
+    ORACLE-CHECKED verdict row: the record/shard counts are pinned (the
+    corpus is synthesized, sf-independent)."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+    import ray.data
+
+    from pdf2pdfocr_ray.sources.wet import read_wet, write_wet
+
+    res, golden = _extract_cached(QUERY_N_DOCS)
+    g = golden.to_pandas() if hasattr(golden, "to_pandas") else golden
+    g = g[~g["extracted_text"].isna()].sort_values("url").reset_index(
+        drop=True)
+    tmp = tempfile.mkdtemp(prefix="wet_q_")
+    try:
+        n = write_wet(
+            ray.data.from_pandas(
+                res[["url", "warc_ts", "extracted_text"]]
+            ).repartition(4),
+            tmp,
+        )
+        import os
+
+        n_shards = len(os.listdir(tmp))
+        back = read_wet(tmp).to_pandas().sort_values("url").reset_index(
+            drop=True)
+        eq = int((back["extracted_text"] == g["extracted_text"]).sum())
+        return pd.DataFrame(
+            {
+                "n_records": pd.Series([n], dtype="int64"),
+                "n_shards": pd.Series([n_shards], dtype="int64"),
+                "n_byte_identical": pd.Series([eq], dtype="int64"),
+            }
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _q_quality_classifier(sf_dir: str):
     """Trained hashed-ngram quality classifier (the CCNet/RefinedWeb
     filtering step, ops/text_classifier.py): labels from a deterministic
@@ -2615,6 +2659,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "benchmark_overlap": _q_benchmark_overlap,
         "group_value_quantiles": _q_group_value_quantiles,
         "warc_ingest": _q_warc_ingest,
+        "wet_roundtrip": _q_wet_roundtrip,
         "sessionize": _q_sessionize,
         "events_by_type": _q_events_by_type,
         "user_event_types": _q_user_event_types,
@@ -3410,6 +3455,10 @@ def _oracle_sql_static() -> dict[str, str]:
         "warc_ingest": (
             "SELECT 60::BIGINT AS n_records, 60::BIGINT AS n_extracted, "
             "60::BIGINT AS n_byte_identical"
+        ),
+        "wet_roundtrip": (
+            "SELECT 234::BIGINT AS n_records, 4::BIGINT AS n_shards, "
+            "234::BIGINT AS n_byte_identical"
         ),
         "pdf_roundtrip": (
             "SELECT 120::BIGINT AS n_docs, 28::BIGINT AS n_pdfs, "

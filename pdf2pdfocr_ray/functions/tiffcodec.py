@@ -4,16 +4,19 @@ The reference splits multi-frame images (TIFF being the canonical case)
 into numbered page images before OCR (`convert -scene 1`,
 /root/reference/pdf2pdfocr.py:1133-1138).  The engine's S5 parity needs an
 in-process reader for the same: this module parses the baseline TIFF 6.0
-subset — II/MM byte orders, uncompressed (Compression=1), LZW
-(Compression=5, TIFF early-change variant, with or without the
-horizontal-differencing Predictor=2), and PackBits (Compression=32773)
-8-bit grayscale (Photometric 0/1) and RGB (Photometric 2), strip layout,
-and the IFD *chain* that makes a TIFF multi-page.  Anything else
-(JPEG-in-TIFF, tiles, 16-bit) raises ``ValueError`` — honest documented
+subset plus the document-scan family — II/MM byte orders, uncompressed
+(Compression=1), LZW (Compression=5, TIFF early-change variant, with or
+without the horizontal-differencing Predictor=2), PackBits (32773),
+Deflate (8/32946), CCITT fax strips (2=MH, 3=G3/T.4 incl. 2D lines,
+4=G4/T.6 — via functions/ccitt.py), and JPEG-in-TIFF (7, incl. the
+TIFF/EP shared JPEGTables tag 347) — 8-bit grayscale (Photometric 0/1),
+RGB (Photometric 2), YCbCr-JPEG (6), bilevel fax (bps=1), strip layout,
+and the IFD *chain* that makes a TIFF multi-page.  Anything else (tiles,
+16-bit, old-style JPEG 6) raises ``ValueError`` — honest documented
 limits.
 
 The encoder exists to build deterministic multi-frame fixtures and writes
-one strip per frame in any of the three supported compressions.
+one strip per frame in any supported compression.
 """
 
 from __future__ import annotations
@@ -196,7 +199,7 @@ def _read_ifd(data: bytes, off: int, bo: str) -> tuple[dict[int, list[int]], int
             vals = list(struct.unpack(bo + "H" * count, raw))
         elif typ == 4:  # LONG
             vals = list(struct.unpack(bo + "I" * count, raw))
-        elif typ == 1:  # BYTE
+        elif typ in (1, 7):  # BYTE / UNDEFINED (e.g. JPEGTables)
             vals = list(raw)
         elif typ == 5:  # RATIONAL
             nums = struct.unpack(bo + "I" * (2 * count), raw)
@@ -207,6 +210,59 @@ def _read_ifd(data: bytes, off: int, bo: str) -> tuple[dict[int, list[int]], int
         p += 12
     (next_off,) = struct.unpack_from(bo + "I", data, p)
     return tags, next_off
+
+
+def _decode_fax_ifd(data, tags, w, h, comp, photo, offsets, counts,
+                    rows_per_strip) -> np.ndarray:
+    """CCITT strips (TIFF compressions 2/3/4) -> (h, w, 3) uint8 frame.
+
+    2 = Modified Huffman (1D rows, each byte-aligned, no EOL);
+    3 = T.4 with T4Options (292): bit0 = 2D lines allowed, bit2 = fill
+    to byte boundary before EOL; 4 = T.6 with T6Options (293).
+    Photometric 0 (min-is-white, the fax default) matches the ccitt
+    decoder's visual output directly; 1 inverts."""
+    from .ccitt import decode_g3, decode_g4
+
+    t4opts = tags.get(292, [0])[0]
+    t6opts = tags.get(293, [0])[0]
+    if (comp == 3 and t4opts & 2) or (comp == 4 and t6opts & 2):
+        raise ValueError("TIFF fax: uncompressed mode not supported")
+    rows = []
+    for si, (o, c) in enumerate(zip(offsets, counts)):
+        n_rows = min(rows_per_strip, h - si * rows_per_strip)
+        strip = data[o: o + c]
+        if comp == 4:
+            img = decode_g4(strip, w, n_rows)
+        elif comp == 3:
+            img = decode_g3(strip, w, n_rows, k=(4 if t4opts & 1 else 0),
+                            byte_align=bool(t4opts & 4), end_of_line=True)
+        else:  # MH: 1D rows, byte-aligned, no EOL framing
+            img = decode_g3(strip, w, n_rows, k=0, byte_align=True,
+                            end_of_line=False)
+        rows.append(img)
+    plane = np.concatenate(rows, axis=0)
+    if photo == 1:  # min-is-black: invert the visual convention
+        plane = 255 - plane
+    return np.ascontiguousarray(np.repeat(plane[:, :, None], 3, axis=2))
+
+
+def _decode_jpeg_ifd(data, tags, offsets, counts) -> np.ndarray:
+    """JPEG-in-TIFF (compression 7): strips hold a JPEG stream; a shared
+    JPEGTables tag (347) carries an abbreviated tables-only stream that
+    prefixes each strip (TIFF/EP convention)."""
+    from .jpegcodec import decode_jpeg
+
+    jpt = tags.get(347)
+    strips = [data[o: o + c] for o, c in zip(offsets, counts)]
+    if len(strips) != 1:
+        raise ValueError("TIFF JPEG: multi-strip JPEG not supported")
+    blob = strips[0]
+    if jpt is not None:
+        tables = bytes(jpt)
+        if tables[:2] == b"\xff\xd8" and blob[:2] == b"\xff\xd8":
+            blob = tables[:-2] + blob[2:]  # drop tables EOI + strip SOI
+    img = decode_jpeg(blob)
+    return img if img.ndim == 3 else np.repeat(img[:, :, None], 3, axis=2)
 
 
 def decode_tiff(data: bytes) -> list[np.ndarray]:
@@ -234,37 +290,54 @@ def decode_tiff(data: bytes) -> list[np.ndarray]:
         spp = tags.get(277, [1])[0]
         bps = tags.get(258, [8])[:1][0]
         predictor = tags.get(317, [1])[0]
-        if comp not in (1, 5, 32773):
+        if comp not in (1, 2, 3, 4, 5, 7, 8, 32946, 32773):
             raise ValueError(
-                f"unsupported TIFF compression {comp} (only 1=none, 5=LZW, "
+                f"unsupported TIFF compression {comp} (only 1=none, "
+                "2=MH, 3=G3, 4=G4, 5=LZW, 7=JPEG, 8/32946=Deflate, "
                 "32773=PackBits)"
             )
+        offsets = tags.get(273, [])
+        counts = tags.get(279, [])
+        if not offsets or not w or not h:
+            raise ValueError("malformed TIFF IFD (missing strips/dims)")
+        rows_per_strip = tags.get(278, [h])[0] or h
+
+        if comp in (2, 3, 4):  # CCITT fax strips (bilevel, bps=1)
+            if bps != 1:
+                raise ValueError(
+                    f"TIFF fax compression {comp} requires 1 bit/sample")
+            frames.append(_decode_fax_ifd(
+                data, tags, w, h, comp, photo, offsets, counts,
+                rows_per_strip))
+            continue
+        if comp == 7:  # JPEG-in-TIFF: optional shared JPEGTables prefix
+            frames.append(_decode_jpeg_ifd(data, tags, offsets, counts))
+            continue
+
         if bps != 8:
             raise ValueError(f"unsupported TIFF bits-per-sample {bps} (only 8)")
         if photo not in (0, 1, 2):
             raise ValueError(f"unsupported TIFF photometric {photo}")
         if predictor not in (1, 2):
             raise ValueError(f"unsupported TIFF predictor {predictor}")
-        offsets = tags.get(273, [])
-        counts = tags.get(279, [])
-        if not offsets or not w or not h:
-            raise ValueError("malformed TIFF IFD (missing strips/dims)")
-        rows_per_strip = tags.get(278, [h])[0] or h
         need = w * h * spp
         if comp == 1:
             raw = b"".join(data[o : o + c] for o, c in zip(offsets, counts))
         else:
-            # LZW/PackBits state resets per strip (TIFF 6.0 §13/§9)
+            # LZW/PackBits/Deflate state resets per strip (TIFF 6.0 §13/§9)
+            import zlib as _zlib
+
             parts = []
             for si, (o, c) in enumerate(zip(offsets, counts)):
                 n_rows = min(rows_per_strip, h - si * rows_per_strip)
                 strip_need = n_rows * w * spp
                 strip = data[o : o + c]
-                parts.append(
-                    _lzw_decode(strip)[:strip_need]
-                    if comp == 5
-                    else _packbits_decode(strip, strip_need)
-                )
+                if comp == 5:
+                    parts.append(_lzw_decode(strip)[:strip_need])
+                elif comp in (8, 32946):  # Adobe / old-style Deflate
+                    parts.append(_zlib.decompress(strip)[:strip_need])
+                else:
+                    parts.append(_packbits_decode(strip, strip_need))
             raw = b"".join(parts)
         if len(raw) < need:
             raise ValueError("truncated TIFF strip data")
@@ -282,7 +355,8 @@ def decode_tiff(data: bytes) -> list[np.ndarray]:
     return frames
 
 
-_COMPRESSIONS = {"none": 1, "lzw": 5, "packbits": 32773}
+_COMPRESSIONS = {"none": 1, "lzw": 5, "packbits": 32773, "deflate": 8,
+                 "mh": 2, "g3": 3, "g3_2d": 3, "g4": 4, "jpeg": 7}
 
 
 def encode_tiff(
@@ -291,9 +365,11 @@ def encode_tiff(
     predictor: bool = False,
 ) -> bytes:
     """List of (H,W,3) or (H,W) uint8 arrays -> multi-frame little-endian
-    TIFF (one IFD + one strip per frame).  ``compression``: "none", "lzw"
-    or "packbits"; ``predictor=True`` adds horizontal differencing
-    (Predictor=2, the usual companion of LZW — only valid with it)."""
+    TIFF (one IFD + one strip per frame).  ``compression``: "none", "lzw",
+    "packbits", or the fax family "g4" / "g3" / "g3_2d" / "mh" (bilevel:
+    pixels < 128 become black, photometric 0 min-is-white, 1 bit/sample);
+    ``predictor=True`` adds horizontal differencing (Predictor=2, the
+    usual companion of LZW — only valid with it)."""
     if not frames:
         raise ValueError("no frames")
     if compression not in _COMPRESSIONS:
@@ -301,6 +377,7 @@ def encode_tiff(
     if predictor and compression != "lzw":
         raise ValueError("predictor=2 is only written with LZW")
     comp_id = _COMPRESSIONS[compression]
+    fax = compression in ("g4", "g3", "g3_2d", "mh")
     bo = "<"
     out = bytearray(b"II*\x00\x00\x00\x00\x00")
 
@@ -309,6 +386,82 @@ def encode_tiff(
         frame = np.asarray(frame, dtype=np.uint8)
         gray = frame.ndim == 2
         h, w = frame.shape[:2]
+        if fax:
+            from .ccitt import encode_g3, encode_g4
+
+            bw = np.where(
+                (frame if gray else frame.min(axis=2)) < 128, 0, 255
+            ).astype(np.uint8)
+            if compression == "g4":
+                pix = encode_g4(bw)
+            elif compression == "g3":
+                pix = encode_g3(bw, k=0, end_of_line=True)
+            elif compression == "g3_2d":
+                pix = encode_g3(bw, k=4)
+            else:  # mh: independent byte-aligned 1D rows, no EOL
+                pix = b"".join(
+                    encode_g3(bw[y: y + 1], k=0, end_of_line=False)
+                    for y in range(h))
+            strip_off = len(out)
+            out += pix
+            if len(out) % 2:
+                out += b"\x00"
+            ifd = [
+                (256, 4, 1, w),
+                (257, 4, 1, h),
+                (258, 3, 1, 1),  # BitsPerSample: bilevel
+                (259, 3, 1, comp_id),
+                (262, 3, 1, 0),  # Photometric: min-is-white (fax default)
+                (273, 4, 1, strip_off),
+                (277, 3, 1, 1),
+                (278, 4, 1, h),
+                (279, 4, 1, len(pix)),
+            ]
+            if compression == "g3_2d":
+                ifd.append((292, 4, 1, 1))  # T4Options: 2D lines allowed
+            ifd.sort(key=lambda e: e[0])
+            ifd_off = len(out)
+            ifd_offsets.append(ifd_off)
+            out += struct.pack(bo + "H", len(ifd))
+            for tag, typ, count, value in ifd:
+                out += struct.pack(bo + "HHI", tag, typ, count)
+                if typ == 3 and count == 1:
+                    out += struct.pack(bo + "HH", value, 0)
+                else:
+                    out += struct.pack(bo + "I", value)
+            out += struct.pack(bo + "I", 0)
+            continue
+        if compression == "jpeg":  # JPEG-in-TIFF: one full JFIF strip
+            from .jpegcodec import encode_jpeg
+
+            rgb = (np.repeat(frame[:, :, None], 3, axis=2)
+                   if gray else frame)
+            pix = encode_jpeg(rgb, quality=95)
+            strip_off = len(out)
+            out += pix
+            if len(out) % 2:
+                out += b"\x00"
+            ifd = [
+                (256, 4, 1, w),
+                (257, 4, 1, h),
+                (259, 3, 1, 7),
+                (262, 3, 1, 6),  # Photometric: YCbCr (JFIF)
+                (273, 4, 1, strip_off),
+                (277, 3, 1, 3),
+                (278, 4, 1, h),
+                (279, 4, 1, len(pix)),
+            ]
+            ifd_off = len(out)
+            ifd_offsets.append(ifd_off)
+            out += struct.pack(bo + "H", len(ifd))
+            for tag, typ, count, value in ifd:
+                out += struct.pack(bo + "HHI", tag, typ, count)
+                if typ == 3 and count == 1:
+                    out += struct.pack(bo + "HH", value, 0)
+                else:
+                    out += struct.pack(bo + "I", value)
+            out += struct.pack(bo + "I", 0)
+            continue
         spp = 1 if gray else 3
         plane = frame.reshape(h, w, spp)
         if predictor:
@@ -318,6 +471,10 @@ def encode_tiff(
             pix = _lzw_encode(pix)
         elif compression == "packbits":
             pix = _packbits_encode(pix)
+        elif compression == "deflate":
+            import zlib as _zlib
+
+            pix = _zlib.compress(pix, 6)
 
         strip_off = len(out)
         out += pix

@@ -149,8 +149,12 @@ def _make_image_doc(rng: np.random.Generator) -> tuple[bytes, str, int]:
             img, text = _render_scan(rng)
             frames.append(img)
             texts.append(text)
+        # incl. the fax family (bilevel CCITT strips — COLOR_INK min
+        # channel 40 < 128 so thresholding keeps the glyphs) and
+        # JPEG-in-TIFF (compression 7, quality 95)
         comp, pred = [("none", False), ("lzw", False), ("lzw", True),
-                      ("packbits", False)][int(rng.integers(0, 4))]
+                      ("packbits", False), ("g4", False), ("g3_2d", False),
+                      ("jpeg", False), ("deflate", False)][int(rng.integers(0, 8))]
         return (
             encode_tiff(frames, compression=comp, predictor=pred),
             "".join(texts),
@@ -321,7 +325,7 @@ GIANT_EVERY = 150  # every 150th doc is a skewed giant PDF (repartition/skew pat
 
 # Bump when generated content changes — cache keys (bench corpus dirs)
 # embed it so stale corpora from earlier generators never get reused.
-CORPUS_VERSION = "r4e"  # r3: WebP image docs; r3b/c: scanned-page PDFs
+CORPUS_VERSION = "r4f"  # r3: WebP image docs; r3b/c: scanned-page PDFs
 # (DCT / gray-Flate / CCITT-G4 / JBIG2 embedded images, 2% of docs);
 # r3d: realistic HTML variants (inline markup, nested script junk,
 # blockquotes, unclosed tags, BOM payloads); r4a: lossy-VP8 image docs;
@@ -329,7 +333,8 @@ CORPUS_VERSION = "r4e"  # r3: WebP image docs; r3b/c: scanned-page PDFs
 # r4d: GIF (single + animated) / BMP / PPM image docs + variant PNG
 # flavors (palette/gray color types, adaptive filters, Adam7);
 # r4e: animated-GIF frames square-pad BEFORE rotation (25/120k joint
-# rot+deskew misestimates on pad-after-rot frames)
+# rot+deskew misestimates on pad-after-rot frames); r4f: multi-frame
+# TIFF gains fax (G4/G3-2D) and JPEG-in-TIFF compressions
 
 
 def _gen_doc(i: int, seed: int):

@@ -119,7 +119,10 @@ def _strip_http_envelope(payload: bytes) -> bytes:
     return payload
 
 
-def iter_warc_records(chunks: Iterable[bytes]) -> Iterator[dict]:
+def iter_warc_records(
+    chunks: Iterable[bytes],
+    types: tuple[str, ...] = ("response", "resource"),
+) -> Iterator[dict]:
     """Decompressed WARC byte chunks -> page-row dicts, incrementally.
 
     The rolling buffer holds at most one incomplete record; complete
@@ -136,7 +139,7 @@ def iter_warc_records(chunks: Iterable[bytes]) -> Iterator[dict]:
                 raise ValueError("not a WARC file (missing WARC/ version line)")
             checked_magic = True
         while True:
-            row, consumed = _cut_record(buf)
+            row, consumed = _cut_record(buf, types)
             if consumed == 0:
                 break
             del buf[:consumed]
@@ -146,7 +149,9 @@ def iter_warc_records(chunks: Iterable[bytes]) -> Iterator[dict]:
         raise ValueError("not a WARC file (missing WARC/ version line)")
 
 
-def _cut_record(buf: bytearray) -> tuple[dict | None, int]:
+def _cut_record(
+    buf: bytearray, types: tuple[str, ...] = ("response", "resource")
+) -> tuple[dict | None, int]:
     """Try to cut one complete record off the buffer head.  Returns
     (row_or_None, bytes_consumed); consumed == 0 means incomplete."""
     start = 0
@@ -180,12 +185,13 @@ def _cut_record(buf: bytearray) -> tuple[dict | None, int]:
     payload = bytes(buf[body_start : body_start + length])
     consumed = body_start + length
     rtype = headers.get("warc-type", "")
-    if rtype not in ("response", "resource"):
+    if rtype not in types:
         return None, consumed  # warcinfo/request/metadata: no capture
     return (
         {
             "url": headers.get("warc-target-uri", ""),
             "warc_ts": _iso_to_us(headers.get("warc-date", "1970-01-01T00:00:00Z")),
+            "warc_type": rtype,
             "html": _strip_http_envelope(payload)
             if rtype == "response"
             else payload,
@@ -248,7 +254,7 @@ def _list_warc_files(paths: str | list[str]) -> list[str]:
             files.extend(
                 os.path.join(p, f)
                 for f in sorted(os.listdir(p))
-                if f.endswith((".warc", ".warc.gz"))
+                if f.endswith((".warc", ".warc.gz", ".warc.wet.gz"))
             )
         else:
             files.append(p)

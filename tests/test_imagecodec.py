@@ -121,10 +121,10 @@ def test_tiff_rejects_unsupported():
     data = bytearray(encode_tiff([np.zeros((4, 4, 3), dtype=np.uint8)]))
     with pytest.raises(ValueError):
         decode_tiff(b"XX\x00\x00")
-    # flip Compression tag value to 7 (JPEG-in-TIFF, unsupported)
+    # flip Compression tag value to 6 (old-style JPEG, obsolete/unsupported)
     idx = data.find(b"\x03\x01\x03\x00")  # tag 259 LE, type SHORT
     assert idx > 0
-    data[idx + 8] = 7
+    data[idx + 8] = 6
     with pytest.raises(ValueError, match="compression"):
         decode_tiff(bytes(data))
 
@@ -271,3 +271,118 @@ def test_multimodal_stages_real_wav_avi():
     from pdf2pdfocr_ray.functions.pngcodec import decode_png
 
     assert decode_png(sampled[0]).shape == (16, 16, 3)
+
+
+# ------------------------------------------------ fax + JPEG TIFF variants
+
+def test_tiff_fax_compressions_roundtrip():
+    """CCITT strips in TIFF (compressions 2=MH, 3=G3/G3-2D, 4=G4):
+    bilevel round-trips through the ccitt codecs; photometric 0
+    (min-is-white) is the fax default."""
+    from pdf2pdfocr_ray.functions.pagerender import render_page
+
+    scan = render_page(["Fax Tiff 42"], dpi=72)
+    bw3 = np.where(scan.min(axis=2)[:, :, None] < 128, 0, 255).astype(
+        np.uint8).repeat(3, axis=2)
+    for comp in ["g4", "g3", "g3_2d", "mh"]:
+        dec = decode_tiff(encode_tiff([scan], compression=comp))
+        assert len(dec) == 1 and np.array_equal(dec[0], bw3), comp
+    dec = decode_tiff(encode_tiff([scan, scan], compression="g4"))
+    assert len(dec) == 2 and np.array_equal(dec[1], bw3)
+
+
+def test_tiff_jpeg_compression_roundtrip():
+    from pdf2pdfocr_ray.functions.jpegcodec import decode_jpeg, encode_jpeg
+    from pdf2pdfocr_ray.functions.pagerender import render_page
+
+    scan = render_page(["Jpeg Tiff 7"], dpi=72)
+    dec = decode_tiff(encode_tiff([scan, scan], compression="jpeg"))
+    ref = decode_jpeg(encode_jpeg(scan, quality=95))
+    assert len(dec) == 2
+    assert np.array_equal(dec[0], ref) and np.array_equal(dec[1], ref)
+
+
+def test_tiff_jpegtables_tag_merges_abbreviated_streams():
+    """TIFF/EP JPEGTables (tag 347): DQT/DHT live in a shared
+    tables-only stream; each strip is an abbreviated JPEG.  The decoder
+    must merge them and match the unsplit decode."""
+    import struct
+
+    from pdf2pdfocr_ray.functions.jpegcodec import decode_jpeg, encode_jpeg
+    from pdf2pdfocr_ray.functions.pagerender import render_page
+
+    scan = render_page(["Tables 347"], dpi=72)
+    jpg = encode_jpeg(scan, quality=95)
+
+    def segments(b):
+        pos, out = 2, []
+        while pos < len(b):
+            m = b[pos + 1]
+            if m == 0xD9:
+                break
+            if m == 0xDA:
+                out.append((m, b[pos: len(b) - 2]))
+                break
+            (ln,) = struct.unpack_from(">H", b, pos + 2)
+            out.append((m, b[pos: pos + 2 + ln]))
+            pos += 2 + ln
+        return out
+
+    segs = segments(jpg)
+    tables = (b"\xff\xd8"
+              + b"".join(s for m, s in segs if m in (0xDB, 0xC4))
+              + b"\xff\xd9")
+    strip = (b"\xff\xd8"
+             + b"".join(s for m, s in segs if m not in (0xDB, 0xC4))
+             + b"\xff\xd9")
+    h, w = scan.shape[:2]
+    out = bytearray(b"II*\x00\x00\x00\x00\x00")
+    strip_off = len(out)
+    out += strip
+    if len(out) % 2:
+        out += b"\x00"
+    jpt_off = len(out)
+    out += tables
+    if len(out) % 2:
+        out += b"\x00"
+    ifd = [(256, 4, 1, w), (257, 4, 1, h), (259, 3, 1, 7), (262, 3, 1, 6),
+           (273, 4, 1, strip_off), (277, 3, 1, 3), (278, 4, 1, h),
+           (279, 4, 1, len(strip)), (347, 7, len(tables), jpt_off)]
+    ifd_off = len(out)
+    out += struct.pack("<H", len(ifd))
+    for tag, typ, count, value in ifd:
+        out += struct.pack("<HHI", tag, typ, count)
+        out += (struct.pack("<HH", value, 0)
+                if (typ == 3 and count == 1) else struct.pack("<I", value))
+    out += struct.pack("<I", 0)
+    struct.pack_into("<I", out, 4, ifd_off)
+    dec = decode_tiff(bytes(out))
+    assert np.array_equal(dec[0], decode_jpeg(jpg))
+
+
+def test_tiff_fax_uncompressed_mode_rejected():
+    import struct
+
+    out = bytearray(b"II*\x00\x00\x00\x00\x00")
+    strip_off = len(out)
+    out += b"\x00\x00"
+    ifd = [(256, 4, 1, 8), (257, 4, 1, 1), (258, 3, 1, 1), (259, 3, 1, 4),
+           (262, 3, 1, 0), (273, 4, 1, strip_off), (277, 3, 1, 1),
+           (278, 4, 1, 1), (279, 4, 1, 2), (293, 4, 1, 2)]
+    ifd_off = len(out)
+    out += struct.pack("<H", len(ifd))
+    for tag, typ, count, value in ifd:
+        out += struct.pack("<HHI", tag, typ, count)
+        out += (struct.pack("<HH", value, 0)
+                if (typ == 3 and count == 1) else struct.pack("<I", value))
+    out += struct.pack("<I", 0)
+    struct.pack_into("<I", out, 4, ifd_off)
+    with pytest.raises(ValueError, match="uncompressed mode"):
+        decode_tiff(bytes(out))
+
+
+def test_tiff_deflate_roundtrip_exact():
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (33, 47, 3), dtype=np.uint8)
+    assert np.array_equal(
+        decode_tiff(encode_tiff([img], compression="deflate"))[0], img)

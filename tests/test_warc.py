@@ -129,3 +129,41 @@ def test_zlib_errors_surface_as_valueerror():
 
         full = gzip.compress(build_warc([("u", 0, b"x" * 10_000)]), mtime=0)
         parse_warc(full[: len(full) // 2])
+
+
+def test_wet_sink_source_roundtrip(ray_session, tmp_path):
+    """WET shards (warcinfo + conversion records, per-record gzip
+    members) round-trip extracted text byte-identically; error rows
+    (null text) carry no conversion record, matching Common Crawl's
+    contract."""
+    import pandas as pd
+    import ray.data
+
+    from pdf2pdfocr_ray.sources.wet import read_wet, write_wet
+
+    df = pd.DataFrame({
+        "url": [f"https://example.org/{i:04d}" for i in range(10)],
+        "warc_ts": pd.to_datetime(
+            [1_767_225_600_000_000 + i * 1_000_000 for i in range(10)],
+            unit="us"),
+        "extracted_text": [
+            None if i == 3 else f"text {i}\nline two\n" for i in range(10)
+        ],
+    })
+    out = str(tmp_path / "wet")
+    n = write_wet(ray.data.from_pandas(df).repartition(3), out)
+    assert n == 9
+    back = read_wet(out).to_pandas().sort_values("url").reset_index(drop=True)
+    want = df[~df["extracted_text"].isna()].sort_values("url").reset_index(
+        drop=True)
+    assert len(back) == 9
+    assert (back["extracted_text"] == want["extracted_text"]).all()
+    assert (back["url"] == want["url"]).all()
+    assert (back["warc_ts"].to_numpy().astype("datetime64[us]")
+            == want["warc_ts"].to_numpy().astype("datetime64[us]")).all()
+    # idempotent re-write: same shard names, same count
+    n2 = write_wet(ray.data.from_pandas(df).repartition(3), out)
+    assert n2 == 9
+    import os
+
+    assert len(os.listdir(out)) == len(set(os.listdir(out)))
