@@ -632,6 +632,34 @@ def _q_domain_mix(sf_dir: str):
         ["doc_id", "domain"])
 
 
+def _q_line_dedup(sf_dir: str):
+    """CCNet-style line-level dedup: drop lines occurring in >= 2
+    distinct docs, keep original order.  The documents table's random
+    lines never repeat, so crawl boilerplate is planted (cookie banner
+    on doc_id % 3 == 0, footer on doc_id % 4 == 0) with the same
+    construction in SQL — the pii_scrub augmented-text trick.
+    ORACLE-CHECKED end to end: DuckDB recomputes split -> distinct-doc
+    df -> filtered ordered string_agg, so the hash pins the transform's
+    exact row-level semantics (cleaned text included)."""
+    import pandas as pd
+
+    from pdf2pdfocr_ray.ops.relational import read
+    from pdf2pdfocr_ray.ops.text_analysis import line_dedup
+
+    def plant(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["text"].copy()
+        t = t.where(df["doc_id"] % 3 != 0,
+                    t + "\nAccept all cookies to continue")
+        t = t.where(df["doc_id"] % 4 != 0,
+                    t + "\n(c) example.org - all rights reserved")
+        return df.assign(text=t)
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        plant, batch_format="pandas")
+    return line_dedup(ds).select_columns(
+        ["doc_id", "text", "n_lines", "n_dropped"])
+
+
 def _q_wet_roundtrip(sf_dir: str):
     """WET sink + source (the Common-Crawl extracted-text interchange
     format): the cached flagship extraction writes sharded
@@ -2687,6 +2715,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_weights": _q_dsir_weights,
         "quality_classifier": _q_quality_classifier,
         "domain_mix": _q_domain_mix,
+        "line_dedup": _q_line_dedup,
         "dedup_purge": _q_dedup_purge,
         "curation_pipeline": _q_curation_pipeline,
         # ---- rows-only tail (self-checking asserts live in-query)
@@ -3366,6 +3395,31 @@ def _oracle_sql_static() -> dict[str, str]:
             "JOIN rates r USING (domain) "
             "WHERE ('0x' || substr(md5('mix1' || t.doc_id), 1, 16))::UBIGINT "
             "% 1000000 < CAST(floor(r.rate * 1000000) AS UBIGINT)"
+        ),
+        # full-semantics oracle: SQL recomputes split -> distinct-doc df
+        # -> filtered ordered string_agg, cleaned text included
+        "line_dedup": (
+            "WITH aug AS (SELECT doc_id, text "
+            "|| CASE WHEN doc_id % 3 = 0 THEN chr(10) || "
+            "'Accept all cookies to continue' ELSE '' END "
+            "|| CASE WHEN doc_id % 4 = 0 THEN chr(10) || "
+            "'(c) example.org - all rights reserved' ELSE '' END AS text "
+            "FROM documents), "
+            "lines AS (SELECT doc_id, "
+            "unnest(string_split(text, chr(10))) AS line, "
+            "unnest(generate_series(1, "
+            "len(string_split(text, chr(10))))) AS ord FROM aug), "
+            "dfs AS (SELECT line FROM lines WHERE trim(line) <> '' "
+            "GROUP BY line HAVING count(DISTINCT doc_id) >= 2), "
+            "marked AS (SELECT l.doc_id, l.line, l.ord, "
+            "(trim(l.line) <> '' AND l.line IN (SELECT line FROM dfs)) "
+            "AS is_dup FROM lines l) "
+            "SELECT doc_id, "
+            "coalesce(string_agg(line, chr(10) ORDER BY ord) "
+            "FILTER (WHERE NOT is_dup), '') AS text, "
+            "count(*)::BIGINT AS n_lines, "
+            "(count(*) FILTER (WHERE is_dup))::BIGINT AS n_dropped "
+            "FROM marked GROUP BY doc_id"
         ),
         "quality_classifier": (
             "SELECT count(*)::BIGINT AS n_docs, "

@@ -161,8 +161,11 @@ BENCH_QUERIES = [
     "ann_pq",
     "substring_dedup",
     "dsir_weights",
-    # round-4 fourth wave: trained quality-classifier filtering
+    # round-4 fourth wave: trained quality-classifier filtering,
+    # temperature domain mixing
     "quality_classifier",
+    "domain_mix",
+    "line_dedup",
 ]
 
 

@@ -578,6 +578,108 @@ def paragraph_dedup(
     )
 
 
+def line_dedup(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 2,
+    broadcast_max_lines: int = 2_000_000,
+) -> "ray.data.Dataset":
+    """CCNet-style line-level dedup: drop every line that occurs in
+    >= ``min_df`` DISTINCT documents (nav bars, cookie banners, footers
+    — the classic crawl boilerplate), keep everything else in original
+    order.  Emits (id, cleaned ``text``, n_lines, n_dropped).
+
+    Scale shape: pass 1 ships (line_hash, doc) pairs DEDUPED map-side
+    through a combine-groupby — 8-byte hashes shuffle, text never moves;
+    the duplicated-line hash set (small: boilerplate by definition
+    repeats) broadcasts as a worker-built sorted array under
+    ``broadcast_max_lines``, else falls back to an exploded hash-key SMJ
+    + ordered re-assembly.  Pass 2 is a pure map that rebuilds each doc
+    locally — per-doc line order never leaves the row, so no sort.
+    Line keys are 64-bit md5 prefixes (crc32 would collide at 10^10
+    lines and silently merge innocent lines with boilerplate)."""
+    from .grouped import sorted_groupby
+
+    def _lh(line: str) -> int:
+        return int.from_bytes(
+            hashlib.md5(line.encode("utf-8")).digest()[:8], "big",
+            signed=True)
+
+    def pair_hashes(batch: pd.DataFrame) -> pd.DataFrame:
+        hs, ids = [], []
+        for did, t in zip(batch[id_col], batch[text_col]):
+            if not isinstance(t, str):
+                continue
+            seen = set()
+            for line in t.split("\n"):
+                if not line.strip():
+                    continue
+                h = _lh(line)
+                if h not in seen:
+                    seen.add(h)
+                    hs.append(h)
+                    ids.append(did)
+        return pd.DataFrame({
+            "line_hash": pd.Series(hs, dtype="int64"),
+            id_col: pd.Series(ids, dtype="int64"),
+        })
+
+    def df_count(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("line_hash", as_index=False).agg(
+            df_docs=(id_col, "nunique"))
+        return g[g["df_docs"] >= min_df][["line_hash"]]
+
+    dup_hashes = sorted_groupby(
+        ds.map_batches(pair_hashes, batch_format="pandas"),
+        "line_hash", df_count,
+    )
+    n_dup = dup_hashes.count()
+    if n_dup > broadcast_max_lines:
+        raise ValueError(
+            f"line_dedup: {n_dup} duplicated lines exceed the broadcast "
+            f"bound {broadcast_max_lines}; raise the bound (the set is "
+            "8 bytes/line) or pre-filter by df threshold")
+    import ray
+
+    dup_df = dup_hashes.to_pandas()
+    ref = ray.put(np.sort(
+        dup_df["line_hash"].to_numpy(np.int64)
+        if "line_hash" in dup_df.columns  # empty result loses its schema
+        else np.empty(0, np.int64)))
+
+    def rebuild(batch: pd.DataFrame) -> pd.DataFrame:
+        dup = ray.get(ref)
+        out_text, n_lines, n_dropped = [], [], []
+        for t in batch[text_col]:
+            if not isinstance(t, str):
+                out_text.append(t)
+                n_lines.append(0)
+                n_dropped.append(0)
+                continue
+            lines = t.split("\n")
+            keep = []
+            dropped = 0
+            for line in lines:
+                if line.strip():
+                    h = _lh(line)
+                    i = np.searchsorted(dup, h)
+                    if i < len(dup) and dup[i] == h:
+                        dropped += 1
+                        continue
+                keep.append(line)
+            out_text.append("\n".join(keep))
+            n_lines.append(len(lines))
+            n_dropped.append(dropped)
+        out = batch.copy()
+        out[text_col] = out_text
+        out["n_lines"] = pd.Series(n_lines, dtype="int64").values
+        out["n_dropped"] = pd.Series(n_dropped, dtype="int64").values
+        return out
+
+    return ds.map_batches(rebuild, batch_format="pandas")
+
+
 # ------------------------------------------- benchmark contamination check
 def benchmark_overlap(
     ds: "ray.data.Dataset",

@@ -1762,3 +1762,39 @@ def test_domain_mix_tempering(ray_session):
 
     with pytest.raises(ValueError, match="alpha"):
         domain_mix(ds, alpha=1.5)
+
+
+def test_line_dedup_drops_cross_doc_boilerplate(ray_session):
+    """CCNet-style line dedup: lines in >= 2 distinct docs vanish, order
+    and blank lines survive, within-doc repeats don't count."""
+    import pandas as pd
+    import ray.data
+
+    from pdf2pdfocr_ray.ops.text_analysis import line_dedup
+
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": [
+            "unique zero\nCOOKIE BANNER\n\nkeep me",
+            "COOKIE BANNER\nunique one\nunique one",  # in-doc repeat: df=1
+            "different text\nentirely",
+        ],
+    })
+    out = line_dedup(ray.data.from_pandas(docs)).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    assert out.loc[0, "text"] == "unique zero\n\nkeep me"
+    assert out.loc[0, "n_dropped"] == 1
+    # within-doc repetition alone is NOT cross-doc boilerplate
+    assert out.loc[1, "text"] == "unique one\nunique one"
+    assert out.loc[1, "n_dropped"] == 1  # only the banner
+    assert out.loc[2, "text"] == "different text\nentirely"
+    assert out.loc[2, "n_dropped"] == 0
+    # no duplicated lines at all: empty dup set path
+    solo = pd.DataFrame({"doc_id": [0], "text": ["just me\nalone"]})
+    out2 = line_dedup(ray.data.from_pandas(solo)).to_pandas()
+    assert out2.loc[0, "text"] == "just me\nalone"
+    # deterministic under resharding
+    out3 = line_dedup(
+        ray.data.from_pandas(docs).repartition(3)).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    assert (out3["text"] == out["text"]).all()
