@@ -65,6 +65,14 @@ def build_parser() -> argparse.ArgumentParser:
     # directory-watch ingest (the reference's unimplemented TODO,
     # pdf2pdfocr.py:722-723): -i is a drop-zone directory of parquet
     # shards; each poll extracts only unseen files into ingest_NNNNN/
+    p.add_argument("--input-format", choices=["auto", "parquet", "warc"],
+                   default="auto",
+                   help="input container: parquet pages table or WARC "
+                        "file(s)/dir (auto: by extension)")
+    p.add_argument("--wet-output", default="",
+                   help="also emit the extracted text as sharded "
+                        ".warc.wet.gz (the Common-Crawl WET layout) "
+                        "under this directory")
     p.add_argument("--watch", action="store_true",
                    help="poll -i for new *.parquet and ingest incrementally")
     p.add_argument("--watch-poll-sec", type=float, default=2.0)
@@ -115,13 +123,28 @@ def main(argv: list[str] | None = None) -> int:
             errs = sum(b["errors"] for b in ledger["batches"])
             return 0 if errs == 0 else 1
 
+        fmt = args.input_format
+        if fmt == "auto":
+            fmt = ("warc"
+                   if args.input.rstrip("/").endswith((".warc", ".warc.gz"))
+                   else "parquet")
+
         def factory():
+            if fmt == "warc":
+                from .sources.warc import read_warc
+
+                return read_warc(args.input)
             return ray.data.read_parquet(args.input)
 
         summary = run_checkpointed(
             factory, args.output, config=cfg, num_shards=args.shards,
             concurrent_shards=args.concurrent_shards,
         )
+        if args.wet_output:
+            from .sources.wet import write_wet
+
+            summary["wet_records"] = write_wet(
+                ray.data.read_parquet(args.output), args.wet_output)
         print(json.dumps(summary))
         return 0 if summary["errors"] == 0 else 1
     finally:

@@ -85,3 +85,57 @@ def test_cli_watch_mode(tmp_path):
     led2 = json.loads(r2.stdout.strip().splitlines()[-1])
     assert len(led2["batches"]) == 1  # nothing new -> no second batch
     assert glob.glob(os.path.join(out, "ingest_00000", "shard=*", "*.parquet"))
+
+
+@pytest.mark.slow
+def test_cli_warc_input_and_wet_output(tmp_path):
+    """-i shard.warc.gz --input-format auto + --wet-output: WARC in,
+    checkpointed Parquet + WET shards out, text byte-identical."""
+    import datetime
+
+    from pdf2pdfocr_ray.sources.warc import build_warc
+
+    pages, golden = generate_corpus(30, seed=42)
+    recs = []
+    for u, t, p in zip(
+        pages.column("url").to_pylist(),
+        pages.column("warc_ts").to_pylist(),
+        pages.column("html").to_pylist(),
+    ):
+        if isinstance(t, datetime.datetime):
+            t = int(t.replace(
+                tzinfo=datetime.timezone.utc).timestamp() * 1_000_000)
+        recs.append((u, int(t), p))
+    src = str(tmp_path / "crawl.warc.gz")
+    with open(src, "wb") as f:
+        f.write(build_warc(recs, gzip_members=True))
+    out = str(tmp_path / "out")
+    wet = str(tmp_path / "wet")
+
+    r = subprocess.run(
+        [sys.executable, "-m", "pdf2pdfocr_ray", "-i", src, "-o", out,
+         "--wet-output", wet, "--shards", "2", "--num-cpus", "2"],
+        capture_output=True, text=True, cwd=REPO, timeout=300,
+    )
+    s = json.loads(r.stdout.strip().splitlines()[-1])
+    assert s["rows"] == 30, r.stderr[-2000:]
+    assert s["wet_records"] > 0
+    assert glob.glob(os.path.join(wet, "*.warc.wet.gz"))
+
+    import pandas as pd
+    import ray
+
+    ray.init(address="local", num_cpus=2, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    try:
+        from pdf2pdfocr_ray.sources.wet import read_wet
+
+        back = read_wet(wet).to_pandas().sort_values("url").reset_index(
+            drop=True)
+        g = golden.to_pandas()
+        g = g[~g["extracted_text"].isna()].sort_values("url").reset_index(
+            drop=True)
+        assert len(back) == len(g) == s["wet_records"]
+        assert (back["extracted_text"] == g["extracted_text"]).all()
+    finally:
+        ray.shutdown()
