@@ -690,6 +690,63 @@ def _q_line_dedup(sf_dir: str):
         ["doc_id", "text", "n_lines", "n_dropped"])
 
 
+def _q_ccnet_pipeline(sf_dir: str):
+    """The full CCNet recipe as one composite: line-level dedup (planted
+    boilerplate, as in line_dedup) -> char-trigram LM perplexity on the
+    CLEANED text -> tercile buckets from a mergeable quantile sketch ->
+    keep head+middle.  ORACLE-CHECKED verdict row: n_docs is real SQL;
+    the count algebra (head+middle+tail == n_docs, kept == head+middle)
+    is asserted in-query; bucket counts and dropped-line total are
+    pinned (deterministic LM + deterministic sketch, verified identical
+    across cpu counts before pinning)."""
+    import pandas as pd
+
+    from pdf2pdfocr_ray.ops.relational import read
+    from pdf2pdfocr_ray.ops.sketches import exact_quantiles
+    from pdf2pdfocr_ray.ops.text_analysis import add_lm_score, line_dedup
+
+    def plant(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["text"].copy()
+        t = t.where(df["doc_id"] % 3 != 0,
+                    t + "\nAccept all cookies to continue")
+        t = t.where(df["doc_id"] % 4 != 0,
+                    t + "\n(c) example.org - all rights reserved")
+        return df.assign(text=t)
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        plant, batch_format="pandas")
+    cleaned = line_dedup(ds).materialize()
+    scored = add_lm_score(cleaned).materialize()
+    cuts = exact_quantiles(scored, "lm_ppl", [1 / 3, 2 / 3])
+    lo, hi = cuts[1 / 3], cuts[2 / 3]
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        b = pd.Series("middle", index=df.index)
+        b = b.mask(df["lm_ppl"] <= lo, "head")
+        b = b.mask(df["lm_ppl"] > hi, "tail")
+        return df.assign(bucket=b)
+
+    bdf = scored.map_batches(bucket, batch_format="pandas").to_pandas()
+    vc = bdf["bucket"].value_counts()
+    n_head = int(vc.get("head", 0))
+    n_middle = int(vc.get("middle", 0))
+    n_tail = int(vc.get("tail", 0))
+    n_docs = len(bdf)
+    assert n_head + n_middle + n_tail == n_docs
+    return pd.DataFrame(
+        {
+            "n_docs": pd.Series([n_docs], dtype="int64"),
+            "n_dropped_lines": pd.Series(
+                [int(cleaned.to_pandas()["n_dropped"].sum())], dtype="int64"),
+            "n_head": pd.Series([n_head], dtype="int64"),
+            "n_middle": pd.Series([n_middle], dtype="int64"),
+            "n_tail": pd.Series([n_tail], dtype="int64"),
+            "n_kept": pd.Series([n_head + n_middle], dtype="int64"),
+            "consistent": [True],
+        }
+    )
+
+
 def _q_wet_roundtrip(sf_dir: str):
     """WET sink + source (the Common-Crawl extracted-text interchange
     format): the cached flagship extraction writes sharded
@@ -2814,6 +2871,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_classifier": _q_quality_classifier,
         "domain_mix": _q_domain_mix,
         "line_dedup": _q_line_dedup,
+        "ccnet_pipeline": _q_ccnet_pipeline,
         "dedup_purge": _q_dedup_purge,
         "curation_pipeline": _q_curation_pipeline,
         # ---- rows-only tail (self-checking asserts live in-query)
@@ -3633,6 +3691,14 @@ def _oracle_sql_static() -> dict[str, str]:
         "wet_roundtrip": (
             "SELECT 234::BIGINT AS n_records, 4::BIGINT AS n_shards, "
             "234::BIGINT AS n_byte_identical"
+        ),
+        # n_docs real SQL; buckets/drops pinned (deterministic LM +
+        # exact quantile cuts, verified identical across cpu counts)
+        "ccnet_pipeline": (
+            "SELECT count(*)::BIGINT AS n_docs, "
+            "292::BIGINT AS n_dropped_lines, 167::BIGINT AS n_head, "
+            "166::BIGINT AS n_middle, 167::BIGINT AS n_tail, "
+            "333::BIGINT AS n_kept, true AS consistent FROM documents"
         ),
         "pdf_roundtrip": (
             "SELECT 120::BIGINT AS n_docs, 28::BIGINT AS n_pdfs, "
