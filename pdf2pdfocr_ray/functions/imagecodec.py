@@ -91,10 +91,15 @@ def decode_image(payload: bytes) -> np.ndarray:
 
 def decode_image_frames(payload: bytes) -> list[np.ndarray]:
     """Image bytes -> list of (H,W,3) uint8 frames (len > 1 only for
-    multi-frame TIFF and animated GIF — the S5 fan-out cases)."""
+    multi-frame TIFF, animated GIF and animated WebP — the S5 fan-out
+    cases)."""
     fmt = sniff_image_format(payload)
     if fmt == "tiff":
         return decode_tiff(payload)
     if fmt == "gif":
         return decode_gif(payload)
+    if fmt == "webp":
+        from .webpcodec import decode_webp_frames
+
+        return decode_webp_frames(payload)
     return [decode_image(payload)]

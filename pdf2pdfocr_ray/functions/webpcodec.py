@@ -498,6 +498,113 @@ def _find_vp8l_payload(payload: bytes) -> bytes:
     raise ValueError("no VP8L/VP8 chunk in WebP container")
 
 
+def decode_webp_frames(payload: bytes) -> list["np.ndarray"]:
+    """WebP bytes -> list of composed (h, w, 3) uint8 frames.
+
+    Animated WebP (VP8X + ANIM/ANMF): each ANMF carries a frame
+    rectangle (x/2, y/2 in u24 pairs, w-1/h-1 u24), a duration and a
+    flags byte (bit0 = dispose-to-background after display), wrapping a
+    VP8/VP8L subchunk; frames compose onto the canvas like GIF
+    disposal.  Detection is by ANMF chunk PRESENCE (not the VP8X flag
+    bit), so a mis-set flag can't misroute.  Non-animated input returns
+    a single frame."""
+    import numpy as np
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise ValueError("not a WebP file (missing RIFF/WEBP header)")
+    pos = 12
+    canvas_w = canvas_h = 0
+    anmf: list[bytes] = []
+    while pos + 8 <= len(payload):
+        fourcc = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if fourcc == b"VP8X" and len(body) >= 10:
+            canvas_w = 1 + int.from_bytes(body[4:7], "little")
+            canvas_h = 1 + int.from_bytes(body[7:10], "little")
+        elif fourcc == b"ANMF":
+            anmf.append(body)
+        pos += 8 + size + (size & 1)
+    if not anmf:
+        return [decode_webp(payload)]
+    if not canvas_w or not canvas_h:
+        raise ValueError("animated WebP without a VP8X canvas size")
+    canvas = np.full((canvas_h, canvas_w, 3), 255, np.uint8)
+    frames: list[np.ndarray] = []
+    for body in anmf:
+        if len(body) < 16:
+            raise ValueError("truncated ANMF chunk")
+        fx = 2 * int.from_bytes(body[0:3], "little")
+        fy = 2 * int.from_bytes(body[3:6], "little")
+        fw = 1 + int.from_bytes(body[6:9], "little")
+        fh = 1 + int.from_bytes(body[9:12], "little")
+        flags = body[15]
+        dispose_bg = bool(flags & 0x01)
+        # frame data: sub-chunks (ALPH? then VP8/VP8L) — reuse the RIFF
+        # walk by wrapping the sub-chunk stream in a synthetic container
+        sub = body[16:]
+        wrapped = (b"RIFF" + struct.pack("<I", 4 + len(sub)) + b"WEBP" + sub)
+        img = decode_webp(wrapped)
+        if img.shape[:2] != (fh, fw):
+            raise ValueError("ANMF frame dims disagree with its payload")
+        if fy + fh > canvas_h or fx + fw > canvas_w:
+            raise ValueError("ANMF frame outside the canvas")
+        canvas[fy : fy + fh, fx : fx + fw] = img
+        frames.append(canvas.copy())
+        if dispose_bg:
+            canvas[fy : fy + fh, fx : fx + fw] = 255
+    return frames
+
+
+def encode_webp_anim(frames: list["np.ndarray"], loop: int = 0) -> bytes:
+    """Same-size (h, w, 3) uint8 frames -> animated WebP (VP8X + ANIM +
+    one full-canvas lossless VP8L ANMF per frame).  Lossless, so it
+    round-trips exactly through decode_webp_frames."""
+    import numpy as np
+
+    if not frames:
+        raise ValueError("encode_webp_anim: no frames")
+    frames = [np.ascontiguousarray(f, np.uint8) for f in frames]
+    h, w = frames[0].shape[:2]
+    for f in frames:
+        if f.shape[:2] != (h, w):
+            raise ValueError("encode_webp_anim: frames must share one size")
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return fourcc + struct.pack("<I", len(body)) + body + pad
+
+    vp8x = (bytes([0x02]) + b"\x00\x00\x00"
+            + (w - 1).to_bytes(3, "little") + (h - 1).to_bytes(3, "little"))
+    anim = struct.pack("<IH", 0xFFFFFFFF, loop)  # white bg, loop count
+    out = bytearray(chunk(b"VP8X", vp8x) + chunk(b"ANIM", anim))
+    for f in frames:
+        sub = _vp8l_chunk_of(encode_webp(f))
+        body = (b"\x00\x00\x00" * 2  # frame at (0, 0)
+                + (w - 1).to_bytes(3, "little")
+                + (h - 1).to_bytes(3, "little")
+                + (100).to_bytes(3, "little")  # duration ms
+                + bytes([0x00])  # no dispose, no blend
+                + sub)
+        out += chunk(b"ANMF", body)
+    riff = b"WEBP" + bytes(out)
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+def _vp8l_chunk_of(webp: bytes) -> bytes:
+    """Extract the raw VP8L chunk (header + body + pad) from a simple
+    lossless WebP container."""
+    pos = 12
+    while pos + 8 <= len(webp):
+        fourcc = webp[pos : pos + 4]
+        (size,) = struct.unpack("<I", webp[pos + 4 : pos + 8])
+        if fourcc == b"VP8L":
+            end = pos + 8 + size + (size & 1)
+            return webp[pos:end]
+        pos += 8 + size + (size & 1)
+    raise ValueError("no VP8L chunk")
+
+
 def encode_webp_lossy(img: np.ndarray, q_index: int = 40) -> bytes:
     """(h, w, 3) uint8 RGB -> lossy WebP bytes (RIFF-wrapped VP8
     keyframe from vp8codec.encode_vp8)."""

@@ -390,3 +390,52 @@ try:
 
 except ImportError:  # pragma: no cover
     pass
+
+
+def test_animated_webp_roundtrip_and_composition():
+    """VP8X/ANIM/ANMF: lossless frame roundtrip, sub-rect placement
+    (x/2,y/2 units) and dispose-to-background composition; single-image
+    input returns one frame."""
+    import struct
+
+    from pdf2pdfocr_ray.functions.webpcodec import (
+        _vp8l_chunk_of,
+        decode_webp_frames,
+        encode_webp,
+        encode_webp_anim,
+    )
+
+    rng = np.random.default_rng(0)
+    pal = rng.integers(0, 256, (6, 3), dtype=np.uint8)
+    frames = [pal[rng.integers(0, 6, (37, 53))] for _ in range(3)]
+    dec = decode_webp_frames(encode_webp_anim(frames))
+    assert len(dec) == 3
+    assert all(np.array_equal(a, b) for a, b in zip(dec, frames))
+    single = encode_webp(frames[0])
+    assert len(decode_webp_frames(single)) == 1
+
+    def chunk(fourcc, body):
+        pad = b"\x00" if len(body) & 1 else b""
+        return fourcc + struct.pack("<I", len(body)) + body + pad
+
+    w, h = 8, 6
+    base = np.zeros((h, w, 3), np.uint8)
+    sub = np.full((2, 4, 3), 200, np.uint8)
+    vp8x = (bytes([0x02]) + b"\x00" * 3
+            + (w - 1).to_bytes(3, "little") + (h - 1).to_bytes(3, "little"))
+    anim = struct.pack("<IH", 0xFFFFFFFF, 0)
+    f1 = (b"\x00\x00\x00" * 2 + (w - 1).to_bytes(3, "little")
+          + (h - 1).to_bytes(3, "little") + (100).to_bytes(3, "little")
+          + bytes([0x01]) + _vp8l_chunk_of(encode_webp(base)))
+    f2 = ((1).to_bytes(3, "little") + (1).to_bytes(3, "little")
+          + (3).to_bytes(3, "little") + (1).to_bytes(3, "little")
+          + (100).to_bytes(3, "little") + bytes([0x00])
+          + _vp8l_chunk_of(encode_webp(sub)))
+    body = (chunk(b"VP8X", vp8x) + chunk(b"ANIM", anim)
+            + chunk(b"ANMF", f1) + chunk(b"ANMF", f2))
+    riff = b"WEBP" + body
+    d = decode_webp_frames(b"RIFF" + struct.pack("<I", len(riff)) + riff)
+    assert len(d) == 2
+    assert tuple(d[0][0, 0]) == (0, 0, 0)
+    assert tuple(d[1][0, 0]) == (255, 255, 255)  # disposed to background
+    assert tuple(d[1][2, 2]) == (200, 200, 200)  # sub-rect at (2, 2)
