@@ -91,13 +91,16 @@ def decode_image(payload: bytes) -> np.ndarray:
 
 def decode_image_frames(payload: bytes) -> list[np.ndarray]:
     """Image bytes -> list of (H,W,3) uint8 frames (len > 1 only for
-    multi-frame TIFF, animated GIF and animated WebP — the S5 fan-out
-    cases)."""
+    multi-frame TIFF, animated GIF/WebP/APNG — the S5 fan-out cases)."""
     fmt = sniff_image_format(payload)
     if fmt == "tiff":
         return decode_tiff(payload)
     if fmt == "gif":
         return decode_gif(payload)
+    if fmt == "png":
+        from .pngcodec import decode_png_frames
+
+        return decode_png_frames(payload)
     if fmt == "webp":
         from .webpcodec import decode_webp_frames
 

@@ -351,3 +351,132 @@ def decode_png(data: bytes) -> np.ndarray:
         keyed = np.all(out == key.astype(np.uint8)[None, None, :3], axis=2)
         out[keyed] = 255
     return out
+
+
+# ---------------------------------------------------------------------------
+# APNG (acTL/fcTL/fdAT) — animated PNG, composed like GIF disposal
+# ---------------------------------------------------------------------------
+
+def decode_png_frames(data: bytes) -> list[np.ndarray]:
+    """PNG bytes -> list of composed (h, w, 3) uint8 RGB frames.
+
+    APNG animation: fcTL control chunks carry the frame rectangle,
+    dispose_op (0 none / 1 background / 2 previous) and blend_op; frame
+    pixels arrive in IDAT (first frame, when its fcTL precedes IDAT) or
+    fdAT chunks (sequence number + IDAT-format data).  Each frame
+    decodes as a standalone PNG against the shared IHDR parameters.
+    blend_op=1 (over) is honest only without an alpha channel (decode
+    composites alpha over white), so alpha+over raises.  Non-animated
+    input returns a single frame."""
+    if not data.startswith(_MAGIC):
+        raise ValueError("not a PNG (bad magic)")
+    pos = len(_MAGIC)
+    ihdr_payload = None
+    plte = trns = None
+    actl = False
+    fctls: list[dict] = []  # in stream order; each with "data" list
+    idat_parts: list[bytes] = []
+    idat_is_frame = False
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            ihdr_payload = payload
+        elif tag == b"acTL":
+            actl = True
+        elif tag == b"PLTE":
+            plte = payload
+        elif tag == b"tRNS":
+            trns = payload
+        elif tag == b"fcTL":
+            (seq, fw, fh, fx, fy, dn, dd, dispose, blend) = struct.unpack(
+                ">IIIIIHHBB", payload)
+            fctls.append({"w": fw, "h": fh, "x": fx, "y": fy,
+                          "dispose": dispose, "blend": blend, "data": []})
+            if not idat_parts:
+                idat_is_frame = True  # first fcTL precedes IDAT
+        elif tag == b"IDAT":
+            if fctls and idat_is_frame:
+                fctls[0]["data"].append(payload)
+            idat_parts.append(payload)
+        elif tag == b"fdAT":
+            if not fctls:
+                raise ValueError("APNG: fdAT before any fcTL")
+            fctls[-1]["data"].append(payload[4:])  # strip sequence number
+        elif tag == b"IEND":
+            break
+    if not actl or not fctls:
+        return [decode_png(data)]
+    if ihdr_payload is None:
+        raise ValueError("PNG missing IHDR")
+    cw, ch, depth, ct = struct.unpack(">IIBBxxx", ihdr_payload[:13])
+    if ct in (4, 6):
+        for f in fctls:
+            if f["blend"] == 1:
+                raise ValueError(
+                    "APNG: blend_op=over with an alpha channel is not "
+                    "representable after alpha-over-white composition")
+
+    def mini_png(fw: int, fh: int, parts: list[bytes]) -> bytes:
+        ihdr = struct.pack(">IIBBBBB", fw, fh, depth, ct, 0, 0, 0)
+        out = _MAGIC + _chunk(b"IHDR", ihdr)
+        if plte is not None:
+            out += _chunk(b"PLTE", plte)
+        if trns is not None:
+            out += _chunk(b"tRNS", trns)
+        return out + _chunk(b"IDAT", b"".join(parts)) + _chunk(b"IEND", b"")
+
+    canvas = np.full((ch, cw, 3), 255, np.uint8)
+    frames: list[np.ndarray] = []
+    for f in fctls:
+        if not f["data"]:
+            raise ValueError("APNG: fcTL without frame data")
+        img = decode_png(mini_png(f["w"], f["h"], f["data"]))
+        x, y, fw, fh = f["x"], f["y"], f["w"], f["h"]
+        if y + fh > ch or x + fw > cw:
+            raise ValueError("APNG: frame outside canvas")
+        saved = canvas[y : y + fh, x : x + fw].copy() if f["dispose"] == 2 else None
+        canvas[y : y + fh, x : x + fw] = img
+        frames.append(canvas.copy())
+        if f["dispose"] == 1:
+            canvas[y : y + fh, x : x + fw] = 255
+        elif f["dispose"] == 2 and saved is not None:
+            canvas[y : y + fh, x : x + fw] = saved
+    return frames
+
+
+def encode_png_anim(frames: list[np.ndarray], loop: int = 0) -> bytes:
+    """Same-size (h, w, 3) uint8 frames -> APNG bytes (full-canvas
+    frames, blend source, no dispose).  Lossless round-trip through
+    :func:`decode_png_frames`."""
+    if not frames:
+        raise ValueError("encode_png_anim: no frames")
+    frames = [np.ascontiguousarray(f, np.uint8) for f in frames]
+    h, w = frames[0].shape[:2]
+    for f in frames:
+        if f.shape[:2] != (h, w) or f.ndim != 3 or f.shape[2] != 3:
+            raise ValueError("encode_png_anim: (h, w, 3) frames of one size")
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    out = bytearray(_MAGIC + _chunk(b"IHDR", ihdr))
+    out += _chunk(b"acTL", struct.pack(">II", len(frames), loop))
+    seq = 0
+
+    def raw_idat(img: np.ndarray) -> bytes:
+        body = _filter_rows(
+            np.ascontiguousarray(img.reshape(h, -1)), 3, 0).tobytes()
+        return zlib.compress(body, 6)
+
+    for i, f in enumerate(frames):
+        fctl = struct.pack(">IIIIIHHBB", seq, w, h, 0, 0, 1, 10, 0, 0)
+        out += _chunk(b"fcTL", fctl)
+        seq += 1
+        payload = raw_idat(f)
+        if i == 0:
+            out += _chunk(b"IDAT", payload)
+        else:
+            out += _chunk(b"fdAT", struct.pack(">I", seq) + payload)
+            seq += 1
+    out += _chunk(b"IEND", b"")
+    return bytes(out)

@@ -186,10 +186,15 @@ def _make_image_doc(rng: np.random.Generator) -> tuple[bytes, str, int]:
                    max(f.shape[1] for f in rendered))
         frames = [apply_rot90(_pad_to(f, side, side), k)
                   for f, k in zip(rendered, rots)]
-        if rng.random() < 0.4:  # animated WebP variant (VP8X/ANIM/ANMF)
+        r = rng.random()
+        if r < 0.3:  # animated WebP variant (VP8X/ANIM/ANMF)
             from ..functions.webpcodec import encode_webp_anim
 
             return encode_webp_anim(frames), "".join(texts), n_frames
+        if r < 0.5:  # APNG variant (acTL/fcTL/fdAT)
+            from ..functions.pngcodec import encode_png_anim
+
+            return encode_png_anim(frames), "".join(texts), n_frames
         return (
             encode_gif(frames, interlace=bool(rng.random() < 0.5)),
             "".join(texts),
@@ -329,7 +334,7 @@ GIANT_EVERY = 150  # every 150th doc is a skewed giant PDF (repartition/skew pat
 
 # Bump when generated content changes — cache keys (bench corpus dirs)
 # embed it so stale corpora from earlier generators never get reused.
-CORPUS_VERSION = "r4g"  # r3: WebP image docs; r3b/c: scanned-page PDFs
+CORPUS_VERSION = "r4h"  # r3: WebP image docs; r3b/c: scanned-page PDFs
 # (DCT / gray-Flate / CCITT-G4 / JBIG2 embedded images, 2% of docs);
 # r3d: realistic HTML variants (inline markup, nested script junk,
 # blockquotes, unclosed tags, BOM payloads); r4a: lossy-VP8 image docs;
@@ -339,7 +344,7 @@ CORPUS_VERSION = "r4g"  # r3: WebP image docs; r3b/c: scanned-page PDFs
 # r4e: animated-GIF frames square-pad BEFORE rotation (25/120k joint
 # rot+deskew misestimates on pad-after-rot frames); r4f: multi-frame
 # TIFF gains fax (G4/G3-2D) and JPEG-in-TIFF compressions;
-# r4g: animated-WebP multi-frame docs
+# r4g: animated-WebP multi-frame docs; r4h: APNG multi-frame docs
 
 
 def _gen_doc(i: int, seed: int):

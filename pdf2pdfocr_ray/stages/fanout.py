@@ -127,15 +127,17 @@ class FanOut:
                 continue
             if route == ROUTE_IMAGE:
                 # S5: multi-frame containers (TIFF IFD chain, animated
-                # GIF, animated WebP) fan out to numbered page rows
-                # (reference pdf2pdfocr.py:1133-1138); single-frame
+                # GIF, animated WebP, APNG) fan out to numbered page
+                # rows (reference pdf2pdfocr.py:1133-1138); single-frame
                 # payloads pass through undecoded (the OCR stage owns
-                # the decode).  WebP routes here only when an ANMF
-                # animation chunk is present.
+                # the decode).  WebP/PNG route here only when an
+                # ANMF/acTL animation chunk is present.
                 if payload[:4] in (b"II*\x00", b"MM\x00*") or payload[:6] in (
                     b"GIF87a", b"GIF89a"
                 ) or (payload[:4] == b"RIFF" and payload[8:12] == b"WEBP"
-                      and b"ANMF" in payload):
+                      and b"ANMF" in payload) or (
+                    payload[:8] == b"\x89PNG\r\n\x1a\n"
+                    and b"acTL" in payload):
                     try:
                         from ..functions.imagecodec import decode_image_frames
 

@@ -122,3 +122,41 @@ def test_png_invalid_headers_rejected():
         decode_png(_build_png(1, 1, 3, 0, [b"\x00"]))
     with pytest.raises(ValueError, match="invalid for type"):
         decode_png(_build_png(1, 1, 4, 2, [b"\x00"]))
+
+
+def test_apng_roundtrip_and_composition():
+    """acTL/fcTL/fdAT: lossless frame roundtrip; hand-built sub-rect
+    frame with dispose-to-background; non-animated passthrough."""
+    from pdf2pdfocr_ray.functions.pngcodec import (
+        decode_png_frames,
+        encode_png_anim,
+    )
+
+    rng = np.random.default_rng(0)
+    pal = rng.integers(0, 256, (5, 3), dtype=np.uint8)
+    frames = [pal[rng.integers(0, 5, (29, 41))] for _ in range(3)]
+    dec = decode_png_frames(encode_png_anim(frames))
+    assert len(dec) == 3
+    assert all(np.array_equal(a, b) for a, b in zip(dec, frames))
+    assert len(decode_png_frames(encode_png(frames[0]))) == 1
+
+    # hand-built: full frame then 2x4 sub-rect at (2,1) with dispose=1
+    base = np.zeros((6, 8, 3), np.uint8)
+    sub = np.full((2, 4, 3), 200, np.uint8)
+    ihdr = struct.pack(">IIBBBBB", 8, 6, 8, 2, 0, 0, 0)
+    out = bytearray(_MAGIC + _chunk(b"IHDR", ihdr))
+    out += _chunk(b"acTL", struct.pack(">II", 2, 0))
+    out += _chunk(b"fcTL", struct.pack(">IIIIIHHBB", 0, 8, 6, 0, 0, 1, 10, 0, 0))
+    raw = np.zeros((6, 1 + 24), np.uint8)
+    raw[:, 1:] = base.reshape(6, 24)
+    out += _chunk(b"IDAT", zlib.compress(raw.tobytes()))
+    out += _chunk(b"fcTL", struct.pack(">IIIIIHHBB", 1, 4, 2, 2, 1, 1, 10, 1, 0))
+    raw2 = np.zeros((2, 1 + 12), np.uint8)
+    raw2[:, 1:] = sub.reshape(2, 12)
+    out += _chunk(b"fdAT", struct.pack(">I", 2) + zlib.compress(raw2.tobytes()))
+    out += _chunk(b"IEND", b"")
+    d = decode_png_frames(bytes(out))
+    assert len(d) == 2
+    assert tuple(d[0][0, 0]) == (0, 0, 0)
+    assert tuple(d[1][1, 2]) == (200, 200, 200)  # sub at (x=2, y=1)
+    assert tuple(d[1][0, 0]) == (0, 0, 0)  # untouched canvas kept
