@@ -16,6 +16,7 @@ import numpy as np
 
 from .bmpcodec import decode_bmp
 from .gifcodec import GIF_MAGICS, decode_gif
+from .icocodec import decode_ico, sniff_ico
 from .jpegcodec import decode_jpeg
 from .pngcodec import decode_png
 from .pnmcodec import PNM_MAGIC_RE, decode_pnm
@@ -57,6 +58,8 @@ def sniff_image_format(payload: bytes) -> str | None:
         return "bmp"
     if PNM_MAGIC_RE.match(payload):
         return "pnm"
+    if sniff_ico(payload):
+        return "ico"
     return None
 
 
@@ -79,6 +82,8 @@ def decode_image(payload: bytes) -> np.ndarray:
         return decode_bmp(payload)
     if fmt == "pnm":
         return decode_pnm(payload)
+    if fmt == "ico":
+        return decode_ico(payload)
     if fmt == "raw":
         h = int.from_bytes(payload[4:8], "little")
         w = int.from_bytes(payload[8:12], "little")
@@ -86,7 +91,7 @@ def decode_image(payload: bytes) -> np.ndarray:
             raise ValueError("truncated RAWB frame")
         return np.frombuffer(payload, np.uint8, h * w * 3, offset=12).reshape(h, w, 3)
     raise ValueError(
-        "unknown image format (not PNG/JPEG/TIFF/WebP/GIF/BMP/PNM/RAWB)")
+        "unknown image format (not PNG/JPEG/TIFF/WebP/GIF/BMP/PNM/ICO/RAWB)")
 
 
 def decode_image_frames(payload: bytes) -> list[np.ndarray]:

@@ -42,6 +42,11 @@ def sniff_route(batch: pa.Table) -> pa.Table:
     is_img = pc.or_(
         is_img, pc.match_substring_regex(col, r"^P[1-6][\s#]")
     )
+    # ICO: reserved 0 + type 1 + a plausible entry count (favicons)
+    is_img = pc.or_(
+        is_img,
+        pc.match_substring_regex(col, r"^\x00\x00\x01\x00[\x01-\x40]\x00"),
+    )
     # html: first non-whitespace (or post-BOM) byte is '<' — crawl payloads
     # frequently lead with whitespace or a UTF-8 BOM.
     is_html = pc.match_substring_regex(col, r"^[\s\xef\xbb\xbf]*<")

@@ -252,3 +252,49 @@ def test_pnm_rejects_garbage():
         decode_pnm(b"P7\n1 1\n255\n\x00")
     with pytest.raises(ValueError):
         decode_pnm(b"Q6\n1 1\n255\n\x00")
+
+
+# ---------------------------------------------------------------------------
+# ICO (favicons)
+# ---------------------------------------------------------------------------
+
+def test_ico_png_entry_roundtrip_and_dispatch():
+    import struct
+
+    from pdf2pdfocr_ray.functions.icocodec import decode_ico, encode_ico
+
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    ico = encode_ico(img)
+    assert sniff_image_format(ico) == "ico"
+    assert np.array_equal(decode_image(ico), img)
+    # largest-entry selection: two entries, second larger
+    img2 = rng.integers(0, 256, (48, 48, 3), dtype=np.uint8)
+    from pdf2pdfocr_ray.functions.pngcodec import encode_png
+
+    p1, p2 = encode_png(img), encode_png(img2)
+    hdr = b"\x00\x00\x01\x00\x02\x00"
+    e1 = struct.pack("<BBBBHHII", 32, 32, 0, 0, 1, 32, len(p1), 6 + 32)
+    e2 = struct.pack("<BBBBHHII", 48, 48, 0, 0, 1, 32, len(p2),
+                     6 + 32 + len(p1))
+    assert np.array_equal(decode_ico(hdr + e1 + e2 + p1 + p2), img2)
+
+
+def test_ico_dib_entry_with_and_mask():
+    import struct
+
+    from pdf2pdfocr_ray.functions.icocodec import decode_ico
+
+    w, h = 4, 2
+    xor32 = np.zeros((h, w * 4), np.uint8)
+    xor32[:, 0::4] = 10
+    xor32[:, 1::4] = 20
+    xor32[:, 2::4] = 30
+    xor32[:, 3::4] = 255
+    dib = (struct.pack("<IiiHHIIiiII", 40, w, 2 * h, 1, 32, 0, 0, 0, 0, 0, 0)
+           + xor32.tobytes() + np.zeros((h, 4), np.uint8).tobytes())
+    hdr = (b"\x00\x00\x01\x00\x01\x00"
+           + struct.pack("<BBBBHHII", w, h, 0, 0, 1, 32, len(dib), 22))
+    out = decode_ico(hdr + dib)
+    assert out.shape == (h, w, 3)
+    assert tuple(out[0, 0]) == (30, 20, 10)  # BGRA -> RGB
