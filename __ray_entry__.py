@@ -553,6 +553,24 @@ def _q_dedup_exact(sf_dir: str):
     return sorted_groupby(add_fingerprint(ds), "fingerprint", agg_block)
 
 
+_MINHASH_PAIRS_CACHE: dict = {}
+
+
+def _minhash_pairs(sf_dir: str):
+    """Full-corpus MinHash-LSH pair set at threshold 0.5, memoized per
+    process — shared by dedup_minhash, the clusters family and
+    dedup_incremental's full-run verification leg."""
+    if sf_dir not in _MINHASH_PAIRS_CACHE:
+        from pdf2pdfocr_ray.ops.dedup import dedup_minhash_lsh
+        from pdf2pdfocr_ray.ops.relational import read
+
+        ds = read(sf_dir, "documents", ["doc_id", "text"])
+        _MINHASH_PAIRS_CACHE[sf_dir] = dedup_minhash_lsh(
+            ds, threshold=0.5
+        ).to_pandas()
+    return _MINHASH_PAIRS_CACHE[sf_dir].copy()
+
+
 def _q_dedup_minhash(sf_dir: str):
     """MinHash-LSH near-dup pairs, summarized as an ORACLE-CHECKED
     verdict row: signatures and global banding are deterministic, and
@@ -560,18 +578,56 @@ def _q_dedup_minhash(sf_dir: str):
     (the dedup_purge convention)."""
     import pandas as pd
 
-    from pdf2pdfocr_ray.ops.dedup import dedup_minhash_lsh
-    from pdf2pdfocr_ray.ops.relational import read
-
-    ds = read(sf_dir, "documents", ["doc_id", "text"])
-    pairs = dedup_minhash_lsh(ds, threshold=0.5).select_columns(
-        ["id_a", "id_b"]).to_pandas()
+    pairs = _minhash_pairs(sf_dir)[["id_a", "id_b"]]
     docs = set(pairs["id_a"]) | set(pairs["id_b"])
     return pd.DataFrame(
         {
             "n_pairs": pd.Series([len(pairs)], dtype="int64"),
             "n_docs_in_pairs": pd.Series([len(docs)], dtype="int64"),
             "ids_ordered": [bool((pairs["id_a"] < pairs["id_b"]).all())],
+        }
+    )
+
+
+def _q_dedup_incremental(sf_dir: str):
+    """Incremental cross-snapshot MinHash dedup (the 100-TB recrawl
+    pattern): documents split by doc_id parity into snapshot 'a' then
+    'b'; snapshot b's run reads only b's text plus a's STORED signatures.
+    ORACLE-CHECKED verdict row — the defining law is asserted in-query:
+    the union of the two runs' pair sets equals one full LSH over the
+    whole corpus, and the sets are disjoint (each pair reported exactly
+    once, by the snapshot that completes it)."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from pdf2pdfocr_ray.ops.dedup import dedup_minhash_incremental
+    from pdf2pdfocr_ray.ops.relational import read
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"]).materialize()
+    snap_a = ds.filter(lambda r: r["doc_id"] % 2 == 0)
+    snap_b = ds.filter(lambda r: r["doc_id"] % 2 == 1)
+    store = tempfile.mkdtemp(prefix="p2p_sigstore_")
+    try:
+        p1 = dedup_minhash_incremental(
+            snap_a, store, "a", threshold=0.5
+        ).select_columns(["id_a", "id_b"]).to_pandas()
+        p2 = dedup_minhash_incremental(
+            snap_b, store, "b", threshold=0.5
+        ).select_columns(["id_a", "id_b"]).to_pandas()
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+    full = _minhash_pairs(sf_dir)[["id_a", "id_b"]]
+    s1 = set(zip(p1["id_a"], p1["id_b"]))
+    s2 = set(zip(p2["id_a"], p2["id_b"]))
+    sf = set(zip(full["id_a"], full["id_b"]))
+    return pd.DataFrame(
+        {
+            "n_pairs_snap1": pd.Series([len(s1)], dtype="int64"),
+            "n_pairs_snap2": pd.Series([len(s2)], dtype="int64"),
+            "union_matches_full": [bool((s1 | s2) == sf)],
+            "disjoint": [bool(not (s1 & s2))],
         }
     )
 
@@ -585,14 +641,11 @@ def _minhash_clusters(sf_dir: str):
     this one computation — the _extract_cached trick for the dedup
     family)."""
     if sf_dir not in _CLUSTERS_CACHE:
-        from pdf2pdfocr_ray.ops.dedup import (
-            connected_components,
-            dedup_minhash_lsh,
-        )
-        from pdf2pdfocr_ray.ops.relational import read
+        import ray.data
 
-        ds = read(sf_dir, "documents", ["doc_id", "text"])
-        pairs = dedup_minhash_lsh(ds, threshold=0.5)
+        from pdf2pdfocr_ray.ops.dedup import connected_components
+
+        pairs = ray.data.from_pandas(_minhash_pairs(sf_dir))
         _CLUSTERS_CACHE[sf_dir] = connected_components(pairs).to_pandas()
     return _CLUSTERS_CACHE[sf_dir].copy()
 
@@ -2883,6 +2936,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "page_zip_merge": _q_page_zip_merge,
         "winnow_fingerprint": _q_winnow_fingerprint,
         "dedup_minhash": _q_dedup_minhash,
+        "dedup_incremental": _q_dedup_incremental,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_clusters": _q_dedup_clusters,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
@@ -3520,6 +3574,13 @@ def _oracle_sql_static() -> dict[str, str]:
         "dedup_minhash": (
             "SELECT 25::BIGINT AS n_pairs, 47::BIGINT AS n_docs_in_pairs, "
             "true AS ids_ordered"
+        ),
+        # pinned verdict (6+19 = 25 = the full dedup_minhash pair count;
+        # union/disjoint laws asserted in-query; verified identical at 8
+        # and 32 cpus before pinning)
+        "dedup_incremental": (
+            "SELECT 6::BIGINT AS n_pairs_snap1, 19::BIGINT AS n_pairs_snap2, "
+            "true AS union_matches_full, true AS disjoint"
         ),
         "dedup_simhash": (
             "SELECT 16::BIGINT AS n_pairs, 3::BIGINT AS max_hamming, "

@@ -1526,6 +1526,86 @@ def test_tune_lsh_scurve():
         assert abs(mid - t) < 0.2, (t, b, r, mid)
 
 
+def test_dedup_minhash_incremental(doc_ds, tmp_path):
+    """Cross-snapshot incremental MinHash dedup: snapshot A (even ids)
+    lands first, snapshot B (odd ids) second.  Invariants: run-1 pairs
+    equal a full LSH over A alone; every run-2 pair touches >= 1 B doc;
+    the UNION of both runs equals one full LSH over the whole corpus
+    (each pair reported exactly once, by the snapshot completing it);
+    re-running snapshot B is idempotent."""
+    import ray.data
+
+    from pdf2pdfocr_ray.ops.dedup import (
+        dedup_minhash_incremental,
+        dedup_minhash_lsh,
+    )
+
+    _, df = doc_ds
+    store = str(tmp_path / "sigstore")
+    df_a = df[df["doc_id"] % 2 == 0]
+    df_b = df[df["doc_id"] % 2 == 1]
+
+    def pairset(pdf):
+        return set(zip(pdf["id_a"], pdf["id_b"]))
+
+    pairs1 = dedup_minhash_incremental(
+        ray.data.from_pandas(df_a).repartition(3), store, "a", threshold=0.5
+    ).to_pandas()
+    full_a = dedup_minhash_lsh(
+        ray.data.from_pandas(df_a).repartition(3), threshold=0.5
+    ).to_pandas()
+    assert pairset(pairs1) == pairset(full_a)
+
+    pairs2 = dedup_minhash_incremental(
+        ray.data.from_pandas(df_b).repartition(3), store, "b", threshold=0.5
+    ).to_pandas()
+    b_ids = set(df_b["doc_id"])
+    assert len(pairs2) > 0  # exact dup 0<->100 splits even/even... near dups cross
+    assert all(
+        (a in b_ids) or (b in b_ids) for a, b in pairset(pairs2)
+    )  # old-old pairs never re-reported
+
+    full = dedup_minhash_lsh(
+        ray.data.from_pandas(df).repartition(4), threshold=0.5
+    ).to_pandas()
+    assert pairset(pairs1) | pairset(pairs2) == pairset(full)
+    assert pairset(pairs1) & pairset(pairs2) == set()
+
+    # idempotent re-run of the same snapshot (crash recovery path)
+    pairs2b = dedup_minhash_incremental(
+        ray.data.from_pandas(df_b).repartition(2), store, "b", threshold=0.5
+    ).to_pandas()
+    assert pairset(pairs2b) == pairset(pairs2)
+
+    import os
+
+    assert sorted(
+        d for d in os.listdir(store) if d.startswith("snapshot=")
+    ) == ["snapshot=a", "snapshot=b"]
+
+    # empty delta (zero new docs): no pairs, no crash, and later
+    # snapshots must tolerate the fileless snapshot dir in the store
+    empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                          "text": pd.Series([], dtype="object")})
+    pairs3 = dedup_minhash_incremental(
+        ray.data.from_pandas(empty), store, "c", threshold=0.5
+    ).to_pandas()
+    assert len(pairs3) == 0
+    pairs2c = dedup_minhash_incremental(
+        ray.data.from_pandas(df_b).repartition(2), store, "b", threshold=0.5
+    ).to_pandas()
+    assert pairset(pairs2c) == pairset(pairs2)
+
+    # snapshot d sees MULTIPLE prior snapshot dirs (a, b) plus the
+    # fileless c: a dup of doc 0's text must pair against the old corpus
+    dup = df[df["doc_id"] == 0].assign(doc_id=10_000)
+    pairs4 = dedup_minhash_incremental(
+        ray.data.from_pandas(dup), store, "d", threshold=0.5
+    ).to_pandas()
+    assert (10_000 == pairs4[["id_a", "id_b"]].to_numpy()).any(axis=1).all()
+    assert len(pairs4) >= 1
+
+
 def test_dedup_substrings_planted_and_paths(ray_session):
     """Substring-level exact dedup (Lee et al. 2022 shape): planted
     cross-document 8-gram spans are counted, in-document repeats alone
