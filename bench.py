@@ -166,6 +166,7 @@ BENCH_QUERIES = [
     "quality_classifier",
     "domain_mix",
     "line_dedup",
+    "dedup_incremental",
 ]
 
 
