@@ -63,6 +63,43 @@ def sniff_image_format(payload: bytes) -> str | None:
     return None
 
 
+def webp_has_animation(payload: bytes) -> bool:
+    """True iff the RIFF container holds a TOP-LEVEL ANMF chunk.
+
+    A raw ``b"ANMF" in payload`` substring scan false-positives on
+    compressed VP8/VP8L data that happens to contain those four bytes;
+    walking the chunk structure cannot.
+    """
+    if payload[:4] != WEBP_RIFF or payload[8:12] != b"WEBP":
+        return False
+    pos, n = 12, len(payload)
+    while pos + 8 <= n:
+        fourcc = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        if fourcc == b"ANMF":
+            return True
+        pos += 8 + size + (size & 1)  # chunks are padded to even size
+    return False
+
+
+def png_has_actl(payload: bytes) -> bool:
+    """True iff a structural ``acTL`` chunk appears before ``IDAT``
+    (the APNG spec's placement rule) — not a raw substring match, which
+    can hit 4 bytes of compressed IDAT data by chance."""
+    if payload[:8] != PNG_MAGIC:
+        return False
+    pos, n = 8, len(payload)
+    while pos + 8 <= n:
+        length = int.from_bytes(payload[pos : pos + 4], "big")
+        ctype = payload[pos + 4 : pos + 8]
+        if ctype == b"acTL":
+            return True
+        if ctype in (b"IDAT", b"IEND"):
+            return False
+        pos += 12 + length  # len + type + data + CRC
+    return False
+
+
 def decode_image(payload: bytes) -> np.ndarray:
     """Image bytes -> (H,W,3) uint8 RGB.  Multi-frame TIFF -> first frame
     (use :func:`decode_image_frames` to get all frames)."""

@@ -412,6 +412,7 @@ def decode_png_frames(data: bytes) -> list[np.ndarray]:
     if ihdr_payload is None:
         raise ValueError("PNG missing IHDR")
     cw, ch, depth, ct = struct.unpack(">IIBBxxx", ihdr_payload[:13])
+    interlace = ihdr_payload[12]  # frames inherit the base interlace method
     if ct in (4, 6):
         for f in fctls:
             if f["blend"] == 1:
@@ -420,7 +421,7 @@ def decode_png_frames(data: bytes) -> list[np.ndarray]:
                     "representable after alpha-over-white composition")
 
     def mini_png(fw: int, fh: int, parts: list[bytes]) -> bytes:
-        ihdr = struct.pack(">IIBBBBB", fw, fh, depth, ct, 0, 0, 0)
+        ihdr = struct.pack(">IIBBBBB", fw, fh, depth, ct, 0, 0, interlace)
         out = _MAGIC + _chunk(b"IHDR", ihdr)
         if plte is not None:
             out += _chunk(b"PLTE", plte)

@@ -77,12 +77,20 @@ def write_wet(
 ) -> int:
     """Extracted rows -> sharded ``.warc.wet.gz`` under ``out_dir``.
 
-    One shard per input block, named by the md5 of the block's first url
-    (idempotent across re-runs for the same partitioning).  Rows with
-    null text are skipped (error rows have no conversion record — the
-    same contract as Common Crawl's WET, which only carries successful
-    conversions).  Returns the number of records written."""
+    One shard per input block, named by the md5 of the block's full
+    record payload (every url + timestamp + text), so two blocks that
+    happen to start with the same url — duplicate urls are routine in
+    crawls — can never overwrite each other, and a re-run with identical
+    content is still idempotent.  Stale shards from a previous run with
+    different partitioning are cleared from ``out_dir`` first so
+    ``read_wet`` never mixes them in.  Rows with null text are skipped
+    (error rows have no conversion record — the same contract as Common
+    Crawl's WET, which only carries successful conversions).  Returns
+    the number of records written."""
     os.makedirs(out_dir, exist_ok=True)
+    for name in os.listdir(out_dir):
+        if name.startswith("part-") and name.endswith(".warc.wet.gz"):
+            os.unlink(os.path.join(out_dir, name))
 
     def sink(df: pd.DataFrame) -> pd.DataFrame:
         keep = df[~df[text_col].isna()]
@@ -99,7 +107,7 @@ def write_wet(
                 ts_us = int(ts)
             ts0 = ts_us if ts0 is None else min(ts0, ts_us)
             parts.append(_conversion_record(str(url), ts_us, str(text)))
-        shard = hashlib.md5(str(keep[url_col].iloc[0]).encode()).hexdigest()
+        shard = hashlib.md5(b"".join(parts)).hexdigest()
         path = os.path.join(out_dir, f"part-{shard}.warc.wet.gz")
         with open(path, "wb") as f:
             f.write(_gzip.compress(

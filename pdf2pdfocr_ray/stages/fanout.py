@@ -132,17 +132,22 @@ class FanOut:
                 # payloads pass through undecoded (the OCR stage owns
                 # the decode).  WebP/PNG route here only when an
                 # ANMF/acTL animation chunk is present.
+                from ..functions.imagecodec import (
+                    decode_image_frames,
+                    png_has_actl,
+                    webp_has_animation,
+                )
+
                 if payload[:4] in (b"II*\x00", b"MM\x00*") or payload[:6] in (
                     b"GIF87a", b"GIF89a"
-                ) or (payload[:4] == b"RIFF" and payload[8:12] == b"WEBP"
-                      and b"ANMF" in payload) or (
-                    payload[:8] == b"\x89PNG\r\n\x1a\n"
-                    and b"acTL" in payload):
+                ) or webp_has_animation(payload) or png_has_actl(payload):
                     try:
-                        from ..functions.imagecodec import decode_image_frames
-
                         frames = decode_image_frames(payload)
-                    except ValueError as e:
+                    except Exception as e:  # noqa: BLE001 — row-level
+                        # isolation: truncated GIFs raise IndexError /
+                        # struct.error, corrupt APNG IDAT raises
+                        # zlib.error; one malformed crawl payload must
+                        # not kill the FanOut task.
                         emit(url, ts, route, 0, 1, 0, None, None,
                              f"image_decode: {e}")
                         continue

@@ -160,3 +160,42 @@ def test_apng_roundtrip_and_composition():
     assert tuple(d[0][0, 0]) == (0, 0, 0)
     assert tuple(d[1][1, 2]) == (200, 200, 200)  # sub at (x=2, y=1)
     assert tuple(d[1][0, 0]) == (0, 0, 0)  # untouched canvas kept
+
+
+def test_apng_interlaced_frames_roundtrip():
+    """APNG frame data inherits the base IHDR's interlace method (ADVICE
+    r4 #4): an Adam7-interlaced APNG must decode to the true pixels, not
+    scrambled ones from a hardcoded interlace=0 reconstruction."""
+    from pdf2pdfocr_ray.functions.pngcodec import decode_png_frames
+
+    def idat_of(png: bytes) -> bytes:
+        pos, parts = 8, []
+        while pos + 8 <= len(png):
+            (length,) = struct.unpack(">I", png[pos : pos + 4])
+            tag = png[pos + 4 : pos + 8]
+            if tag == b"IDAT":
+                parts.append(png[pos + 8 : pos + 8 + length])
+            pos += 12 + length
+        return b"".join(parts)
+
+    rng = np.random.default_rng(7)
+    frames = [
+        rng.integers(0, 256, (13, 17, 3), dtype=np.uint8) for _ in range(2)
+    ]
+    ihdr = struct.pack(">IIBBBBB", 17, 13, 8, 2, 0, 0, 1)  # interlace=1
+    out = bytearray(_MAGIC + _chunk(b"IHDR", ihdr))
+    out += _chunk(b"acTL", struct.pack(">II", 2, 0))
+    out += _chunk(
+        b"fcTL", struct.pack(">IIIIIHHBB", 0, 17, 13, 0, 0, 1, 10, 0, 0))
+    out += _chunk(b"IDAT", idat_of(encode_png(frames[0], interlace=True)))
+    out += _chunk(
+        b"fcTL", struct.pack(">IIIIIHHBB", 1, 17, 13, 0, 0, 1, 10, 0, 0))
+    out += _chunk(
+        b"fdAT",
+        struct.pack(">I", 2) + idat_of(encode_png(frames[1], interlace=True)),
+    )
+    out += _chunk(b"IEND", b"")
+    dec = decode_png_frames(bytes(out))
+    assert len(dec) == 2
+    assert np.array_equal(dec[0], frames[0])
+    assert np.array_equal(dec[1], frames[1])

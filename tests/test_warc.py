@@ -167,3 +167,39 @@ def test_wet_sink_source_roundtrip(ray_session, tmp_path):
     import os
 
     assert len(os.listdir(out)) == len(set(os.listdir(out)))
+
+
+def test_wet_shards_survive_duplicate_first_urls(ray_session, tmp_path):
+    """ADVICE r4 #2: two blocks starting with the SAME url (duplicate
+    urls are routine in crawls) must not overwrite each other's shard,
+    and a re-run with different partitioning must not leave stale shards
+    for read_wet to mix in."""
+    import os
+
+    import pandas as pd
+    import ray.data
+
+    from pdf2pdfocr_ray.sources.wet import read_wet, write_wet
+
+    # 4 rows, 4 blocks of 1 row each: blocks 0 and 2 share the first url
+    df = pd.DataFrame({
+        "url": ["https://dup.example/x", "https://a.example/1",
+                "https://dup.example/x", "https://b.example/2"],
+        "warc_ts": pd.to_datetime([1_700_000_000_000_000 + i for i in range(4)],
+                                  unit="us"),
+        "extracted_text": [f"text {i}\n" for i in range(4)],
+    })
+    out = str(tmp_path / "wet_dup")
+    n = write_wet(ray.data.from_pandas(df).repartition(4), out)
+    assert n == 4
+    back = read_wet(out).to_pandas()
+    assert len(back) == 4  # no shard overwrote another
+    assert sorted(back["extracted_text"]) == sorted(df["extracted_text"])
+
+    # re-run with DIFFERENT partitioning: old shards cleared, not mixed
+    n2 = write_wet(ray.data.from_pandas(df).repartition(2), out)
+    assert n2 == 4
+    back2 = read_wet(out).to_pandas()
+    assert len(back2) == 4
+    assert sorted(back2["extracted_text"]) == sorted(df["extracted_text"])
+    assert all(p.startswith("part-") for p in os.listdir(out))
