@@ -9,14 +9,17 @@ subset plus the document-scan family — II/MM byte orders, uncompressed
 without the horizontal-differencing Predictor=2), PackBits (32773),
 Deflate (8/32946), CCITT fax strips (2=MH, 3=G3/T.4 incl. 2D lines,
 4=G4/T.6 — via functions/ccitt.py), and JPEG-in-TIFF (7, incl. the
-TIFF/EP shared JPEGTables tag 347) — 8-bit grayscale (Photometric 0/1),
-RGB (Photometric 2), YCbCr-JPEG (6), bilevel fax (bps=1), strip layout,
-and the IFD *chain* that makes a TIFF multi-page.  Anything else (tiles,
-16-bit, old-style JPEG 6) raises ``ValueError`` — honest documented
-limits.
+TIFF/EP shared JPEGTables tag 347) — 8/16-bit grayscale (Photometric
+0/1), 8/16-bit RGB (Photometric 2; 16-bit samples follow the container
+byte order and present as the high byte), YCbCr-JPEG (6), bilevel fax
+(bps=1), strip AND tile layouts (tags 322-325, full-size edge tiles per
+TIFF 6.0 §15), and the IFD *chain* that makes a TIFF multi-page.
+Anything else (fax/JPEG tiles, old-style JPEG 6) raises ``ValueError``
+— honest documented limits.
 
 The encoder exists to build deterministic multi-frame fixtures and writes
-one strip per frame in any supported compression.
+one strip per frame in any supported compression, or a tiled layout via
+``tile=(tw, th)``; uint16 input frames are written as 16-bit samples.
 """
 
 from __future__ import annotations
@@ -298,9 +301,14 @@ def decode_tiff(data: bytes) -> list[np.ndarray]:
             )
         offsets = tags.get(273, [])
         counts = tags.get(279, [])
-        if not offsets or not w or not h:
+        tile_w = tags.get(322, [0])[0]
+        tile_h = tags.get(323, [0])[0]
+        tiled = bool(tile_w and tile_h and tags.get(324))
+        if (not offsets and not tiled) or not w or not h:
             raise ValueError("malformed TIFF IFD (missing strips/dims)")
         rows_per_strip = tags.get(278, [h])[0] or h
+        if tiled and comp in (2, 3, 4, 7):
+            raise ValueError("tiled TIFF: fax/JPEG tiles not supported")
 
         if comp in (2, 3, 4):  # CCITT fax strips (bilevel, bps=1)
             if bps != 1:
@@ -314,36 +322,75 @@ def decode_tiff(data: bytes) -> list[np.ndarray]:
             frames.append(_decode_jpeg_ifd(data, tags, offsets, counts))
             continue
 
-        if bps != 8:
-            raise ValueError(f"unsupported TIFF bits-per-sample {bps} (only 8)")
+        if bps not in (8, 16):
+            raise ValueError(
+                f"unsupported TIFF bits-per-sample {bps} (only 8/16)")
         if photo not in (0, 1, 2):
             raise ValueError(f"unsupported TIFF photometric {photo}")
         if predictor not in (1, 2):
             raise ValueError(f"unsupported TIFF predictor {predictor}")
-        need = w * h * spp
-        if comp == 1:
-            raw = b"".join(data[o : o + c] for o, c in zip(offsets, counts))
-        else:
-            # LZW/PackBits/Deflate state resets per strip (TIFF 6.0 §13/§9)
-            import zlib as _zlib
+        import zlib as _zlib
 
+        itemsize = bps // 8
+
+        def _decompress(blob: bytes, need: int) -> bytes:
+            # LZW/PackBits/Deflate state resets per strip/tile
+            # (TIFF 6.0 §13/§9/§15)
+            if comp == 1:
+                return blob
+            if comp == 5:
+                return _lzw_decode(blob)[:need]
+            if comp in (8, 32946):  # Adobe / old-style Deflate
+                return _zlib.decompress(blob)[:need]
+            return _packbits_decode(blob, need)
+
+        def _to_plane(raw: bytes, n_rows: int, width: int) -> np.ndarray:
+            """Decompressed bytes -> (n_rows, width, spp) uint8.  16-bit
+            samples follow the container byte order and present as the
+            high byte (predictor 2 differencing runs on the 16-bit
+            values first)."""
+            need = n_rows * width * spp * itemsize
+            if len(raw) < need:
+                raise ValueError("truncated TIFF pixel data")
+            if bps == 8:
+                arr = np.frombuffer(raw, np.uint8, need).reshape(
+                    n_rows, width, spp)
+                return _undo_predictor(arr) if predictor == 2 else arr
+            dt = np.dtype(np.uint16).newbyteorder(bo)
+            arr = np.frombuffer(raw, dt, n_rows * width * spp).reshape(
+                n_rows, width, spp).astype(np.uint16)
+            if predictor == 2:
+                arr = np.add.accumulate(arr, axis=1, dtype=np.uint16)
+            return (arr >> 8).astype(np.uint8)
+
+        if tiled:
+            # TIFF 6.0 §15: every tile decompresses to the FULL tile
+            # size; edge tiles are cropped when placed on the canvas
+            toffs = tags[324]
+            tcnts = tags.get(325, [])
+            across = -(-w // tile_w)
+            down = -(-h // tile_h)
+            if len(toffs) < across * down or len(tcnts) < across * down:
+                raise ValueError("malformed tiled TIFF (missing tiles)")
+            tneed = tile_h * tile_w * spp * itemsize
+            arr = np.zeros((h, w, spp), np.uint8)
+            for ti in range(down):
+                for tj in range(across):
+                    o = toffs[ti * across + tj]
+                    c = tcnts[ti * across + tj]
+                    tile = _to_plane(
+                        _decompress(data[o : o + c], tneed), tile_h, tile_w)
+                    y, x = ti * tile_h, tj * tile_w
+                    ch, cw = min(tile_h, h - y), min(tile_w, w - x)
+                    arr[y : y + ch, x : x + cw] = tile[:ch, :cw]
+        else:
             parts = []
             for si, (o, c) in enumerate(zip(offsets, counts)):
                 n_rows = min(rows_per_strip, h - si * rows_per_strip)
-                strip_need = n_rows * w * spp
-                strip = data[o : o + c]
-                if comp == 5:
-                    parts.append(_lzw_decode(strip)[:strip_need])
-                elif comp in (8, 32946):  # Adobe / old-style Deflate
-                    parts.append(_zlib.decompress(strip)[:strip_need])
-                else:
-                    parts.append(_packbits_decode(strip, strip_need))
-            raw = b"".join(parts)
-        if len(raw) < need:
-            raise ValueError("truncated TIFF strip data")
-        arr = np.frombuffer(raw[:need], dtype=np.uint8).reshape(h, w, spp)
-        if predictor == 2:
-            arr = _undo_predictor(arr)
+                strip_need = n_rows * w * spp * itemsize
+                parts.append(_to_plane(
+                    _decompress(data[o : o + c], strip_need), n_rows, w))
+            arr = np.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
         if spp == 1:
             plane = 255 - arr[..., 0] if photo == 0 else arr[..., 0]
             arr = np.repeat(plane[:, :, None], 3, axis=2)
@@ -363,13 +410,16 @@ def encode_tiff(
     frames: list[np.ndarray],
     compression: str = "none",
     predictor: bool = False,
+    tile: tuple[int, int] | None = None,
 ) -> bytes:
-    """List of (H,W,3) or (H,W) uint8 arrays -> multi-frame little-endian
-    TIFF (one IFD + one strip per frame).  ``compression``: "none", "lzw",
-    "packbits", or the fax family "g4" / "g3" / "g3_2d" / "mh" (bilevel:
-    pixels < 128 become black, photometric 0 min-is-white, 1 bit/sample);
-    ``predictor=True`` adds horizontal differencing (Predictor=2, the
-    usual companion of LZW — only valid with it)."""
+    """List of (H,W,3) or (H,W) uint8 — or uint16, written as 16-bit
+    samples — arrays -> multi-frame little-endian TIFF (one IFD + one
+    strip per frame, or tiled when ``tile=(tw, th)``).  ``compression``:
+    "none", "lzw", "packbits", "deflate", "jpeg", or the fax family
+    "g4" / "g3" / "g3_2d" / "mh" (bilevel: pixels < 128 become black,
+    photometric 0 min-is-white, 1 bit/sample); ``predictor=True`` adds
+    horizontal differencing (Predictor=2, the usual companion of LZW —
+    only valid with it)."""
     if not frames:
         raise ValueError("no frames")
     if compression not in _COMPRESSIONS:
@@ -378,12 +428,19 @@ def encode_tiff(
         raise ValueError("predictor=2 is only written with LZW")
     comp_id = _COMPRESSIONS[compression]
     fax = compression in ("g4", "g3", "g3_2d", "mh")
+    if tile is not None and (fax or compression == "jpeg"):
+        raise ValueError("tiled output: fax/JPEG tiles not supported")
     bo = "<"
     out = bytearray(b"II*\x00\x00\x00\x00\x00")
 
     ifd_offsets: list[int] = []
     for frame in frames:
-        frame = np.asarray(frame, dtype=np.uint8)
+        frame = np.asarray(frame)
+        if frame.dtype != np.uint16:
+            frame = frame.astype(np.uint8)
+        elif fax or compression == "jpeg":
+            raise ValueError("16-bit samples: fax/JPEG output unsupported")
+        bits = 16 if frame.dtype == np.uint16 else 8
         gray = frame.ndim == 2
         h, w = frame.shape[:2]
         if fax:
@@ -464,45 +521,94 @@ def encode_tiff(
             continue
         spp = 1 if gray else 3
         plane = frame.reshape(h, w, spp)
-        if predictor:
-            plane = _apply_predictor(plane)
-        pix = plane.tobytes()
-        if compression == "lzw":
-            pix = _lzw_encode(pix)
-        elif compression == "packbits":
-            pix = _packbits_encode(pix)
-        elif compression == "deflate":
-            import zlib as _zlib
 
-            pix = _zlib.compress(pix, 6)
+        def _compress(block: np.ndarray) -> bytes:
+            # predictor runs per independently-compressed segment (each
+            # tile is its own unit; a decoder undoes it tile-locally)
+            if predictor:
+                block = _apply_predictor(block)
+            pix = block.astype("<u2").tobytes() if bits == 16 else block.tobytes()
+            if compression == "lzw":
+                return _lzw_encode(pix)
+            if compression == "packbits":
+                return _packbits_encode(pix)
+            if compression == "deflate":
+                import zlib as _zlib
 
-        strip_off = len(out)
-        out += pix
-        if len(out) % 2:
-            out += b"\x00"  # word-align the IFD
+                return _zlib.compress(pix, 6)
+            return pix
+
+        if tile is not None:
+            # TIFF 6.0 §15: tiles are ALWAYS full-size; pad edge tiles
+            tw, th = tile
+            if tw % 16 or th % 16:
+                raise ValueError("TIFF tile dims must be multiples of 16")
+            across, down = -(-w // tw), -(-h // th)
+            padded = np.zeros((down * th, across * tw, spp), plane.dtype)
+            padded[:h, :w] = plane
+            toffs, tcnts = [], []
+            for ti in range(down):
+                for tj in range(across):
+                    blk = _compress(
+                        padded[ti * th : (ti + 1) * th,
+                               tj * tw : (tj + 1) * tw])
+                    toffs.append(len(out))
+                    tcnts.append(len(blk))
+                    out += blk
+                    if len(out) % 2:
+                        out += b"\x00"
+            layout = [
+                (322, 4, 1, tw),  # TileWidth
+                (323, 4, 1, th),  # TileLength
+                (324, 4, toffs),  # TileOffsets
+                (325, 4, tcnts),  # TileByteCounts
+            ]
+        else:
+            pix = _compress(plane)
+            strip_off = len(out)
+            out += pix
+            if len(out) % 2:
+                out += b"\x00"  # word-align the IFD
+            layout = [
+                (273, 4, 1, strip_off),  # StripOffsets
+                (278, 4, 1, h),  # RowsPerStrip
+                (279, 4, 1, len(pix)),  # StripByteCounts
+            ]
 
         entries = [
             (256, 4, 1, w),  # ImageWidth
             (257, 4, 1, h),  # ImageLength
             (259, 3, 1, comp_id),  # Compression
             (262, 3, 1, 1 if gray else 2),  # Photometric
-            (273, 4, 1, strip_off),  # StripOffsets
             (277, 3, 1, spp),  # SamplesPerPixel
-            (278, 4, 1, h),  # RowsPerStrip
-            (279, 4, 1, len(pix)),  # StripByteCounts
-        ]
+        ] + layout
         if predictor:
             entries.append((317, 3, 1, 2))  # horizontal differencing
-        if gray:
-            entries.insert(2, (258, 3, 1, 8))  # BitsPerSample
-            ifd = entries
-        else:
-            # BitsPerSample for RGB needs 3 shorts (6 bytes) -> out-of-line
-            bps_off = len(out)
-            out += struct.pack(bo + "HHH", 8, 8, 8)
+        entries.append((258, 3, [bits] * spp))  # BitsPerSample
+
+        # resolve array-valued entries: <=4 bytes inline, else out-of-line
+        ifd = []
+        for ent in entries:
+            if len(ent) == 4:
+                ifd.append(ent)
+                continue
+            tag, typ, vals = ent
+            unit = _TYPE_SIZES[typ]
+            fmt = {3: "H", 4: "I"}[typ]
+            if len(vals) * unit <= 4:
+                if len(vals) == 1:
+                    ifd.append((tag, typ, 1, vals[0]))
+                else:
+                    packed = struct.pack(bo + fmt * len(vals), *vals)
+                    packed += b"\x00" * (4 - len(packed))
+                    (as_long,) = struct.unpack(bo + "I", packed)
+                    ifd.append((tag, typ, len(vals), ("raw", as_long)))
+                continue
+            voff = len(out)
+            out += struct.pack(bo + fmt * len(vals), *vals)
             if len(out) % 2:
                 out += b"\x00"
-            ifd = entries[:2] + [(258, 3, 3, bps_off)] + entries[2:]
+            ifd.append((tag, typ, len(vals), voff))
 
         ifd.sort(key=lambda e: e[0])
         ifd_off = len(out)
@@ -510,7 +616,9 @@ def encode_tiff(
         out += struct.pack(bo + "H", len(ifd))
         for tag, typ, count, value in ifd:
             out += struct.pack(bo + "HHI", tag, typ, count)
-            if typ == 3 and count == 1:
+            if isinstance(value, tuple):  # pre-packed inline short array
+                out += struct.pack(bo + "I", value[1])
+            elif typ == 3 and count == 1:
                 out += struct.pack(bo + "HH", value, 0)
             else:
                 out += struct.pack(bo + "I", value)

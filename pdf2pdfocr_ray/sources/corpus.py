@@ -150,11 +150,29 @@ def _make_image_doc(rng: np.random.Generator) -> tuple[bytes, str, int]:
             frames.append(img)
             texts.append(text)
         # incl. the fax family (bilevel CCITT strips — COLOR_INK min
-        # channel 40 < 128 so thresholding keeps the glyphs) and
-        # JPEG-in-TIFF (compression 7, quality 95)
+        # channel 40 < 128 so thresholding keeps the glyphs),
+        # JPEG-in-TIFF (compression 7, quality 95), tiled layouts
+        # (tags 322-325) and 16-bit samples (high byte == the 8-bit
+        # render, so decode is exact)
+        variant = int(rng.integers(0, 11))
+        if variant >= 8:
+            if variant == 10:  # 16-bit samples (strip layout)
+                frames = [
+                    (f.astype(np.uint16) << 8) | f for f in frames]
+            comp, pred, tile = [
+                ("deflate", False, (16, 16)),
+                ("lzw", True, (32, 16)),
+                ("none", False, None),
+            ][variant - 8]
+            return (
+                encode_tiff(frames, compression=comp, predictor=pred,
+                            tile=tile),
+                "".join(texts),
+                n_frames,
+            )
         comp, pred = [("none", False), ("lzw", False), ("lzw", True),
                       ("packbits", False), ("g4", False), ("g3_2d", False),
-                      ("jpeg", False), ("deflate", False)][int(rng.integers(0, 8))]
+                      ("jpeg", False), ("deflate", False)][variant]
         return (
             encode_tiff(frames, compression=comp, predictor=pred),
             "".join(texts),
@@ -334,7 +352,7 @@ GIANT_EVERY = 150  # every 150th doc is a skewed giant PDF (repartition/skew pat
 
 # Bump when generated content changes — cache keys (bench corpus dirs)
 # embed it so stale corpora from earlier generators never get reused.
-CORPUS_VERSION = "r4h"  # r3: WebP image docs; r3b/c: scanned-page PDFs
+CORPUS_VERSION = "r5a"  # r3: WebP image docs; r3b/c: scanned-page PDFs
 # (DCT / gray-Flate / CCITT-G4 / JBIG2 embedded images, 2% of docs);
 # r3d: realistic HTML variants (inline markup, nested script junk,
 # blockquotes, unclosed tags, BOM payloads); r4a: lossy-VP8 image docs;
@@ -344,7 +362,9 @@ CORPUS_VERSION = "r4h"  # r3: WebP image docs; r3b/c: scanned-page PDFs
 # r4e: animated-GIF frames square-pad BEFORE rotation (25/120k joint
 # rot+deskew misestimates on pad-after-rot frames); r4f: multi-frame
 # TIFF gains fax (G4/G3-2D) and JPEG-in-TIFF compressions;
-# r4g: animated-WebP multi-frame docs; r4h: APNG multi-frame docs
+# r4g: animated-WebP multi-frame docs; r4h: APNG multi-frame docs;
+# r5a: tiled-TIFF (deflate 16x16, LZW+predictor 32x16) and 16-bit-sample
+# TIFF document kinds
 
 
 def _gen_doc(i: int, seed: int):

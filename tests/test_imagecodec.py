@@ -386,3 +386,154 @@ def test_tiff_deflate_roundtrip_exact():
     img = rng.integers(0, 256, (33, 47, 3), dtype=np.uint8)
     assert np.array_equal(
         decode_tiff(encode_tiff([img], compression="deflate"))[0], img)
+
+
+def test_animation_detection_is_structural():
+    """ADVICE r4 #3: ANMF/acTL detection must walk the chunk structure —
+    compressed single-frame data containing those 4 bytes by chance must
+    not route through the multi-frame decode path."""
+    from pdf2pdfocr_ray.functions.imagecodec import (
+        png_has_actl,
+        webp_has_animation,
+    )
+    from pdf2pdfocr_ray.functions.pngcodec import (
+        _MAGIC,
+        _chunk,
+        encode_png,
+    )
+    from pdf2pdfocr_ray.functions.webpcodec import (
+        encode_webp,
+        encode_webp_anim,
+    )
+
+    rng = np.random.default_rng(11)
+    frames = [rng.integers(0, 256, (9, 7, 3), dtype=np.uint8)
+              for _ in range(2)]
+    # true positives: real animated containers
+    assert webp_has_animation(encode_webp_anim(frames))
+    from pdf2pdfocr_ray.functions.pngcodec import encode_png_anim
+
+    assert png_has_actl(encode_png_anim(frames))
+    # true negatives: single-frame containers
+    assert not webp_has_animation(encode_webp(frames[0]))
+    assert not png_has_actl(encode_png(frames[0]))
+    # adversarial: the magic 4 bytes INSIDE chunk data, not at top level
+    webp = bytearray(encode_webp(frames[0]))
+    body = b"ANMF" + bytes(webp[12:])  # stuff marker into the VP8L data
+    fake = (b"RIFF" + (4 + 8 + len(body)).to_bytes(4, "little") + b"WEBP"
+            + b"VP8L" + len(body).to_bytes(4, "little") + body)
+    assert b"ANMF" in fake and not webp_has_animation(fake)
+    png = (_MAGIC
+           + _chunk(b"IHDR",
+                    __import__("struct").pack(">IIBBBBB", 7, 9, 8, 2, 0, 0, 0))
+           + _chunk(b"IDAT", b"junk-acTL-junk")
+           + _chunk(b"IEND", b""))
+    assert b"acTL" in png and not png_has_actl(png)
+
+
+def test_fanout_isolates_malformed_multiframe_payloads(ray_session):
+    """ADVICE r4 #1 (high): a truncated GIF / corrupt APNG must emit an
+    image_decode error row, not crash the whole FanOut task."""
+    import pyarrow as pa
+
+    from pdf2pdfocr_ray.functions.gifcodec import encode_gif
+    from pdf2pdfocr_ray.functions.pngcodec import encode_png_anim
+    from pdf2pdfocr_ray.stages.fanout import FanOut
+    from pdf2pdfocr_ray.stages.sniff import sniff_route
+
+    rng = np.random.default_rng(5)
+    pal = rng.integers(0, 256, (8, 3), dtype=np.uint8)
+    frames = [pal[rng.integers(0, 8, (16, 16))] for _ in range(2)]
+    gif = encode_gif(frames)
+    apng = encode_png_anim(frames)
+    corrupt_apng = bytearray(apng)
+    # find the IDAT chunk and scramble its deflate payload
+    idx = bytes(corrupt_apng).index(b"IDAT")
+    corrupt_apng[idx + 4 : idx + 12] = b"\xff" * 8
+    payloads = [gif[:20], gif[:50], bytes(corrupt_apng), gif]
+    urls = [f"u/{i}" for i in range(len(payloads))]
+    pages = pa.table({
+        "url": pa.array(urls, pa.string()),
+        "warc_ts": pa.array([0] * len(urls), pa.timestamp("us")),
+        "html": pa.array(payloads, pa.binary()),
+        "text": pa.array([""] * len(urls), pa.string()),
+        "lang": pa.array(["eng"] * len(urls), pa.string()),
+    })
+    out = FanOut()(sniff_route(pages))
+    errs = dict(zip(out.column("url").to_pylist(),
+                    out.column("error").to_pylist()))
+    for bad in ("u/0", "u/1", "u/2"):
+        assert errs[bad] and errs[bad].startswith("image_decode:"), (
+            bad, errs[bad])
+    good = out.filter(pa.compute.equal(out.column("url"), "u/3"))
+    assert good.num_rows == 2  # healthy animated GIF still fans out
+    assert all(e is None for e in good.column("error").to_pylist())
+
+
+def test_tiff_tiled_roundtrip_exact():
+    """Tiled layout (tags 322-325): full-size padded edge tiles crop
+    back exactly, per compression, RGB and gray, non-multiple dims."""
+    rng = np.random.default_rng(21)
+    rgb = rng.integers(0, 256, (37, 53, 3), dtype=np.uint8)
+    gray = rng.integers(0, 256, (40, 31), dtype=np.uint8)
+    for compression in ("none", "lzw", "deflate", "packbits"):
+        dec = decode_tiff(
+            encode_tiff([rgb], compression=compression, tile=(16, 16)))[0]
+        assert np.array_equal(dec, rgb), compression
+        decg = decode_tiff(
+            encode_tiff([gray], compression=compression, tile=(32, 16)))[0]
+        assert np.array_equal(decg, np.repeat(gray[:, :, None], 3, axis=2))
+    # multi-frame: tiled and strip IFDs chained in one file
+    two = decode_tiff(encode_tiff([rgb, rgb[::-1]], tile=(16, 32)))
+    assert len(two) == 2 and np.array_equal(two[1], rgb[::-1])
+    with pytest.raises(ValueError, match="multiples of 16"):
+        encode_tiff([rgb], tile=(10, 16))
+    with pytest.raises(ValueError, match="tiles not supported"):
+        encode_tiff([rgb], compression="jpeg", tile=(16, 16))
+
+
+def test_tiff_16bit_roundtrip_high_byte():
+    """16-bit samples decode as the high byte (standard 16->8
+    presentation), strips and tiles, with and without predictor+LZW."""
+    rng = np.random.default_rng(22)
+    img16 = rng.integers(0, 65536, (23, 29, 3), dtype=np.uint16)
+    want = (img16 >> 8).astype(np.uint8)
+    for kw in ({}, {"compression": "deflate"},
+               {"compression": "lzw", "predictor": True},
+               {"tile": (16, 16)},
+               {"compression": "lzw", "predictor": True, "tile": (16, 16)}):
+        dec = decode_tiff(encode_tiff([img16], **kw))[0]
+        assert np.array_equal(dec, want), kw
+    g16 = rng.integers(0, 65536, (9, 11), dtype=np.uint16)
+    dec = decode_tiff(encode_tiff([g16]))[0]
+    assert np.array_equal(dec, np.repeat((g16 >> 8).astype(np.uint8)[:, :, None],
+                                         3, axis=2))
+    with pytest.raises(ValueError, match="unsupported"):
+        encode_tiff([img16], compression="jpeg")
+
+
+def test_tiff_16bit_big_endian_decode():
+    """MM (big-endian) 16-bit gray: sample bytes follow the container
+    byte order."""
+    import struct
+
+    h, w = 3, 4
+    vals = np.arange(h * w, dtype=np.uint16) * 4097  # 0x0000,0x1001,...
+    pix = vals.astype(">u2").tobytes()
+    out = bytearray(b"MM\x00*\x00\x00\x00\x00")
+    strip_off = len(out)
+    out += pix
+    ifd = [(256, 4, 1, w), (257, 4, 1, h), (258, 3, 1, 16), (259, 3, 1, 1),
+           (262, 3, 1, 1), (273, 4, 1, strip_off), (277, 3, 1, 1),
+           (278, 4, 1, h), (279, 4, 1, len(pix))]
+    ifd_off = len(out)
+    out += struct.pack(">H", len(ifd))
+    for tag, typ, count, value in ifd:
+        out += struct.pack(">HHI", tag, typ, count)
+        out += (struct.pack(">HH", value, 0) if typ == 3
+                else struct.pack(">I", value))
+    out += struct.pack(">I", 0)
+    struct.pack_into(">I", out, 4, ifd_off)
+    dec = decode_tiff(bytes(out))[0]
+    want = (vals >> 8).astype(np.uint8).reshape(h, w)
+    assert np.array_equal(dec, np.repeat(want[:, :, None], 3, axis=2))
