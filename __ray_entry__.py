@@ -605,9 +605,17 @@ def _q_dedup_incremental(sf_dir: str):
     from pdf2pdfocr_ray.ops.dedup import dedup_minhash_incremental
     from pdf2pdfocr_ray.ops.relational import read
 
+    import pyarrow.compute as pc
+
     ds = read(sf_dir, "documents", ["doc_id", "text"]).materialize()
-    snap_a = ds.filter(lambda r: r["doc_id"] % 2 == 0)
-    snap_b = ds.filter(lambda r: r["doc_id"] % 2 == 1)
+    # vectorized block-level split (a row-lambda filter runs Python per
+    # row — the anti-pattern this engine bans in hot paths)
+    snap_a = ds.map_batches(
+        lambda t: t.filter(pc.equal(pc.bit_wise_and(t["doc_id"], 1), 0)),
+        batch_format="pyarrow")
+    snap_b = ds.map_batches(
+        lambda t: t.filter(pc.equal(pc.bit_wise_and(t["doc_id"], 1), 1)),
+        batch_format="pyarrow")
     store = tempfile.mkdtemp(prefix="p2p_sigstore_")
     try:
         p1 = dedup_minhash_incremental(

@@ -28,6 +28,7 @@ surviving pairs leaves no row, so the flag is a lower bound on truncation.
 
 from __future__ import annotations
 
+import functools
 import hashlib
 import re
 from typing import TYPE_CHECKING
@@ -148,6 +149,21 @@ class MinHasher:
         return out
 
 
+@functools.lru_cache(maxsize=8)
+def _cached_minhasher(num_perm: int, shingle_k: int, seed: int) -> MinHasher:
+    return MinHasher(num_perm=num_perm, shingle_k=shingle_k, seed=seed)
+
+
+def minhash_batch(batch: pd.DataFrame, num_perm: int = 64,
+                  shingle_k: int = 3, seed: int = 7) -> pd.DataFrame:
+    """Task-form MinHash stage: the permutation constants are trivial to
+    build (64 rng draws), so an actor POOL buys nothing here — running as
+    plain tasks reuses Ray's warm worker processes (lru_cache holds the
+    state per worker) and skips the per-call pool spawn that dominated
+    small/delta signature passes (~2s per dedup_minhash_incremental run)."""
+    return _cached_minhasher(num_perm, shingle_k, seed)(batch)
+
+
 def _explode_bands(batch: pd.DataFrame, bands: int, rows_per_band: int,
                    id_col: str) -> pd.DataFrame:
     """Row (id, sig) -> ``bands`` rows (id, band_id, band_hash, sig),
@@ -197,16 +213,12 @@ def dedup_minhash_lsh(
     """
     import functools
 
-    from .grouped import stage_pool
-
     if bands == "auto":
         bands, _rows = tune_lsh(threshold, num_perm)
     rows_per_band = num_perm // bands
     sigs = ds.map_batches(
-        MinHasher,
-        fn_constructor_kwargs={"num_perm": num_perm},
+        functools.partial(minhash_batch, num_perm=num_perm),
         batch_format="pandas",
-        concurrency=stage_pool(),
     )
     if text_col != "text":
         raise ValueError("minhash expects a 'text' column")
@@ -1222,12 +1234,13 @@ def dedup_minhash_incremental(
     per-doc deterministic, so each pair is reported exactly once, by the
     first snapshot that completes it.
     """
+    import functools as _functools
     import os
     import shutil
 
     import ray.data
 
-    from .grouped import sorted_groupby, stage_pool
+    from .grouped import sorted_groupby
 
     rows_per_band = num_perm // bands
     if text_col != "text":
@@ -1236,10 +1249,8 @@ def dedup_minhash_incremental(
     snap_dir = os.path.join(store_dir, f"snapshot={snapshot}")
     shutil.rmtree(snap_dir, ignore_errors=True)
     new_sigs = new_ds.map_batches(
-        MinHasher,
-        fn_constructor_kwargs={"num_perm": num_perm},
+        _functools.partial(minhash_batch, num_perm=num_perm),
         batch_format="pandas",
-        concurrency=stage_pool(),
     ).map_batches(
         lambda df: df[[id_col, "minhash_sig"]], batch_format="pandas"
     )
