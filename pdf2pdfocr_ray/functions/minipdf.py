@@ -227,18 +227,51 @@ def parse_pdf(data: bytes) -> MiniPdfDoc:
         raise ValueError(f"corrupt PDF ({type(e).__name__}: {e})") from e
 
 
+def _encode_content_stream(raw: bytes, stream_filter: str) -> tuple[bytes, bytes]:
+    """Content bytes -> (/Filter clause, payload) for the classic PDF
+    stream filters (PDF 1.7 §7.4): flate, lzw (EarlyChange=1), rl
+    (RunLength), ahx+flate / a85+flate (ASCII armor over deflate —
+    filters listed in DECODE order, armor first)."""
+    import base64 as _base64
+    import zlib as _zlib
+
+    if stream_filter == "flate":
+        return b"/Filter /FlateDecode", _zlib.compress(raw)
+    if stream_filter == "lzw":
+        from .tiffcodec import _lzw_encode
+
+        return b"/Filter /LZWDecode", _lzw_encode(raw)
+    if stream_filter == "rl":
+        from .tiffcodec import _packbits_encode
+
+        # PackBits emits the same literal/repeat headers as PDF
+        # RunLength; append the 128 EOD byte the PDF flavor requires
+        return b"/Filter /RunLengthDecode", _packbits_encode(raw) + b"\x80"
+    if stream_filter == "ahx+flate":
+        comp = _zlib.compress(raw)
+        return (b"/Filter [/ASCIIHexDecode /FlateDecode]",
+                comp.hex().encode("ascii") + b">")
+    if stream_filter == "a85+flate":
+        comp = _zlib.compress(raw)
+        return (b"/Filter [/ASCII85Decode /FlateDecode]",
+                _base64.a85encode(comp) + b"~>")
+    raise ValueError(f"unknown stream_filter {stream_filter!r}")
+
+
 def build_foreign_pdf(
     pages_lines: list[list[str]],
     *,
     title: str = "Foreign Doc",
     incremental: bool = False,
+    stream_filter: str = "flate",
 ) -> bytes:
     """Build a REAL-WORLD-syntax PDF the engine did not write itself —
     the tolerance fixture for the pdfparse front end.  Features exercised:
-    binary comment line, CRLF end-of-lines, /FlateDecode content streams
-    with INDIRECT /Length objects, hex strings and TJ kerning arrays, a
-    two-level page tree, and (``incremental=True``) an appended update
-    whose xref carries /Prev — the incremental-save chain.
+    binary comment line, CRLF end-of-lines, content streams in any
+    classic filter (``stream_filter``: flate / lzw / rl / ahx+flate /
+    a85+flate) with INDIRECT /Length objects, hex strings and TJ kerning
+    arrays, a two-level page tree, and (``incremental=True``) an appended
+    update whose xref carries /Prev — the incremental-save chain.
 
     Golden text rule (matches pdfparse.extract_text_lines): one line per
     text-showing op; a TJ array's strings concatenate into one line.
@@ -283,10 +316,10 @@ def build_foreign_pdf(
                 ops.append(b"(" + _esc(line) + b") Tj")
         ops.append(b"ET")
         raw = b" ".join(ops)
-        comp = _zlib.compress(raw)
+        filt_clause, comp = _encode_content_stream(raw, stream_filter)
         len_no = next_no + 1  # the /Length object written right after
         cont_no = add(
-            b"<< /Length %d 0 R /Filter /FlateDecode >>\r\nstream\r\n" % len_no
+            b"<< /Length %d 0 R " % len_no + filt_clause + b" >>\r\nstream\r\n"
             + comp
             + b"\r\nendstream"
         )

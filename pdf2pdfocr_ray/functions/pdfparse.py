@@ -61,6 +61,30 @@ class PdfName(str):
     """A /Name (distinct from a string value)."""
 
 
+def _runlength_decode(data: bytes) -> bytes:
+    """/RunLengthDecode (PDF 1.7 §7.4.5): length byte L — L<=127 copies
+    the next L+1 bytes literally, L>=129 repeats the next byte 257-L
+    times, L==128 is EOD."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        ln = data[i]
+        i += 1
+        if ln == 128:
+            break
+        if ln <= 127:
+            if i + ln + 1 > n:
+                raise ValueError("truncated RunLengthDecode literal run")
+            out += data[i : i + ln + 1]
+            i += ln + 1
+        else:
+            if i >= n:
+                raise ValueError("truncated RunLengthDecode repeat run")
+            out += bytes([data[i]]) * (257 - ln)
+            i += 1
+    return bytes(out)
+
+
 class PdfStream:
     __slots__ = ("dict", "raw")
 
@@ -69,7 +93,10 @@ class PdfStream:
         self.raw = raw
 
     def data(self) -> bytes:
-        """Decoded stream bytes (identity or /FlateDecode)."""
+        """Decoded stream bytes: identity, /FlateDecode, /LZWDecode
+        (EarlyChange=1, the PDF default — same early-change convention
+        as TIFF §13), /RunLengthDecode, /ASCIIHexDecode or
+        /ASCII85Decode, in filter-chain order (PDF 1.7 §7.4)."""
         filt = self.dict.get("Filter")
         filters = (
             [filt] if isinstance(filt, (PdfName, str)) and filt else (filt or [])
@@ -86,6 +113,36 @@ class PdfStream:
                         out = d.decompress(out)
                     except zlib.error as e:
                         raise ValueError(f"bad FlateDecode stream: {e}") from e
+            elif f == "LZWDecode":
+                parms = self.dict.get("DecodeParms") or {}
+                if isinstance(parms, list):
+                    parms = next((p for p in parms if p), {}) or {}
+                if int(parms.get("EarlyChange", 1) or 0) != 1:
+                    raise ValueError("LZWDecode: EarlyChange=0 unsupported")
+                from .tiffcodec import _lzw_decode
+
+                out = _lzw_decode(out)
+            elif f == "RunLengthDecode":
+                out = _runlength_decode(out)
+            elif f == "ASCIIHexDecode":
+                body = out.split(b">", 1)[0]
+                body = re.sub(rb"\s+", b"", body)
+                if len(body) % 2:
+                    body += b"0"  # odd count: implicit trailing 0 (§7.4.2)
+                try:
+                    out = bytes.fromhex(body.decode("ascii"))
+                except ValueError as e:
+                    raise ValueError(f"bad ASCIIHexDecode stream: {e}") from e
+            elif f == "ASCII85Decode":
+                import base64
+
+                body = re.sub(rb"\s+", b"", out)
+                if body.endswith(b"~>"):
+                    body = body[:-2]
+                try:
+                    out = base64.a85decode(body)
+                except ValueError as e:
+                    raise ValueError(f"bad ASCII85Decode stream: {e}") from e
             else:
                 raise ValueError(f"unsupported stream filter /{f}")
         return out

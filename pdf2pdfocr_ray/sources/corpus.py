@@ -352,7 +352,7 @@ GIANT_EVERY = 150  # every 150th doc is a skewed giant PDF (repartition/skew pat
 
 # Bump when generated content changes — cache keys (bench corpus dirs)
 # embed it so stale corpora from earlier generators never get reused.
-CORPUS_VERSION = "r5a"  # r3: WebP image docs; r3b/c: scanned-page PDFs
+CORPUS_VERSION = "r5b"  # r3: WebP image docs; r3b/c: scanned-page PDFs
 # (DCT / gray-Flate / CCITT-G4 / JBIG2 embedded images, 2% of docs);
 # r3d: realistic HTML variants (inline markup, nested script junk,
 # blockquotes, unclosed tags, BOM payloads); r4a: lossy-VP8 image docs;
@@ -364,7 +364,8 @@ CORPUS_VERSION = "r5a"  # r3: WebP image docs; r3b/c: scanned-page PDFs
 # TIFF gains fax (G4/G3-2D) and JPEG-in-TIFF compressions;
 # r4g: animated-WebP multi-frame docs; r4h: APNG multi-frame docs;
 # r5a: tiled-TIFF (deflate 16x16, LZW+predictor 32x16) and 16-bit-sample
-# TIFF document kinds
+# TIFF document kinds; r5b: foreign-PDF content streams in LZW /
+# RunLength / ASCIIHex+Flate / ASCII85+Flate filters
 
 
 def _gen_doc(i: int, seed: int):
@@ -410,8 +411,14 @@ def _gen_doc(i: int, seed: int):
             [_pdf_line(rng) for _ in range(int(rng.integers(2, 5)))]
             for _ in range(n_pages)
         ]
+        # classic content-stream filters (PDF 1.7 §7.4): deflate is the
+        # modern default; LZW / RunLength / ASCII armor show up in the
+        # long tail of old crawled PDFs
+        sfilter = ("flate", "flate", "lzw", "rl", "ahx+flate",
+                   "a85+flate")[int(rng.integers(0, 6))]
         payload = build_foreign_pdf(
-            pages_lines, incremental=bool(rng.random() < 0.3)
+            pages_lines, incremental=bool(rng.random() < 0.3),
+            stream_filter=sfilter,
         )
         golden = "".join(
             normalize_ligatures("\n".join(ls)) + "\n" for ls in pages_lines

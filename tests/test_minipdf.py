@@ -278,3 +278,38 @@ def test_scanned_pdf_through_flagship_byte_identical():
     expect = "".join("\n".join(ls) + "\n" for ls in pages_lines)
     assert res["extracted_text"][0] == expect
     assert res["n_pages"][0] == 2
+
+
+def test_foreign_pdf_classic_stream_filters():
+    """LZWDecode / RunLengthDecode / ASCIIHex+Flate / ASCII85+Flate
+    content streams (PDF 1.7 §7.4) all parse back to the same lines."""
+    from pdf2pdfocr_ray.functions.minipdf import build_foreign_pdf, parse_pdf
+
+    lines = [["Alpha beta gamma", "second line here"],
+             ["page two text content"]]
+    for sf in ("flate", "lzw", "rl", "ahx+flate", "a85+flate"):
+        doc = parse_pdf(build_foreign_pdf(lines, stream_filter=sf))
+        assert [spec.lines for spec in doc.pages] == lines, sf
+    # filter markers actually present in the emitted bytes
+    assert b"/LZWDecode" in build_foreign_pdf(lines, stream_filter="lzw")
+    assert b"/RunLengthDecode" in build_foreign_pdf(lines, stream_filter="rl")
+    assert (b"[/ASCII85Decode /FlateDecode]"
+            in build_foreign_pdf(lines, stream_filter="a85+flate"))
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown stream_filter"):
+        build_foreign_pdf(lines, stream_filter="bogus")
+
+
+def test_runlength_and_asciihex_edge_cases():
+    from pdf2pdfocr_ray.functions.pdfparse import PdfName, PdfStream, _runlength_decode
+
+    # EOD mid-stream stops decoding; trailing junk ignored
+    assert _runlength_decode(b"\x02abc\x81x\x80IGNORED") == b"abc" + b"x" * 128
+    import pytest
+
+    with pytest.raises(ValueError, match="truncated"):
+        _runlength_decode(b"\x05ab")
+    # odd-length ASCIIHex gets an implicit trailing zero (spec §7.4.2)
+    s = PdfStream({"Filter": PdfName("ASCIIHexDecode")}, b"41 42 4>garbage")
+    assert s.data() == b"AB@"
