@@ -25,6 +25,7 @@ byte-identical golden check relies on.
 
 from __future__ import annotations
 
+import re
 from html.parser import HTMLParser
 
 BLOCK_TAGS = frozenset(
@@ -156,6 +157,46 @@ class _Extractor(HTMLParser):
             top = self.tag_stack.pop()
             if top in BLOCK_TAGS:
                 self._close_block()
+
+
+_META_CHARSET_RE = re.compile(
+    rb"""<meta[^>]+?(?:charset\s*=\s*["']?([A-Za-z0-9_\-]+))""",
+    re.IGNORECASE,
+)
+# WHATWG encoding-standard label -> python codec, for the labels that
+# dominate real crawls; iso-8859-1 maps to windows-1252 per the standard
+_CHARSET_ALIASES = {
+    "utf-8": "utf-8", "utf8": "utf-8",
+    "iso-8859-1": "cp1252", "iso8859-1": "cp1252", "latin-1": "cp1252",
+    "latin1": "cp1252", "windows-1252": "cp1252", "cp1252": "cp1252",
+    "us-ascii": "ascii", "ascii": "ascii",
+    "utf-16": "utf-16", "utf-16le": "utf-16-le", "utf-16be": "utf-16-be",
+}
+
+
+def decode_html_bytes(payload: bytes) -> str:
+    """Crawl HTML bytes -> str via the WHATWG-style sniffing order:
+    BOM first (UTF-8 / UTF-16 LE / UTF-16 BE), then a <meta charset=...>
+    / http-equiv declaration scanned in the first 1024 bytes, then
+    strict UTF-8, then the windows-1252 fallback (which never fails —
+    real crawls are full of undeclared latin-ish bytes and dropping
+    those rows would be a silent coverage gap)."""
+    if payload[:3] == b"\xef\xbb\xbf":
+        return payload.decode("utf-8-sig")
+    if payload[:2] in (b"\xff\xfe", b"\xfe\xff"):
+        return payload.decode("utf-16")  # codec consumes the BOM
+    m = _META_CHARSET_RE.search(payload[:1024])
+    if m:
+        codec = _CHARSET_ALIASES.get(m.group(1).decode("ascii").lower())
+        if codec:
+            try:
+                return payload.decode(codec)
+            except (UnicodeDecodeError, ValueError):
+                pass  # mislabeled page: fall through to sniffing
+    try:
+        return payload.decode("utf-8")
+    except UnicodeDecodeError:
+        return payload.decode("cp1252", errors="replace")
 
 
 def extract_main_text(html: str) -> str:

@@ -303,8 +303,24 @@ def _make_html_doc(rng: np.random.Generator) -> tuple[bytes, str]:
     )
     title = _words(rng, HTML_VOCAB, 3)
     variant = rng.random()
+    # charset mix (real crawls are far from all-UTF-8): windows-1252 and
+    # iso-8859-1 declared via <meta charset>, UTF-16 via BOM, declared
+    # UTF-8, or undeclared UTF-8 (the default) — decoded by the WHATWG
+    # sniffing order in functions/boilerplate.decode_html_bytes
+    enc_r = rng.random()
+    if enc_r < 0.06:
+        charset_label, codec = "windows-1252", "cp1252"
+    elif enc_r < 0.12:
+        charset_label, codec = "iso-8859-1", "cp1252"
+    elif enc_r < 0.18:
+        charset_label, codec = None, "utf-16"  # BOM carries the signal
+    elif enc_r < 0.26:
+        charset_label, codec = "UTF-8", "utf-8"
+    else:
+        charset_label, codec = None, "utf-8"
+    meta = f'<meta charset="{charset_label}">' if charset_label else ""
     body = [
-        f"<html><head><title>{title}</title></head><body>",
+        f"<html><head>{meta}<title>{title}</title></head><body>",
         f"<header><h1>{title}</h1></header>",
         f"<nav><ul>{nav_items}</ul></nav>",
         "<article>",
@@ -342,8 +358,8 @@ def _make_html_doc(rng: np.random.Generator) -> tuple[bytes, str]:
     body.append("<footer><div>© 2026 example.org</div></footer>")
     body.append("</body></html>")
     html = "\n".join(body)
-    payload = html.encode("utf-8")
-    if variant >= 0.8:
+    payload = html.encode(codec)  # utf-16 adds its BOM itself
+    if variant >= 0.8 and codec == "utf-8":
         payload = b"\xef\xbb\xbf\n  " + payload  # BOM + leading whitespace
     return payload, "\n\n".join(golden_parts)
 
@@ -352,7 +368,7 @@ GIANT_EVERY = 150  # every 150th doc is a skewed giant PDF (repartition/skew pat
 
 # Bump when generated content changes — cache keys (bench corpus dirs)
 # embed it so stale corpora from earlier generators never get reused.
-CORPUS_VERSION = "r5b"  # r3: WebP image docs; r3b/c: scanned-page PDFs
+CORPUS_VERSION = "r5c"  # r3: WebP image docs; r3b/c: scanned-page PDFs
 # (DCT / gray-Flate / CCITT-G4 / JBIG2 embedded images, 2% of docs);
 # r3d: realistic HTML variants (inline markup, nested script junk,
 # blockquotes, unclosed tags, BOM payloads); r4a: lossy-VP8 image docs;
@@ -365,7 +381,8 @@ CORPUS_VERSION = "r5b"  # r3: WebP image docs; r3b/c: scanned-page PDFs
 # r4g: animated-WebP multi-frame docs; r4h: APNG multi-frame docs;
 # r5a: tiled-TIFF (deflate 16x16, LZW+predictor 32x16) and 16-bit-sample
 # TIFF document kinds; r5b: foreign-PDF content streams in LZW /
-# RunLength / ASCIIHex+Flate / ASCII85+Flate filters
+# RunLength / ASCIIHex+Flate / ASCII85+Flate filters; r5c: HTML charset
+# mix (windows-1252 / iso-8859-1 meta, UTF-16 BOM, declared UTF-8)
 
 
 def _gen_doc(i: int, seed: int):

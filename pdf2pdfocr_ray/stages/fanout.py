@@ -27,7 +27,7 @@ from __future__ import annotations
 import pyarrow as pa
 
 from ..config import PipelineConfig
-from ..functions.boilerplate import extract_main_text
+from ..functions.boilerplate import decode_html_bytes, extract_main_text
 from ..functions.minipdf import parse_pdf
 from ..functions.pagerender import (
     BLACK_INK,
@@ -119,8 +119,9 @@ class FanOut:
                 continue
             if route == ROUTE_HTML:
                 try:
-                    # utf-8-sig: crawl payloads often lead with a BOM
-                    text = extract_main_text(payload.decode("utf-8-sig"))
+                    # WHATWG-style charset sniff: BOM -> <meta charset>
+                    # -> strict UTF-8 -> windows-1252 fallback
+                    text = extract_main_text(decode_html_bytes(payload))
                     emit(url, ts, route, 0, 1, 0, None, text, None)
                 except Exception as e:  # noqa: BLE001 — row-level isolation
                     emit(url, ts, route, 0, 1, 0, None, None, f"html_parse: {e}")

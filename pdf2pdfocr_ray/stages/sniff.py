@@ -50,6 +50,13 @@ def sniff_route(batch: pa.Table) -> pa.Table:
     # html: first non-whitespace (or post-BOM) byte is '<' — crawl payloads
     # frequently lead with whitespace or a UTF-8 BOM.
     is_html = pc.match_substring_regex(col, r"^[\s\xef\xbb\xbf]*<")
+    # UTF-16 HTML: a UTF-16 BOM followed by '<' in either byte order
+    # (charset decode happens in the fan-out's HTML branch)
+    is_html = pc.or_(
+        is_html,
+        pc.match_substring_regex(
+            col, r"^(?:\xff\xfe<\x00|\xfe\xff\x00<)"),
+    )
     route = pc.if_else(
         is_pdf,
         ROUTE_PDF,

@@ -89,3 +89,30 @@ def test_script_nested_in_content_container_never_leaks():
         "some stray article tail text that is long enough to keep too\n\n"
         "The only real paragraph of this page, long enough to keep."
     )
+
+
+def test_decode_html_bytes_charset_sniffing():
+    """WHATWG-ish decode order: BOM -> meta charset -> UTF-8 -> cp1252."""
+    from pdf2pdfocr_ray.functions.boilerplate import decode_html_bytes
+
+    s = "<html><body><p>São naïve crédito</p></body></html>"
+    assert decode_html_bytes(s.encode("utf-8")) == s
+    assert decode_html_bytes(b"\xef\xbb\xbf" + s.encode("utf-8")) == s
+    assert decode_html_bytes(s.encode("utf-16")) == s       # LE BOM
+    assert decode_html_bytes(
+        b"\xfe\xff" + s.encode("utf-16-be")) == s           # BE BOM
+    for label in ("windows-1252", "ISO-8859-1", "latin1"):
+        tagged = s.replace(
+            "<html>", f'<html><head><meta charset="{label}"></head>')
+        assert decode_html_bytes(tagged.encode("cp1252")) == tagged
+    # http-equiv form
+    he = ('<html><head><meta http-equiv="Content-Type" '
+          'content="text/html; charset=iso-8859-1"></head>'
+          "<body>ação</body></html>")
+    assert decode_html_bytes(he.encode("cp1252")) == he
+    # mislabeled: declared 8859-1 but bytes are valid UTF-8 that cp1252
+    # would mojibake — cp1252 decode "succeeds" byte-wise, so the label
+    # wins (same as browsers); undeclared invalid UTF-8 falls to cp1252
+    assert decode_html_bytes(b"<p>caf\xe9</p>") == "<p>café</p>"
+    # undeclared valid UTF-8 stays UTF-8
+    assert decode_html_bytes("<p>café</p>".encode()) == "<p>café</p>"

@@ -55,9 +55,11 @@ def test_junk_routed_error():
     assert _route_of(b"") == ROUTE_ERROR
 
 
-def test_non_utf8_html_isolated_as_error_row():
-    """A payload that sniffs as HTML but isn't valid UTF-8 must become an
-    error row, not an exception (row-level fault isolation)."""
+def test_non_utf8_html_decodes_via_fallback():
+    """A payload that sniffs as HTML but isn't valid UTF-8 decodes via
+    the windows-1252 fallback (WHATWG sniffing order) instead of being
+    dropped — real crawls are full of undeclared latin-ish bytes, and an
+    error row here would be a silent coverage gap."""
     from pdf2pdfocr_ray.stages.fanout import FanOut
 
     t = pa.table(
@@ -71,8 +73,8 @@ def test_non_utf8_html_isolated_as_error_row():
     )
     out = FanOut()(sniff_route(t))
     assert out.num_rows == 1
-    err = out.column("error").to_pylist()[0]
-    assert err is not None and err.startswith("html_parse")
+    assert out.column("error").to_pylist()[0] is None
+    assert out.column("page_text").to_pylist()[0] is not None
 
 
 def test_sniff_preserves_columns_and_rows():
