@@ -308,23 +308,42 @@ def _encode_headers(
     return out
 
 
+def _exif_app1(orientation: int) -> bytes:
+    """Minimal EXIF APP1 segment: little-endian TIFF header + a 1-entry
+    IFD0 holding tag 274 (Orientation)."""
+    tiff = (b"II*\x00" + struct.pack("<I", 8)
+            + struct.pack("<H", 1)
+            + struct.pack("<HHIHH", 274, 3, 1, orientation, 0)
+            + struct.pack("<I", 0))
+    body = b"Exif\x00\x00" + tiff
+    return b"\xFF\xE1" + struct.pack(">H", len(body) + 2) + body
+
+
 def encode_jpeg(
     img: np.ndarray,
     quality: int = 85,
     subsample: bool = False,
     restart_interval: int = 0,
+    exif_orientation: int = 1,
 ) -> bytes:
     """Encode (H,W,3) RGB or (H,W) grayscale uint8 -> baseline JFIF bytes.
 
     ``subsample=True`` writes 4:2:0 chroma; otherwise 4:4:4.
     ``restart_interval`` > 0 emits DRI + RSTn markers every that many MCUs
     (what a robust producer writes so decoders can resync after corruption).
+    ``exif_orientation`` != 1 writes an EXIF APP1 tag-274 segment — the
+    camera convention where the stored pixels need the given transform to
+    display upright (the decoder auto-orients, like browsers).
     """
     gray, h, w, samp, comp_zz, comp_grid, qt_l, qt_c = _prepare_components(
         img, quality, subsample
     )
     planes = comp_zz  # one entry per component
     out = _encode_headers(gray, h, w, samp, qt_l, qt_c, 0xC0, restart_interval)
+    if exif_orientation != 1:
+        if not 1 <= exif_orientation <= 8:
+            raise ValueError("exif_orientation must be 1..8")
+        out = out[:2] + _exif_app1(exif_orientation) + out[2:]
     # SOS
     ncomp = 1 if gray else 3
     out += b"\xFF\xDA" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
@@ -814,6 +833,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     frame = None  # (h, w, comps) ; comps = [(cid, hs, vs, qid)]
     progressive = False
     dri = 0
+    exif_orientation = 1
     geom: dict = {}
     grids: dict[int, np.ndarray] = {}
     n_scans = 0
@@ -878,6 +898,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 values = list(seg[p + 17 : p + 17 + nv])
                 htables[(tc, th)] = _HuffTable(bits, values)
                 p += 17 + nv
+        elif marker == 0xE1 and seg[:6] == b"Exif\x00\x00":  # APP1 EXIF
+            exif_orientation = _parse_exif_orientation(seg[6:])
         elif marker == 0xDD:  # DRI
             dri = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:  # SOS
@@ -925,12 +947,60 @@ def decode_jpeg(data: bytes) -> np.ndarray:
 
     if len(comps) == 1:
         y = np.clip(np.round(planes[comps[0][0]]), 0, 255).astype(np.uint8)
-        return np.repeat(y[:, :, None], 3, axis=2)
-    cy, ccb, ccr = (planes[c[0]] for c in comps[:3])
-    cb = ccb - 128.0
-    cr = ccr - 128.0
-    r = cy + 1.402 * cr
-    g = cy - 0.344136 * cb - 0.714136 * cr
-    b = cy + 1.772 * cb
-    rgb = np.stack([r, g, b], axis=-1)
-    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+        rgb8 = np.repeat(y[:, :, None], 3, axis=2)
+    else:
+        cy, ccb, ccr = (planes[c[0]] for c in comps[:3])
+        cb = ccb - 128.0
+        cr = ccr - 128.0
+        r = cy + 1.402 * cr
+        g = cy - 0.344136 * cb - 0.714136 * cr
+        b = cy + 1.772 * cb
+        rgb = np.stack([r, g, b], axis=-1)
+        rgb8 = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    return _apply_exif_orientation(rgb8, exif_orientation)
+
+
+def _parse_exif_orientation(tiff: bytes) -> int:
+    """EXIF APP1 body (after the Exif\\0\\0 header) -> tag 274 value,
+    1 if absent/malformed.  Only IFD0 is walked — orientation lives
+    there (EXIF 2.3 §4.6.4)."""
+    try:
+        if tiff[:2] == b"II":
+            bo = "<"
+        elif tiff[:2] == b"MM":
+            bo = ">"
+        else:
+            return 1
+        (off,) = struct.unpack_from(bo + "I", tiff, 4)
+        (n_ent,) = struct.unpack_from(bo + "H", tiff, off)
+        for i in range(n_ent):
+            tag, typ, _cnt = struct.unpack_from(
+                bo + "HHI", tiff, off + 2 + 12 * i)
+            if tag == 274 and typ == 3:
+                (val,) = struct.unpack_from(
+                    bo + "H", tiff, off + 2 + 12 * i + 8)
+                return val if 1 <= val <= 8 else 1
+        return 1
+    except (struct.error, IndexError):
+        return 1
+
+
+def _apply_exif_orientation(img: np.ndarray, o: int) -> np.ndarray:
+    """Present the stored pixels upright per EXIF tag 274, the way
+    browsers and ImageMagick's auto-orient do (the reference inherits
+    this from `convert`, /root/reference/pdf2pdfocr.py:1133-1141)."""
+    if o == 2:
+        img = img[:, ::-1]
+    elif o == 3:
+        img = img[::-1, ::-1]
+    elif o == 4:
+        img = img[::-1]
+    elif o == 5:
+        img = img.transpose(1, 0, 2)
+    elif o == 6:
+        img = np.rot90(img, 3)
+    elif o == 7:
+        img = img.transpose(1, 0, 2)[::-1, ::-1]
+    elif o == 8:
+        img = np.rot90(img, 1)
+    return np.ascontiguousarray(img) if o != 1 else img

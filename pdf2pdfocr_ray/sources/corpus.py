@@ -222,6 +222,13 @@ def _make_image_doc(rng: np.random.Generator) -> tuple[bytes, str, int]:
     if fmt < 0.38:
         from ..functions.jpegcodec import encode_jpeg
 
+        if rng.random() < 0.3:
+            # camera-style EXIF orientation: store the rotated pixels +
+            # tag 274; the decoder auto-orients (browsers/ImageMagick
+            # behavior), so the OCR sees the upright page
+            o, k_store = ((3, 2), (6, 1), (8, 3))[int(rng.integers(0, 3))]
+            stored = np.ascontiguousarray(np.rot90(img, k_store))
+            return encode_jpeg(stored, quality=95, exif_orientation=o), text, 1
         return encode_jpeg(img, quality=95), text, 1
     if fmt < 0.47:
         from ..functions.jpegcodec import encode_jpeg_progressive
@@ -368,7 +375,7 @@ GIANT_EVERY = 150  # every 150th doc is a skewed giant PDF (repartition/skew pat
 
 # Bump when generated content changes — cache keys (bench corpus dirs)
 # embed it so stale corpora from earlier generators never get reused.
-CORPUS_VERSION = "r5c"  # r3: WebP image docs; r3b/c: scanned-page PDFs
+CORPUS_VERSION = "r5d"  # r3: WebP image docs; r3b/c: scanned-page PDFs
 # (DCT / gray-Flate / CCITT-G4 / JBIG2 embedded images, 2% of docs);
 # r3d: realistic HTML variants (inline markup, nested script junk,
 # blockquotes, unclosed tags, BOM payloads); r4a: lossy-VP8 image docs;
@@ -382,7 +389,8 @@ CORPUS_VERSION = "r5c"  # r3: WebP image docs; r3b/c: scanned-page PDFs
 # r5a: tiled-TIFF (deflate 16x16, LZW+predictor 32x16) and 16-bit-sample
 # TIFF document kinds; r5b: foreign-PDF content streams in LZW /
 # RunLength / ASCIIHex+Flate / ASCII85+Flate filters; r5c: HTML charset
-# mix (windows-1252 / iso-8859-1 meta, UTF-16 BOM, declared UTF-8)
+# mix (windows-1252 / iso-8859-1 meta, UTF-16 BOM, declared UTF-8);
+# r5d: EXIF-oriented JPEG image docs (tag 274 = 3/6/8, auto-oriented)
 
 
 def _gen_doc(i: int, seed: int):

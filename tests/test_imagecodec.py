@@ -537,3 +537,30 @@ def test_tiff_16bit_big_endian_decode():
     dec = decode_tiff(bytes(out))[0]
     want = (vals >> 8).astype(np.uint8).reshape(h, w)
     assert np.array_equal(dec, np.repeat(want[:, :, None], 3, axis=2))
+
+
+def test_jpeg_exif_orientation_auto_applied():
+    """EXIF tag 274 (APP1) auto-orients on decode for all 8 values —
+    decode(encode(S, o)) == present_o(decode(encode(S))) exactly, since
+    both carry the same quantized coefficients."""
+    from pdf2pdfocr_ray.functions.jpegcodec import _apply_exif_orientation
+
+    rng = np.random.default_rng(13)
+    S = rng.integers(0, 256, (24, 16, 3), dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg(S, 90))
+    for o in range(1, 9):
+        got = decode_jpeg(encode_jpeg(S, 90, exif_orientation=o))
+        assert np.array_equal(got, _apply_exif_orientation(base, o)), o
+    # camera cases: stored-rotated pixels present upright
+    U = rng.integers(0, 256, (32, 24, 3), dtype=np.uint8)
+    for o, k_store in ((3, 2), (6, 1), (8, 3)):
+        stored = np.ascontiguousarray(np.rot90(U, k_store))
+        got = decode_jpeg(encode_jpeg(stored, 90, exif_orientation=o))
+        assert got.shape == U.shape
+    with pytest.raises(ValueError, match="exif_orientation"):
+        encode_jpeg(S, 90, exif_orientation=9)
+    # malformed EXIF bodies are ignored, not fatal
+    from pdf2pdfocr_ray.functions.jpegcodec import _parse_exif_orientation
+
+    assert _parse_exif_orientation(b"XX junk") == 1
+    assert _parse_exif_orientation(b"II*\x00\x08\x00\x00") == 1
