@@ -470,10 +470,32 @@ def _meta_cfg():
 
 
 def _q_doc_meta_corpus(sf_dir: str):
+    """S3 document-metadata pass over the synthetic corpus, summarized
+    as an ORACLE-CHECKED census row (fixed-seed 240-doc corpus; verified
+    identical across cpu counts before pinning)."""
+    import pandas as pd
+
     from pdf2pdfocr_ray.pipelines.meta import doc_meta
 
     ds, _ = _corpus_ds(QUERY_N_DOCS)
-    return doc_meta(ds, _meta_cfg())
+    dm = doc_meta(ds, _meta_cfg()).to_pandas()
+    vc = dm["content_type"].value_counts()
+    return pd.DataFrame(
+        {
+            "n_docs": pd.Series([len(dm)], dtype="int64"),
+            "n_html": pd.Series([int(vc.get("html", 0))], dtype="int64"),
+            "n_pdf": pd.Series([int(vc.get("pdf", 0))], dtype="int64"),
+            "n_image": pd.Series([int(vc.get("image", 0))], dtype="int64"),
+            "n_encrypted": pd.Series(
+                [int(dm["is_encrypted"].sum())], dtype="int64"),
+            "n_native_text": pd.Series(
+                [int(dm["has_native_text"].sum())], dtype="int64"),
+            "total_pages": pd.Series(
+                [int(dm["n_pages"].sum())], dtype="int64"),
+            "n_skipped": pd.Series(
+                [int(dm["skip_reason"].notna().sum())], dtype="int64"),
+        }
+    )
 
 
 def _q_smart_preset(sf_dir: str):
@@ -522,11 +544,26 @@ def _q_bpe_tokens(sf_dir: str):
 
 
 def _q_winnow_fingerprint(sf_dir: str):
+    """Winnowing document fingerprints (Schleimer et al.), summarized as
+    an ORACLE-CHECKED verdict row (hash values deterministic across cpu
+    counts — verified before pinning the distinct census)."""
+    import pandas as pd
+
     from pdf2pdfocr_ray.ops.relational import read
     from pdf2pdfocr_ray.ops.text_analysis import add_winnow_fingerprint
 
     ds = read(sf_dir, "documents", ["doc_id", "text"])
-    return add_winnow_fingerprint(ds).select_columns(["doc_id", "winnow_fp"])
+    df = add_winnow_fingerprint(ds).select_columns(
+        ["doc_id", "winnow_fp"]).to_pandas()
+    assert bool(df["winnow_fp"].notna().all())
+    return pd.DataFrame(
+        {
+            "n_docs": pd.Series([len(df)], dtype="int64"),
+            "n_distinct_fp": pd.Series(
+                [int(df["winnow_fp"].nunique())], dtype="int64"),
+            "all_nonnull": [True],
+        }
+    )
 
 
 def _q_fingerprint(sf_dir: str):
@@ -659,9 +696,24 @@ def _minhash_clusters(sf_dir: str):
 
 
 def _q_dedup_clusters(sf_dir: str):
-    """Near-dup pairs -> connected components -> (node, cluster_id):
-    the doc-level drop verdict (keep iff node == cluster_id)."""
-    return _minhash_clusters(sf_dir)[["node", "cluster_id"]]
+    """Near-dup pairs -> connected components, summarized as an
+    ORACLE-CHECKED verdict row (pair set deterministic — see
+    dedup_minhash).  The min-label law (every cluster is labeled by its
+    smallest member) is asserted in-query, not pinned."""
+    import pandas as pd
+
+    cl = _minhash_clusters(sf_dir)[["node", "cluster_id"]]
+    g = cl.groupby("cluster_id")["node"]
+    assert bool((g.min() == g.min().index).all())  # min-label law
+    return pd.DataFrame(
+        {
+            "n_nodes": pd.Series([len(cl)], dtype="int64"),
+            "n_clusters": pd.Series(
+                [int(cl["cluster_id"].nunique())], dtype="int64"),
+            "max_cluster": pd.Series([int(g.size().max())], dtype="int64"),
+            "min_label_law": [True],
+        }
+    )
 
 
 def _q_dsir_weights(sf_dir: str):
@@ -2303,14 +2355,32 @@ def _q_compression_signal(sf_dir: str):
 
 
 def _q_lm_score(sf_dir: str):
-    """Char-trigram LM perplexity scoring (model built once per actor).
-    Model inference is not SQL-expressible -> rows-only driver check."""
+    """Char-trigram LM perplexity scoring (model built once per actor),
+    summarized as an ORACLE-CHECKED verdict row.  Model inference is not
+    SQL-expressible; per-doc scores were verified bit-identical across
+    cpu counts (after the round-5 reduceat fix that made each doc's
+    float accumulation independent of its batch neighbors) before
+    pinning the aggregates.  Finiteness is asserted in-query."""
+    import numpy as np
+    import pandas as pd
+
     from pdf2pdfocr_ray.ops.relational import read
     from pdf2pdfocr_ray.ops.text_analysis import add_lm_score
 
     ds = read(sf_dir, "documents", ["doc_id", "text"])
-    return add_lm_score(ds).select_columns(
+    df = add_lm_score(ds).select_columns(
         ["doc_id", "lm_logprob_per_char", "lm_ppl"]
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert np.isfinite(df["lm_ppl"].to_numpy()).all()
+    return pd.DataFrame(
+        {
+            "n_docs": pd.Series([len(df)], dtype="int64"),
+            "mean_logprob": [round(
+                float(df["lm_logprob_per_char"].to_numpy().mean()), 6)],
+            "min_ppl": [round(float(df["lm_ppl"].min()), 6)],
+            "max_ppl": [round(float(df["lm_ppl"].max()), 6)],
+            "all_finite": [True],
+        }
     )
 
 
@@ -2377,15 +2447,31 @@ def _q_url_canonicalize(sf_dir: str):
 
 
 def _q_repetition_signals(sf_dir: str):
-    """Gopher repetition filters (top-bigram / dup-5gram char fractions).
-    Not SQL-expressible (n-gram coverage) -> rows-only; pytest pins
-    exact values on constructed docs."""
+    """Gopher repetition filters (top-bigram / dup-5gram char fractions),
+    summarized as an ORACLE-CHECKED verdict row (n-gram coverage is not
+    SQL-expressible; per-doc values deterministic across cpu counts —
+    verified before pinning; pytest pins exact values on constructed
+    docs).  The [0,1] bound law is asserted in-query."""
+    import pandas as pd
+
     from pdf2pdfocr_ray.ops.relational import read
     from pdf2pdfocr_ray.ops.text_analysis import add_repetition_signals
 
     ds = read(sf_dir, "documents", ["doc_id", "text"])
-    return add_repetition_signals(ds).select_columns(
+    df = add_repetition_signals(ds).select_columns(
         ["doc_id", "top_bigram_frac", "dup_5gram_frac"]
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    fr = df[["top_bigram_frac", "dup_5gram_frac"]]
+    assert bool(((fr >= 0).all().all()) and ((fr <= 1).all().all()))
+    return pd.DataFrame(
+        {
+            "n_docs": pd.Series([len(df)], dtype="int64"),
+            "mean_top_bigram": [round(
+                float(df["top_bigram_frac"].to_numpy().mean()), 6)],
+            "mean_dup_5gram": [round(
+                float(df["dup_5gram_frac"].to_numpy().mean()), 6)],
+            "fracs_in_01": [True],
+        }
     )
 
 
@@ -3601,6 +3687,32 @@ def _oracle_sql_static() -> dict[str, str]:
         "dedup_simhash": (
             "SELECT 16::BIGINT AS n_pairs, 3::BIGINT AS max_hamming, "
             "true AS ids_ordered"
+        ),
+        # round-5 pinned-verdict upgrades (cross-cpu determinism verified
+        # before pinning; laws asserted in-query, censuses pinned here)
+        "lm_score": (
+            "SELECT count(*)::BIGINT AS n_docs, -4.22321 AS mean_logprob, "
+            "14.11536 AS min_ppl, 26.608987 AS max_ppl, true AS all_finite "
+            "FROM documents"
+        ),
+        "repetition_signals": (
+            "SELECT count(*)::BIGINT AS n_docs, "
+            "0.053604 AS mean_top_bigram, 0.0 AS mean_dup_5gram, "
+            "true AS fracs_in_01 FROM documents"
+        ),
+        "dedup_clusters": (
+            "SELECT 47::BIGINT AS n_nodes, 23::BIGINT AS n_clusters, "
+            "3::BIGINT AS max_cluster, true AS min_label_law"
+        ),
+        "winnow_fingerprint": (
+            "SELECT count(*)::BIGINT AS n_docs, 476::BIGINT AS n_distinct_fp, "
+            "true AS all_nonnull FROM documents"
+        ),
+        "doc_meta_corpus": (
+            "SELECT 240::BIGINT AS n_docs, 168::BIGINT AS n_html, "
+            "59::BIGINT AS n_pdf, 9::BIGINT AS n_image, "
+            "1::BIGINT AS n_encrypted, 6::BIGINT AS n_native_text, "
+            "480::BIGINT AS total_pages, 6::BIGINT AS n_skipped"
         ),
         "smart_preset": (
             "SELECT 117::BIGINT AS n_docs, 110::BIGINT AS n_all_grey, "

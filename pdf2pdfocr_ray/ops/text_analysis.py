@@ -820,8 +820,11 @@ class TrigramLM:
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         # ONE numpy pass over the whole batch (no per-doc Python loop):
         # concatenate all docs, score every trigram position, then read
-        # per-doc sums out of a cumsum — trigrams spanning doc boundaries
-        # are simply never inside any doc's [start, start+n-3] range.
+        # per-doc sums out of segmented reduceat — trigrams spanning doc
+        # boundaries are simply never inside any doc's [start, start+n-3]
+        # range.  reduceat (NOT cumsum differences): each doc's float
+        # accumulation is independent of its batch neighbors, so scores
+        # are bit-identical across any partitioning/cpu count.
         v = self.v
         texts = batch["text"].tolist()
         lens = np.fromiter((len(t) for t in texts), np.int64, len(texts))
@@ -829,12 +832,20 @@ class TrigramLM:
         if lens.sum() >= 3:
             ids = self._ids("".join(texts))
             tri_lp = self.logp[(ids[:-2] * v + ids[1:-1]) * v + ids[2:]]
-            cs = np.concatenate([[0.0], np.cumsum(tri_lp)])
             starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
             n_tri = np.maximum(lens - 2, 0)
             ok = n_tri > 0
-            hi = np.minimum(starts + n_tri, len(tri_lp))
-            lp[ok] = (cs[hi[ok]] - cs[starts[ok]]) / n_tri[ok]
+            valid = np.where(ok)[0]
+            if valid.size:
+                s = starts[valid]
+                e = np.minimum(s + n_tri[valid], len(tri_lp))
+                idx = np.empty(valid.size * 2, np.int64)
+                idx[0::2] = s
+                idx[1::2] = e
+                # pad one sentinel so an end index == len(tri_lp) is legal
+                sums = np.add.reduceat(
+                    np.append(tri_lp, 0.0), idx)[0::2]
+                lp[valid] = sums / n_tri[valid]
         out = batch.copy()
         out["lm_logprob_per_char"] = lp
         out["lm_ppl"] = np.exp2(-lp)
