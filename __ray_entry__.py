@@ -521,10 +521,30 @@ def _q_smart_preset(sf_dir: str):
 
 
 def _q_page_zip_merge(sf_dir: str):
+    """J1/J2 page-wise zip join + overlay merge metadata, summarized as
+    an ORACLE-CHECKED census row (fixed-seed 120-doc corpus; verified
+    identical across cpu counts before pinning)."""
+    import pandas as pd
+
     from pdf2pdfocr_ray.pipelines.meta import page_zip_merge
 
     ds, _ = _corpus_ds(120)
-    return page_zip_merge(ds, _meta_cfg())
+    pz = page_zip_merge(ds, _meta_cfg()).to_pandas()
+    return pd.DataFrame(
+        {
+            "n_pages": pd.Series([len(pz)], dtype="int64"),
+            "n_docs": pd.Series([int(pz["url"].nunique())], dtype="int64"),
+            "n_scale_ok": pd.Series(
+                [int(pz["scale_ok"].sum())], dtype="int64"),
+            "total_raster_bytes": pd.Series(
+                [int(pz["raster_bytes"].sum())], dtype="int64"),
+            "total_text_len": pd.Series(
+                [int(pz["text_len"].sum())], dtype="int64"),
+            "n_underlay": pd.Series(
+                [int((pz["merge_mode"] == "underlay").sum())],
+                dtype="int64"),
+        }
+    )
 
 
 def _q_token_stats(sf_dir: str):
@@ -1060,7 +1080,13 @@ def _q_embedding_near_dup(sf_dir: str):
 
 
 def _q_embedding_near_dup_lsh(sf_dir: str):
-    """LSH-bucketed near-dup (the scale path; recall<1 so rows-only)."""
+    """LSH-bucketed embedding near-dup (the scale path; recall<1 by
+    design), summarized as an ORACLE-CHECKED verdict row (seeded
+    hyperplanes -> deterministic pair set, verified across cpu counts
+    before pinning).  Precision stays 1.0 via exact in-bucket cosine —
+    asserted in pytest; id ordering asserted in-query."""
+    import pandas as pd
+
     from pdf2pdfocr_ray.ops.dedup import embedding_near_dup_lsh
     from pdf2pdfocr_ray.ops.relational import read
 
@@ -1068,9 +1094,18 @@ def _q_embedding_near_dup_lsh(sf_dir: str):
     # 6 bits x 8 tables: recall ~0.5 at cos 0.45 (hyperplane LSH is built
     # for high thresholds; at 0.9+ recall approaches 1).  Exact verification
     # within buckets keeps precision at 1.0.
-    return embedding_near_dup_lsh(
+    df = embedding_near_dup_lsh(
         ds, threshold=0.45, n_bits=6, n_tables=8
-    ).select_columns(["id_a", "id_b"])
+    ).select_columns(["id_a", "id_b"]).to_pandas()
+    assert bool((df["id_a"] < df["id_b"]).all())
+    return pd.DataFrame(
+        {
+            "n_pairs": pd.Series([len(df)], dtype="int64"),
+            "n_vecs_in_pairs": pd.Series(
+                [len(set(df["id_a"]) | set(df["id_b"]))], dtype="int64"),
+            "ids_ordered": [True],
+        }
+    )
 
 
 def _q_ann_topk(sf_dir: str):
@@ -1425,9 +1460,11 @@ def _q_source_cap(sf_dir: str):
 
 def _q_dedup_jaccard(sf_dir: str):
     """Exact n-gram-Jaccard verified near-dup pairs (LSH candidates +
-    co-shuffled text verification).  Candidate generation is LSH-internal
-    (not SQL-reproducible) -> rows-only driver check; the planted-pair
-    pytest pins exact values."""
+    co-shuffled text verification), summarized as an ORACLE-CHECKED
+    verdict row (pair set verified identical across cpu counts before
+    pinning; planted-pair pytest pins exact values).  The threshold and
+    id-ordering laws are asserted in-query."""
+    import pandas as pd
     import ray.data
 
     from pdf2pdfocr_ray.ops.dedup import dedup_jaccard
@@ -1435,7 +1472,20 @@ def _q_dedup_jaccard(sf_dir: str):
     ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
-    return dedup_jaccard(ds, threshold=0.5, candidate_threshold=0.4)
+    df = dedup_jaccard(
+        ds, threshold=0.5, candidate_threshold=0.4).to_pandas()
+    assert bool((df["jaccard"] >= 0.5).all())
+    assert bool((df["id_a"] < df["id_b"]).all())
+    return pd.DataFrame(
+        {
+            "n_pairs": pd.Series([len(df)], dtype="int64"),
+            "n_docs_in_pairs": pd.Series(
+                [len(set(df["id_a"]) | set(df["id_b"]))], dtype="int64"),
+            "min_jaccard": [round(float(df["jaccard"].min()), 6)],
+            "all_above_threshold": [True],
+            "ids_ordered": [True],
+        }
+    )
 
 
 def _q_extract_then_curate(sf_dir: str):
@@ -3713,6 +3763,20 @@ def _oracle_sql_static() -> dict[str, str]:
             "59::BIGINT AS n_pdf, 9::BIGINT AS n_image, "
             "1::BIGINT AS n_encrypted, 6::BIGINT AS n_native_text, "
             "480::BIGINT AS total_pages, 6::BIGINT AS n_skipped"
+        ),
+        "dedup_jaccard": (
+            "SELECT 25::BIGINT AS n_pairs, 47::BIGINT AS n_docs_in_pairs, "
+            "0.9 AS min_jaccard, true AS all_above_threshold, "
+            "true AS ids_ordered"
+        ),
+        "page_zip_merge": (
+            "SELECT 233::BIGINT AS n_pages, 120::BIGINT AS n_docs, "
+            "233::BIGINT AS n_scale_ok, 10293494::BIGINT AS total_raster_bytes, "
+            "35960::BIGINT AS total_text_len, 28::BIGINT AS n_underlay"
+        ),
+        "embedding_near_dup_lsh": (
+            "SELECT 7::BIGINT AS n_pairs, 14::BIGINT AS n_vecs_in_pairs, "
+            "true AS ids_ordered"
         ),
         "smart_preset": (
             "SELECT 117::BIGINT AS n_docs, 110::BIGINT AS n_all_grey, "
