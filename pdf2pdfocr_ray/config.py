@@ -79,4 +79,9 @@ class PipelineConfig:
         cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
         # Never the full cluster: a pool of width == CPUs starves the read
         # stage (observed deadlock); floor of 1 actor for tiny clusters.
-        return max(1, min(cpus - 1, cpus - max(2, cpus // 8)))
+        # Reserve ~1 core per 16 (round-5 A/B: the fused OCR stage is now
+        # ~99% of pipeline CPU, so the old 1-per-8 reserve idled cores —
+        # pool 28->30 at 32 cpus measured +12-17%, pool 6->7 at 8 cpus
+        # +27%; pool 31 at 32 cpus was SLOWER than 30, so the reserve
+        # stays >= 1 per 16, min 1).
+        return max(1, min(cpus - 1, cpus - max(1, cpus // 16)))
