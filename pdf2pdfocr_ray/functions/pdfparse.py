@@ -94,8 +94,8 @@ class PdfStream:
 
     def data(self) -> bytes:
         """Decoded stream bytes: identity, /FlateDecode, /LZWDecode
-        (EarlyChange=1, the PDF default — same early-change convention
-        as TIFF §13), /RunLengthDecode, /ASCIIHexDecode or
+        (EarlyChange 1 — the PDF default, same convention as TIFF §13 —
+        or 0 via DecodeParms), /RunLengthDecode, /ASCIIHexDecode or
         /ASCII85Decode, in filter-chain order (PDF 1.7 §7.4)."""
         filt = self.dict.get("Filter")
         filters = (
@@ -117,11 +117,11 @@ class PdfStream:
                 parms = self.dict.get("DecodeParms") or {}
                 if isinstance(parms, list):
                     parms = next((p for p in parms if p), {}) or {}
-                if int(parms.get("EarlyChange", 1) or 0) != 1:
-                    raise ValueError("LZWDecode: EarlyChange=0 unsupported")
                 from .tiffcodec import _lzw_decode
 
-                out = _lzw_decode(out)
+                ec = parms.get("EarlyChange")
+                out = _lzw_decode(
+                    out, early_change=1 if ec is None else int(ec))
             elif f == "RunLengthDecode":
                 out = _runlength_decode(out)
             elif f == "ASCIIHexDecode":

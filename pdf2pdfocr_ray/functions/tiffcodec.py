@@ -33,9 +33,11 @@ _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
 _LZW_CLEAR, _LZW_EOI = 256, 257
 
 
-def _lzw_decode(buf: bytes) -> bytes:
+def _lzw_decode(buf: bytes, early_change: int = 1) -> bytes:
     """TIFF-variant LZW (T.6.0 §13): 9..12-bit MSB-first codes with the
-    'early change' width bump one code before the table fills."""
+    'early change' width bump one code before the table fills.
+    ``early_change=0`` gives the PDF /LZWDecode EarlyChange=0 variant
+    (width bumps exactly when the table fills)."""
     out = bytearray()
     nbits = len(buf) * 8
     bitpos = 0
@@ -74,7 +76,7 @@ def _lzw_decode(buf: bytes) -> bytes:
             raise ValueError("corrupt LZW stream (code beyond table)")
         out += entry
         prev = entry
-        if len(table) == (1 << code_w) - 1 and code_w < 12:
+        if len(table) == (1 << code_w) - early_change and code_w < 12:
             code_w += 1
     return bytes(out)
 

@@ -17,13 +17,47 @@ _IMAGE_MAGICS = (b"\x89PNG\r\n\x1a\n", b"\xff\xd8\xff", b"II*\x00", b"MM\x00*",
                  b"GIF87a", b"GIF89a")
 
 
+_GZIP_CAP = 128 << 20  # decompression-bomb guard per payload
+
+
+def _gunzip_capped(payload: bytes) -> bytes:
+    import zlib
+
+    d = zlib.decompressobj(wbits=31)
+    out = d.decompress(payload, _GZIP_CAP)
+    if d.unconsumed_tail:
+        raise ValueError("gzip payload exceeds the 128 MiB decompress cap")
+    if not d.eof:
+        # a truncated member would silently yield a prefix; keep the raw
+        # bytes instead so the row lands on the error route
+        raise ValueError("truncated gzip payload")
+    return out
+
+
 def sniff_route(batch: pa.Table) -> pa.Table:
     """Append a ``route`` column derived from payload magic bytes.
 
     pdf: ``%PDF-`` prefix; image: PNG/JPEG/TIFF magics; html: leading ``<``;
     anything else (including empty payloads) -> error route.
-    """
+
+    Gzip-wrapped payloads (Content-Encoding residue, routine in crawl
+    dumps) are transparently decompressed FIRST — bounded by a 128 MiB
+    bomb guard — and every downstream stage sees the decompressed
+    bytes; only the gzip subset pays the Python loop."""
     col = batch.column("html")
+    is_gz = pc.starts_with(col, pattern=b"\x1f\x8b\x08")
+    if pc.any(is_gz).as_py():
+        mask = is_gz.to_numpy(zero_copy_only=False)
+        payloads = col.to_pylist()
+        for i in range(len(payloads)):
+            if mask[i]:
+                try:
+                    payloads[i] = _gunzip_capped(payloads[i])
+                except Exception:  # noqa: BLE001 — row-level isolation:
+                    pass  # corrupt gzip keeps its raw bytes -> error route
+        col = pa.array(payloads, pa.binary())
+        batch = batch.set_column(
+            batch.schema.get_field_index("html"), "html", col)
     is_pdf = pc.starts_with(col, pattern=b"%PDF-")
     is_img = pc.starts_with(col, pattern=_IMAGE_MAGICS[0])
     for magic in _IMAGE_MAGICS[1:]:

@@ -313,3 +313,66 @@ def test_runlength_and_asciihex_edge_cases():
     # odd-length ASCIIHex gets an implicit trailing zero (spec §7.4.2)
     s = PdfStream({"Filter": PdfName("ASCIIHexDecode")}, b"41 42 4>garbage")
     assert s.data() == b"AB@"
+
+
+def test_lzw_earlychange_zero_variant():
+    """PDF /LZWDecode with DecodeParms EarlyChange=0: the width bump
+    lands exactly when the table fills (one code later than the TIFF
+    early-change default).  An independent EC0 encoder built in-test
+    round-trips through the decoder variant, and the default-variant
+    decode of the same stream fails — the parameter is load-bearing."""
+    import numpy as np
+    import pytest
+
+    from pdf2pdfocr_ray.functions.pdfparse import PdfName, PdfStream
+    from pdf2pdfocr_ray.functions.tiffcodec import (
+        _LZW_CLEAR,
+        _LZW_EOI,
+        _lzw_decode,
+    )
+
+    def lzw_encode_ec0(data: bytes) -> bytes:
+        out = bytearray()
+        acc = accbits = 0
+
+        def emit(code, width):
+            nonlocal acc, accbits
+            acc = (acc << width) | code
+            accbits += width
+            while accbits >= 8:
+                out.append((acc >> (accbits - 8)) & 0xFF)
+                accbits -= 8
+            acc &= (1 << accbits) - 1
+
+        table = {bytes([i]): i for i in range(256)}
+        next_code, code_w = 258, 9
+        emit(_LZW_CLEAR, code_w)
+        w = b""
+        for b in data:
+            wc = w + bytes([b])
+            if wc in table:
+                w = wc
+                continue
+            emit(table[w], code_w)
+            table[wc] = next_code
+            next_code += 1
+            if next_code == (1 << code_w) + 1 and code_w < 12:
+                code_w += 1
+            w = bytes([b])
+        if w:
+            emit(table[w], code_w)
+        emit(_LZW_EOI, code_w)
+        if accbits:
+            out.append((acc << (8 - accbits)) & 0xFF)
+        return bytes(out)
+
+    rng = np.random.default_rng(0)
+    data = bytes(rng.integers(0, 8, 4000, dtype=np.uint8))  # table > 510
+    enc = lzw_encode_ec0(data)
+    assert _lzw_decode(enc, early_change=0) == data
+    with pytest.raises(ValueError):
+        _lzw_decode(enc, early_change=1)
+    s = PdfStream(
+        {"Filter": PdfName("LZWDecode"),
+         "DecodeParms": {"EarlyChange": 0}}, enc)
+    assert s.data() == data

@@ -91,3 +91,46 @@ def test_sniff_preserves_columns_and_rows():
     assert out.num_rows == 2
     assert set(t.column_names) <= set(out.column_names)
     assert out.column("route").to_pylist() == [ROUTE_PDF, ROUTE_HTML]
+
+
+def test_gzip_residue_payloads_transparently_decompress():
+    """Content-Encoding residue: a gzip-wrapped HTML/PDF payload routes
+    and extracts as its decompressed self; corrupt gzip and bombs keep
+    their raw bytes (-> error route), never crash the task."""
+    import gzip
+    import zlib
+
+    html = b"<html><body><p>" + b"research content analysis " * 4 + b"</p></body></html>"
+    gz = gzip.compress(html, mtime=0)
+    t = pa.table({
+        "url": pa.array(["a", "b", "c"], pa.string()),
+        "warc_ts": pa.array([0, 0, 0], pa.timestamp("us")),
+        "html": pa.array([gz, gz[:12], b"\x1f\x8b\x08" + b"\xff" * 20],
+                         pa.binary()),
+        "text": pa.array(["", "", ""], pa.string()),
+        "lang": pa.array(["eng"] * 3, pa.string()),
+    })
+    out = sniff_route(t)
+    routes = dict(zip(out.column("url").to_pylist(),
+                      out.column("route").to_pylist()))
+    assert routes["a"] == ROUTE_HTML
+    assert routes["b"] == ROUTE_ERROR  # truncated gzip keeps raw bytes
+    assert routes["c"] == ROUTE_ERROR  # corrupt deflate keeps raw bytes
+    assert out.column("html").to_pylist()[0] == html  # decompressed inline
+
+    # bomb guard: highly-compressible payload over the cap -> error route
+    from pdf2pdfocr_ray.stages.sniff import _GZIP_CAP, _gunzip_capped
+
+    big = gzip.compress(b"\x00" * (_GZIP_CAP + 1), 9, mtime=0)
+    import pytest
+
+    with pytest.raises(ValueError, match="decompress cap"):
+        _gunzip_capped(big)
+    t2 = pa.table({
+        "url": pa.array(["bomb"], pa.string()),
+        "warc_ts": pa.array([0], pa.timestamp("us")),
+        "html": pa.array([big], pa.binary()),
+        "text": pa.array([""], pa.string()),
+        "lang": pa.array(["eng"], pa.string()),
+    })
+    assert sniff_route(t2).column("route").to_pylist() == [ROUTE_ERROR]
