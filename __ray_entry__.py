@@ -2818,16 +2818,17 @@ def _q_multimodal_resize(sf_dir: str):
 
 
 def _q_audio_features(sf_dir: str):
-    """REAL WAV + FLAC + MP3 decode, ORACLE-CHECKED: per doc a PCM clip
-    is synthesized deterministically (sine, whole cycles,
-    amplitude/length derived from doc_id) and containered by doc_id % 3
-    as FLAC (0), MP3 (1, the in-repo mp3codec — lossy, frame-padded) or
-    WAV (2); the AudioFeatureStage decodes it, and n_samples / duration
-    / an rms-vs-amplitude/√2 verdict are compared against DuckDB
-    arithmetic on doc_id (mp3 rows expect ceil(n/1152)*1152 samples at
-    44.1 kHz and an rms verdict scaled by the zero-padding, at lossy
-    tolerance).  A decode bug in ANY of the three codecs breaks the
-    hash."""
+    """REAL WAV + FLAC + MP3 + G.711 + IMA-ADPCM decode, ORACLE-CHECKED:
+    per doc a PCM clip is synthesized deterministically (sine, whole
+    cycles, amplitude/length derived from doc_id) and containered by
+    doc_id % 6 as FLAC (0), MP3 (1 — lossy, frame-padded), PCM WAV (2),
+    G.711 A-law (3), G.711 mu-law (4) or IMA/DVI ADPCM WAV (5 — 4-bit,
+    fact-chunk-trimmed); the AudioFeatureStage decodes it, and
+    n_samples / duration / an rms-vs-amplitude/√2 verdict are compared
+    against DuckDB arithmetic on doc_id (mp3 rows expect
+    ceil(n/1152)*1152 samples at 44.1 kHz and an rms verdict scaled by
+    the zero-padding; each lossy family gets its measured tolerance).
+    A decode bug in ANY of the six codecs breaks the hash."""
     import numpy as np
     import pandas as pd
 
@@ -2863,6 +2864,12 @@ def _q_audio_features(sf_dir: str):
                 from pdf2pdfocr_ray.functions.wavcodec import encode_mulaw
 
                 payloads.append(encode_mulaw(pcm, 16000))
+            elif m == 5:  # IMA/DVI ADPCM (format tag 17, 4-bit)
+                from pdf2pdfocr_ray.functions.wavcodec import (
+                    encode_ima_adpcm,
+                )
+
+                payloads.append(encode_ima_adpcm(pcm, 16000))
             else:
                 payloads.append(encode_wav(pcm, 16000))
         out = batch.copy()
@@ -2882,6 +2889,7 @@ def _q_audio_features(sf_dir: str):
         n_in = 4000 + (batch["doc_id"] % 5) * 1000
         is_mp3 = batch["doc_id"] % 6 == 1
         is_g711 = (batch["doc_id"] % 6).isin([3, 4])
+        is_adpcm = batch["doc_id"] % 6 == 5
         # mp3 rows: rms diluted by the frame padding, lossy tolerance
         expected = (amp / np.sqrt(2)) * np.where(
             is_mp3, np.sqrt(n_in / batch["n_samples"].astype(float)), 1.0)
@@ -2889,9 +2897,11 @@ def _q_audio_features(sf_dir: str):
         # deterministic (n, amp, freq) combos is 6.7% (short clips pay
         # the encoder warmup transient); 12% = ~2x margin while still
         # failing hard on any broken decode.  G.711 log-PCM measured max
-        # 0.57%; 1.2% = ~2x margin.
+        # 0.57%; 1.2% = ~2x margin.  IMA ADPCM measured max 0.053%;
+        # 0.2% = ~4x margin.
         tol = np.where(is_mp3, 0.12 * expected,
-                       np.where(is_g711, 0.012 * expected, 1e-3))
+                       np.where(is_g711, 0.012 * expected,
+                                np.where(is_adpcm, 0.002 * expected, 1e-3)))
         return pd.DataFrame(
             {
                 "doc_id": batch["doc_id"],

@@ -2,8 +2,10 @@
 
 Replaces the audio stub in ops/multimodal: WAV is a chunked RIFF file
 whose PCM payload needs no external library — 8/16/32-bit integer and
-32-bit float PCM, mono or interleaved multi-channel.  Compressed formats
-(MP3/AAC/...) remain out of scope and raise ``ValueError``.
+32-bit float PCM, G.711 A-law/mu-law (tags 6/7) and IMA/DVI ADPCM
+(tag 17), mono or interleaved multi-channel.  Other compressed formats
+(MP3/AAC/...) are routed by ops.multimodal.decode_audio to their own
+codecs or raise ``ValueError``.
 """
 
 from __future__ import annotations
@@ -85,6 +87,160 @@ def _encode_g711(samples: np.ndarray, rate: int, fmt_tag: int) -> bytes:
             + b"data" + struct.pack("<I", len(payload)) + payload)
 
 
+# ---------------------------------------------------------------- IMA ADPCM
+# IMA "Recommended Practices for Enhancing Digital Audio Compatibility",
+# rev 3.00 (1992); WAVE registration = format tag 17 (DVI/IMA ADPCM).
+# The step table (89 entries) and index-adjust table are the published
+# constants; the per-nibble update is the 4-bit magnitude expansion
+# diff = step/8 + b0*step/4 + b1*step/2 + b2*step with sign bit 8.
+_IMA_STEPS = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+], dtype=np.int64)
+_IMA_INDEX_ADJ = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int64)
+
+
+def _ima_step_update(pred, idx, nib):
+    """One IMA update, vectorized over any shape: (pred, idx) int64
+    arrays + nibble array -> new (pred, idx).  Shared verbatim by the
+    encoder and decoder so they cannot drift."""
+    st = _IMA_STEPS[idx]
+    diff = (st >> 3) + (nib & 1) * (st >> 2) + ((nib >> 1) & 1) * (st >> 1) \
+        + ((nib >> 2) & 1) * st
+    pred = np.clip(pred + np.where(nib & 8, -diff, diff), -32768, 32767)
+    idx = np.clip(idx + _IMA_INDEX_ADJ[nib & 7], 0, 88)
+    return pred, idx
+
+
+def _ima_block_nibbles(data: np.ndarray, channels: int) -> np.ndarray:
+    """(nb, block_align - 4*ch) uint8 data bytes -> (nb, spb-1, ch)
+    nibbles.  Data is interleaved in 4-byte words per channel (8 samples
+    per channel per word group), low nibble first within each byte."""
+    nb = data.shape[0]
+    words = data.reshape(nb, -1, channels, 4)  # (nb, groups, ch, 4B)
+    nib = np.empty(words.shape + (2,), dtype=np.int64)
+    nib[..., 0] = words & 0x0F
+    nib[..., 1] = words >> 4
+    # (nb, groups, ch, 8 samples) -> (nb, groups*8, ch)
+    return nib.reshape(nb, -1, channels, 8).transpose(0, 1, 3, 2).reshape(
+        nb, -1, channels)
+
+
+def _decode_ima_adpcm(payload: bytes, channels: int, block_align: int,
+                      total_samples: int | None) -> np.ndarray:
+    """IMA ADPCM data chunk -> int64 PCM of shape (n, channels).
+    Vectorized across blocks (each block is an independent decode unit
+    with its own header predictor/index); only the spb-long within-block
+    recurrence is a Python loop."""
+    hdr_len = 4 * channels
+    if block_align <= hdr_len or (block_align - hdr_len) % (4 * channels):
+        raise ValueError(f"bad IMA ADPCM block_align {block_align}")
+    raw = np.frombuffer(payload, dtype=np.uint8)
+    nb_full, rem = divmod(len(raw), block_align)
+    spb = (block_align - hdr_len) * 2 // channels + 1
+    n_out = nb_full * spb
+    if rem:
+        if rem < hdr_len:
+            rem = 0  # dangling fragment too short to hold a header
+        else:
+            data_rem = (rem - hdr_len) // (4 * channels) * (4 * channels)
+            n_out += 1 + data_rem * 2 // channels
+            pad = np.zeros(block_align - hdr_len - data_rem, dtype=np.uint8)
+            raw = np.concatenate(
+                [raw[: nb_full * block_align + hdr_len + data_rem], pad])
+    blk = raw[: (nb_full + (1 if rem else 0)) * block_align].reshape(
+        -1, block_align)
+    nb = blk.shape[0]
+    if nb == 0:
+        return np.zeros((0, channels), dtype=np.int64)
+    hdr = blk[:, :hdr_len].reshape(nb, channels, 4).astype(np.int64)
+    pred = hdr[..., 0] | (hdr[..., 1] << 8)
+    pred = np.where(pred >= 32768, pred - 65536, pred)  # int16 LE
+    idx = np.clip(hdr[..., 2], 0, 88)
+    nibs = _ima_block_nibbles(blk[:, hdr_len:], channels)
+    out = np.empty((nb, spb, channels), dtype=np.int64)
+    out[:, 0, :] = pred
+    for s in range(spb - 1):
+        pred, idx = _ima_step_update(pred, idx, nibs[:, s, :])
+        out[:, s + 1, :] = pred
+    out = out.reshape(-1, channels)
+    if total_samples is not None:
+        n_out = min(n_out, total_samples)
+    return out[:n_out]
+
+
+def encode_ima_adpcm(samples: np.ndarray, rate: int = 16000,
+                     block_align: int | None = None) -> bytes:
+    """float [-1, 1] (n,) or (n, ch) -> IMA ADPCM WAV bytes (format tag
+    17, 4 bits/sample, ``fact`` chunk with the true sample count).
+
+    Each block's header carries its first PCM sample verbatim plus a
+    spec-legal initial step index chosen from the block's median
+    |first difference| (kills the step-table adaptation transient a
+    reset-to-0 index would cost), so blocks stay independent and the
+    encoder vectorizes across them like the decoder."""
+    x = np.asarray(samples, dtype=np.float64)
+    if x.ndim == 1:
+        x = x[:, None]
+    n, ch = x.shape
+    if n == 0:
+        raise ValueError("empty audio")
+    pcm = np.clip(np.round(x * 32767.0), -32768, 32767).astype(np.int64)
+    if block_align is None:
+        block_align = 256 * ch
+    hdr_len = 4 * ch
+    spb = (block_align - hdr_len) * 2 // ch + 1
+    nb = (n + spb - 1) // spb
+    padded = np.empty((nb * spb, ch), dtype=np.int64)
+    padded[:n] = pcm
+    padded[n:] = pcm[-1]  # hold the last sample through block padding
+    blocks = padded.reshape(nb, spb, ch)
+    pred = blocks[:, 0, :].copy()
+    # per-block initial index: nearest step to the median |delta|
+    med = np.median(np.abs(np.diff(blocks, axis=1)), axis=1).astype(np.int64)
+    idx = np.clip(np.searchsorted(_IMA_STEPS, med), 0, 88)
+    idx0 = idx.copy()
+    codes = np.empty((nb, spb - 1, ch), dtype=np.int64)
+    for s in range(spb - 1):
+        st = _IMA_STEPS[idx]
+        delta = blocks[:, s + 1, :] - pred
+        sign = (delta < 0).astype(np.int64)
+        mag = np.abs(delta)
+        b2 = (mag >= st).astype(np.int64)
+        mag = mag - b2 * st
+        b1 = (mag >= (st >> 1)).astype(np.int64)
+        mag = mag - b1 * (st >> 1)
+        b0 = (mag >= (st >> 2)).astype(np.int64)
+        nib = (sign << 3) | (b2 << 2) | (b1 << 1) | b0
+        codes[:, s, :] = nib
+        pred, idx = _ima_step_update(pred, idx, nib)
+    # pack: header (pred int16 LE, index, reserved) per channel, then
+    # 4-byte words per channel interleaved, low nibble first
+    p0 = blocks[:, 0, :]
+    hdr = np.empty((nb, ch, 4), dtype=np.uint8)
+    hdr[..., 0] = p0 & 0xFF
+    hdr[..., 1] = (p0 >> 8) & 0xFF
+    hdr[..., 2] = idx0
+    hdr[..., 3] = 0
+    # (nb, spb-1, ch) -> (nb, groups, 8, ch) -> (nb, groups, ch, 8)
+    grp = codes.reshape(nb, -1, 8, ch).transpose(0, 1, 3, 2)
+    by = (grp[..., 0::2] | (grp[..., 1::2] << 4)).astype(np.uint8)
+    payload = np.concatenate(
+        [hdr.reshape(nb, -1), by.reshape(nb, -1)], axis=1).tobytes()
+    byte_rate = (rate * block_align + spb - 1) // spb
+    fmt = struct.pack("<HHIIHHHH", 17, ch, rate, byte_rate, block_align,
+                      4, 2, spb)
+    out = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+           + b"fact" + struct.pack("<II", 4, n)
+           + b"data" + struct.pack("<I", len(payload)) + payload)
+    return b"RIFF" + struct.pack("<I", 4 + len(out)) + b"WAVE" + out
+
+
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     """WAV bytes -> (samples float64 in [-1, 1] of shape (n, channels),
     sample_rate)."""
@@ -93,6 +249,7 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     pos = 12
     fmt = None
     payload = None
+    fact_samples = None
     n = len(data)
     while pos + 8 <= n:
         cid = data[pos : pos + 4]
@@ -104,10 +261,16 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
             fmt = struct.unpack_from("<HHIIHH", body, 0)
         elif cid == b"data":
             payload = body
+        elif cid == b"fact" and len(body) >= 4:
+            (fact_samples,) = struct.unpack_from("<I", body, 0)
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or payload is None:
         raise ValueError("WAV missing fmt/data chunk")
-    audio_fmt, channels, rate, _byte_rate, _block, bits = fmt
+    audio_fmt, channels, rate, _byte_rate, block_align, bits = fmt
+    if audio_fmt == 17:  # IMA/DVI ADPCM
+        pcm = _decode_ima_adpcm(payload, max(channels, 1), block_align,
+                                fact_samples)
+        return pcm.astype(np.float64) / 32767.0, int(rate)
     if audio_fmt in (6, 7):  # G.711 A-law / mu-law (telephony WAVs)
         raw8 = np.frombuffer(payload, dtype=np.uint8)
         pcm = (_ALAW_TABLE if audio_fmt == 6 else _MULAW_TABLE)[raw8]
@@ -120,7 +283,7 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     if dtype is None:
         raise ValueError(
             f"unsupported WAV format {audio_fmt}/{bits}-bit (PCM 8/16/32, "
-            "float32, A-law, mu-law only)"
+            "float32, A-law, mu-law, IMA ADPCM only)"
         )
     raw = np.frombuffer(payload, dtype=dtype)
     if channels > 1:

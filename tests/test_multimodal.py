@@ -431,3 +431,65 @@ def test_wav_g711_alaw_mulaw_decode():
     x2 = np.stack([x, -x], axis=1)
     y2, _ = decode_wav(encode_mulaw(x2, 8000))
     assert y2.shape == (2000, 2)
+
+
+def test_wav_ima_adpcm_hand_vector():
+    """IMA ADPCM (format tag 17) semantics pinned by a HAND-COMPUTED
+    vector (independent of the in-repo encoder): from predictor 0 /
+    index 0 the published step/index tables give, for nibbles
+    3,7,15,0,0,0,0,0, exactly [0,4,15,-15,-11,-8,-5,-2,0]."""
+    import struct
+
+    import numpy as np
+
+    from pdf2pdfocr_ray.functions.wavcodec import decode_wav
+
+    fmt = struct.pack("<HHIIHH", 17, 1, 8000, 8000, 8, 4)
+    data = bytes([0, 0, 0, 0, 0x73, 0x0F, 0x00, 0x00])
+    wav = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 12 + 8 + len(data))
+           + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+           + b"fact" + struct.pack("<II", 4, 9)
+           + b"data" + struct.pack("<I", len(data)) + data)
+    y, rate = decode_wav(wav)
+    assert rate == 8000
+    got = np.round(y[:, 0] * 32767).astype(int).tolist()
+    assert got == [0, 4, 15, -15, -11, -8, -5, -2, 0], got
+
+
+def test_wav_ima_adpcm_roundtrip():
+    """encode_ima_adpcm -> decode_wav: 4-bit ADPCM is lossy but a sine
+    survives at >35 dB SNR; multi-block clips (505 samples/block at the
+    default mono block_align=256), fact-chunk trimming to the exact
+    input length, stereo interleave, and the spec-legal per-block
+    initial index all covered."""
+    import numpy as np
+
+    from pdf2pdfocr_ray.functions.wavcodec import decode_wav, encode_ima_adpcm
+
+    t = np.arange(9000) / 16000.0
+    x = 0.5 * np.sin(2 * np.pi * 320 * t)
+    blob = encode_ima_adpcm(x, 16000)
+    y, rate = decode_wav(blob)
+    assert rate == 16000 and y.shape == (9000, 1)  # fact trims block pad
+    snr = 10 * np.log10((x ** 2).mean() / ((y[:, 0] - x) ** 2).mean())
+    assert snr > 35, snr
+    # ~4.2 bits/sample on the wire vs 16-bit PCM
+    assert len(blob) < 9000 * 2 * 0.3
+
+    x2 = np.stack([x, 0.3 * np.cos(2 * np.pi * 200 * t)], axis=1)
+    y2, _ = decode_wav(encode_ima_adpcm(x2, 16000))
+    assert y2.shape == (9000, 2)
+    for c in range(2):
+        snr_c = 10 * np.log10(
+            (x2[:, c] ** 2).mean() / ((y2[:, c] - x2[:, c]) ** 2).mean())
+        assert snr_c > 35, (c, snr_c)
+
+    # determinism (corpus reproducibility contract)
+    assert encode_ima_adpcm(x, 16000) == blob
+
+    # truncated data chunk: decoder keeps whole 4-byte word groups and
+    # drops the dangling fragment instead of crashing
+    cut = blob[:-60]
+    y3, _ = decode_wav(cut)
+    assert y3.shape[0] < 9000 and y3.shape[1] == 1
+    np.testing.assert_allclose(y3[:, 0], y[: len(y3), 0])
