@@ -2821,14 +2821,15 @@ def _q_audio_features(sf_dir: str):
     """REAL WAV + FLAC + MP3 + G.711 + IMA-ADPCM decode, ORACLE-CHECKED:
     per doc a PCM clip is synthesized deterministically (sine, whole
     cycles, amplitude/length derived from doc_id) and containered by
-    doc_id % 6 as FLAC (0), MP3 (1 — lossy, frame-padded), PCM WAV (2),
-    G.711 A-law (3), G.711 mu-law (4) or IMA/DVI ADPCM WAV (5 — 4-bit,
-    fact-chunk-trimmed); the AudioFeatureStage decodes it, and
+    doc_id % 7 as FLAC (0), MP3 (1 — lossy, frame-padded), PCM WAV (2),
+    G.711 A-law (3), G.711 mu-law (4), IMA/DVI ADPCM (5) or MS ADPCM
+    (6) — both ADPCMs 4-bit, fact-chunk-trimmed; the
+    AudioFeatureStage decodes it, and
     n_samples / duration / an rms-vs-amplitude/√2 verdict are compared
     against DuckDB arithmetic on doc_id (mp3 rows expect
     ceil(n/1152)*1152 samples at 44.1 kHz and an rms verdict scaled by
     the zero-padding; each lossy family gets its measured tolerance).
-    A decode bug in ANY of the six codecs breaks the hash."""
+    A decode bug in ANY of the seven codecs breaks the hash."""
     import numpy as np
     import pandas as pd
 
@@ -2848,7 +2849,7 @@ def _q_audio_features(sf_dir: str):
             freq = 160 + (int(did) % 5) * 16  # whole cycles per 1000 samples
             t = np.arange(n) / 16000.0
             pcm = amp * np.sin(2 * np.pi * freq * t)
-            m = did % 6
+            m = did % 7
             if m == 0:  # FLAC rows: same PCM, other container
                 payloads.append(
                     encode_flac((pcm * 32767).astype(np.int16), 16000))
@@ -2870,6 +2871,12 @@ def _q_audio_features(sf_dir: str):
                 )
 
                 payloads.append(encode_ima_adpcm(pcm, 16000))
+            elif m == 6:  # MS ADPCM (format tag 2, 4-bit, 2nd-order)
+                from pdf2pdfocr_ray.functions.wavcodec import (
+                    encode_ms_adpcm,
+                )
+
+                payloads.append(encode_ms_adpcm(pcm, 16000))
             else:
                 payloads.append(encode_wav(pcm, 16000))
         out = batch.copy()
@@ -2887,9 +2894,9 @@ def _q_audio_features(sf_dir: str):
     def digest(batch: pd.DataFrame) -> pd.DataFrame:
         amp = 0.1 + (batch["doc_id"] % 8) * 0.1
         n_in = 4000 + (batch["doc_id"] % 5) * 1000
-        is_mp3 = batch["doc_id"] % 6 == 1
-        is_g711 = (batch["doc_id"] % 6).isin([3, 4])
-        is_adpcm = batch["doc_id"] % 6 == 5
+        is_mp3 = batch["doc_id"] % 7 == 1
+        is_g711 = (batch["doc_id"] % 7).isin([3, 4])
+        is_adpcm = (batch["doc_id"] % 7).isin([5, 6])
         # mp3 rows: rms diluted by the frame padding, lossy tolerance
         expected = (amp / np.sqrt(2)) * np.where(
             is_mp3, np.sqrt(n_in / batch["n_samples"].astype(float)), 1.0)
@@ -2897,8 +2904,8 @@ def _q_audio_features(sf_dir: str):
         # deterministic (n, amp, freq) combos is 6.7% (short clips pay
         # the encoder warmup transient); 12% = ~2x margin while still
         # failing hard on any broken decode.  G.711 log-PCM measured max
-        # 0.57%; 1.2% = ~2x margin.  IMA ADPCM measured max 0.053%;
-        # 0.2% = ~4x margin.
+        # 0.57%; 1.2% = ~2x margin.  IMA ADPCM measured max 0.053%
+        # and MS ADPCM 0.015% over the grid; 0.2% covers both at >=4x.
         tol = np.where(is_mp3, 0.12 * expected,
                        np.where(is_g711, 0.012 * expected,
                                 np.where(is_adpcm, 0.002 * expected, 1e-3)))
@@ -3654,10 +3661,10 @@ def _oracle_sql_static() -> dict[str, str]:
             "WITH base AS (SELECT doc_id, "
             "(4000 + (doc_id % 5) * 1000) AS n_in FROM documents) "
             "SELECT doc_id, "
-            "CASE WHEN doc_id % 6 = 1 "
+            "CASE WHEN doc_id % 7 = 1 "
             "THEN (CAST(ceil(n_in / 1152.0) AS BIGINT) * 1152) "
             "ELSE n_in::BIGINT END AS n_samples, "
-            "CASE WHEN doc_id % 6 = 1 "
+            "CASE WHEN doc_id % 7 = 1 "
             "THEN CAST(floor(CAST(ceil(n_in / 1152.0) AS BIGINT) * 1152 "
             "* 1000.0 / 44100.0) AS BIGINT) "
             "ELSE CAST(floor(n_in / 16.0) AS BIGINT) END AS duration_ms, "

@@ -241,6 +241,162 @@ def encode_ima_adpcm(samples: np.ndarray, rate: int = 16000,
     return b"RIFF" + struct.pack("<I", 4 + len(out)) + b"WAVE" + out
 
 
+# ----------------------------------------------------------------- MS ADPCM
+# WAVE_FORMAT_ADPCM (tag 2), Microsoft multimedia standards: 2nd-order
+# linear predictor from a 7-pair coefficient table + per-nibble delta
+# adaptation.  Both tables are the published constants; files may carry
+# a custom coefficient table in the fmt extension (honored when present).
+_MS_COEFS = np.array([
+    [256, 0], [512, -256], [0, 0], [192, 64],
+    [240, 0], [460, -208], [392, -232],
+], dtype=np.int64)
+_MS_ADAPT = np.array([
+    230, 230, 230, 230, 307, 409, 512, 614,
+    768, 614, 512, 409, 307, 230, 230, 230,
+], dtype=np.int64)
+
+
+def _decode_ms_adpcm(payload: bytes, channels: int, block_align: int,
+                     total_samples: int | None,
+                     coefs: np.ndarray) -> np.ndarray:
+    """MS ADPCM data chunk -> int64 PCM (n, channels), vectorized across
+    blocks.  Block header per channel: predictor index (u8), iDelta
+    (i16), iSamp1 (i16), iSamp2 (i16) — header fields grouped by kind,
+    channels within each group; nibbles are HIGH-first and interleave
+    channels sample-by-sample."""
+    hdr_len = 7 * channels
+    if block_align <= hdr_len:
+        raise ValueError(f"bad MS ADPCM block_align {block_align}")
+    raw = np.frombuffer(payload, dtype=np.uint8)
+    nb_full, rem = divmod(len(raw), block_align)
+    spb = (block_align - hdr_len) * 2 // channels + 2
+    n_out = nb_full * spb
+    if rem:
+        if rem < hdr_len:
+            rem = 0
+        else:
+            data_rem = (rem - hdr_len) * 2 // channels * channels // 2
+            n_out += 2 + data_rem * 2 // channels
+            pad = np.zeros(block_align - hdr_len - data_rem, dtype=np.uint8)
+            raw = np.concatenate(
+                [raw[: nb_full * block_align + hdr_len + data_rem], pad])
+    blk = raw[: (nb_full + (1 if rem else 0)) * block_align].reshape(
+        -1, block_align)
+    nb = blk.shape[0]
+    if nb == 0:
+        return np.zeros((0, channels), dtype=np.int64)
+
+    def i16(lo, hi):
+        v = lo.astype(np.int64) | (hi.astype(np.int64) << 8)
+        return np.where(v >= 32768, v - 65536, v)
+
+    ch = channels
+    pidx = np.clip(blk[:, :ch].astype(np.int64), 0, len(coefs) - 1)
+    delta = i16(blk[:, ch:3 * ch:2], blk[:, ch + 1:3 * ch:2])
+    samp1 = i16(blk[:, 3 * ch:5 * ch:2], blk[:, 3 * ch + 1:5 * ch:2])
+    samp2 = i16(blk[:, 5 * ch:7 * ch:2], blk[:, 5 * ch + 1:7 * ch:2])
+    c1 = coefs[pidx, 0]
+    c2 = coefs[pidx, 1]
+    data = blk[:, hdr_len:]
+    nib = np.empty(data.shape + (2,), dtype=np.int64)
+    nib[..., 0] = data >> 4  # high nibble first
+    nib[..., 1] = data & 0x0F
+    nib = nib.reshape(nb, -1, ch)  # sample-interleaved across channels
+    out = np.empty((nb, spb, ch), dtype=np.int64)
+    out[:, 0, :] = samp2  # the OLDER header sample plays first
+    out[:, 1, :] = samp1
+    delta = np.maximum(delta, 16)
+    for s in range(spb - 2):
+        n = nib[:, s, :]
+        sn = np.where(n >= 8, n - 16, n)
+        pred = (samp1 * c1 + samp2 * c2) >> 8
+        sample = np.clip(pred + delta * sn, -32768, 32767)
+        out[:, s + 2, :] = sample
+        samp2 = samp1
+        samp1 = sample
+        delta = np.maximum((_MS_ADAPT[n] * delta) >> 8, 16)
+    out = out.reshape(-1, ch)
+    if total_samples is not None:
+        n_out = min(n_out, total_samples)
+    return out[:n_out]
+
+
+def encode_ms_adpcm(samples: np.ndarray, rate: int = 16000,
+                    block_align: int | None = None) -> bytes:
+    """float [-1, 1] (n,) or (n, ch) -> MS ADPCM WAV bytes (format tag
+    2, 4 bits/sample, standard 7-pair coefficient table in the fmt
+    extension, ``fact`` chunk with the true sample count).
+
+    Per block/channel the coefficient pair minimizing the sum of
+    |2nd-order prediction residuals| over the TRUE samples is chosen
+    and iDelta seeded from the mean residual — both spec-legal header
+    choices, so blocks stay independent and the encoder vectorizes
+    across them."""
+    x = np.asarray(samples, dtype=np.float64)
+    if x.ndim == 1:
+        x = x[:, None]
+    n, ch = x.shape
+    if n < 2:
+        raise ValueError("MS ADPCM needs at least 2 samples")
+    pcm = np.clip(np.round(x * 32767.0), -32768, 32767).astype(np.int64)
+    if block_align is None:
+        block_align = 256 * ch
+    hdr_len = 7 * ch
+    spb = (block_align - hdr_len) * 2 // ch + 2
+    nb = (n + spb - 1) // spb
+    padded = np.empty((nb * spb, ch), dtype=np.int64)
+    padded[:n] = pcm
+    padded[n:] = pcm[-1]
+    blocks = padded.reshape(nb, spb, ch)
+    # pick the best predictor per (block, channel) on true samples
+    prev1 = blocks[:, 1:-1, :]  # x[t-1]
+    prev2 = blocks[:, :-2, :]   # x[t-2]
+    cur = blocks[:, 2:, :]
+    resid = np.abs(
+        cur[None] - ((prev1[None] * _MS_COEFS[:, 0, None, None, None]
+                      + prev2[None] * _MS_COEFS[:, 1, None, None, None])
+                     >> 8)
+    ).sum(axis=2)  # (7, nb, ch)
+    pidx = resid.argmin(axis=0)  # (nb, ch)
+    c1 = _MS_COEFS[pidx, 0]
+    c2 = _MS_COEFS[pidx, 1]
+    best = resid[pidx, np.arange(nb)[:, None], np.arange(ch)[None, :]]
+    delta0 = np.maximum(best // max(spb - 2, 1) // 4, 16)
+    samp2 = blocks[:, 0, :].copy()
+    samp1 = blocks[:, 1, :].copy()
+    delta = delta0.copy()
+    codes = np.empty((nb, spb - 2, ch), dtype=np.int64)
+    for s in range(spb - 2):
+        pred = (samp1 * c1 + samp2 * c2) >> 8
+        e = blocks[:, s + 2, :] - pred
+        sn = np.clip(
+            np.floor_divide(2 * e + delta, 2 * delta), -8, 7)
+        codes[:, s, :] = sn & 0x0F
+        sample = np.clip(pred + delta * sn, -32768, 32767)
+        samp2 = samp1
+        samp1 = sample
+        delta = np.maximum((_MS_ADAPT[sn & 0x0F] * delta) >> 8, 16)
+    hdr = np.empty((nb, hdr_len), dtype=np.uint8)
+    hdr[:, :ch] = pidx
+    for name, off in ((delta0, ch), (blocks[:, 1, :], 3 * ch),
+                      (blocks[:, 0, :], 5 * ch)):
+        v = name & 0xFFFF
+        hdr[:, off:off + 2 * ch:2] = v & 0xFF
+        hdr[:, off + 1:off + 2 * ch:2] = v >> 8
+    flat = codes.reshape(nb, -1)  # sample-interleaved across channels
+    by = ((flat[:, 0::2] << 4) | flat[:, 1::2]).astype(np.uint8)
+    payload = np.concatenate([hdr, by], axis=1).tobytes()
+    byte_rate = (rate * block_align + spb - 1) // spb
+    ext = struct.pack("<HH", spb, len(_MS_COEFS)) + b"".join(
+        struct.pack("<hh", int(a), int(b)) for a, b in _MS_COEFS)
+    fmt = struct.pack("<HHIIHHH", 2, ch, rate, byte_rate, block_align,
+                      4, len(ext)) + ext
+    out = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+           + b"fact" + struct.pack("<II", 4, n)
+           + b"data" + struct.pack("<I", len(payload)) + payload)
+    return b"RIFF" + struct.pack("<I", 4 + len(out)) + b"WAVE" + out
+
+
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     """WAV bytes -> (samples float64 in [-1, 1] of shape (n, channels),
     sample_rate)."""
@@ -259,6 +415,7 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
             if len(body) < 16:
                 raise ValueError("truncated fmt chunk")
             fmt = struct.unpack_from("<HHIIHH", body, 0)
+            fmt_body = body
         elif cid == b"data":
             payload = body
         elif cid == b"fact" and len(body) >= 4:
@@ -270,6 +427,17 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     if audio_fmt == 17:  # IMA/DVI ADPCM
         pcm = _decode_ima_adpcm(payload, max(channels, 1), block_align,
                                 fact_samples)
+        return pcm.astype(np.float64) / 32767.0, int(rate)
+    if audio_fmt == 2:  # MS ADPCM
+        coefs = _MS_COEFS
+        if len(fmt_body) >= 22:  # cbSize ext: spb, nCoef, coef pairs
+            (ncoef,) = struct.unpack_from("<H", fmt_body, 20)
+            if ncoef and len(fmt_body) >= 22 + 4 * ncoef:
+                coefs = np.frombuffer(
+                    fmt_body[22:22 + 4 * ncoef], dtype="<i2"
+                ).astype(np.int64).reshape(ncoef, 2)
+        pcm = _decode_ms_adpcm(payload, max(channels, 1), block_align,
+                               fact_samples, coefs)
         return pcm.astype(np.float64) / 32767.0, int(rate)
     if audio_fmt in (6, 7):  # G.711 A-law / mu-law (telephony WAVs)
         raw8 = np.frombuffer(payload, dtype=np.uint8)

@@ -493,3 +493,54 @@ def test_wav_ima_adpcm_roundtrip():
     y3, _ = decode_wav(cut)
     assert y3.shape[0] < 9000 and y3.shape[1] == 1
     np.testing.assert_allclose(y3[:, 0], y[: len(y3), 0])
+
+
+def test_wav_ms_adpcm_hand_vector():
+    """MS ADPCM (format tag 2) semantics pinned by a HAND-COMPUTED
+    vector: coef pair 0 = (256,0), iDelta 16, iSamp1 100, iSamp2 50;
+    nibbles [2, 0xF] give pred=samp1, samples 132 then 116, and the
+    header samples play first (older samp2, then samp1)."""
+    import struct
+
+    import numpy as np
+
+    from pdf2pdfocr_ray.functions.wavcodec import decode_wav
+
+    block = bytes([0]) + struct.pack("<hhh", 16, 100, 50) + bytes([0x2F])
+    fmt = struct.pack("<HHIIHH", 2, 1, 8000, 8000, 8, 4)
+    wav = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 12 + 8 + len(block))
+           + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+           + b"fact" + struct.pack("<II", 4, 4)
+           + b"data" + struct.pack("<I", len(block)) + block)
+    y, rate = decode_wav(wav)
+    assert rate == 8000
+    got = np.round(y[:, 0] * 32767).astype(int).tolist()
+    assert got == [50, 100, 132, 116], got
+
+
+def test_wav_ms_adpcm_roundtrip():
+    """encode_ms_adpcm -> decode_wav: the 2nd-order predictor beats IMA
+    on a sine (>50 dB SNR); per-block best-coefficient choice, fmt-ext
+    coefficient table parse, fact trimming, stereo sample interleave
+    and determinism all covered."""
+    import numpy as np
+
+    from pdf2pdfocr_ray.functions.wavcodec import decode_wav, encode_ms_adpcm
+
+    t = np.arange(9000) / 16000.0
+    x = 0.5 * np.sin(2 * np.pi * 320 * t)
+    blob = encode_ms_adpcm(x, 16000)
+    y, rate = decode_wav(blob)
+    assert rate == 16000 and y.shape == (9000, 1)
+    snr = 10 * np.log10((x ** 2).mean() / ((y[:, 0] - x) ** 2).mean())
+    assert snr > 50, snr
+    assert len(blob) < 9000 * 2 * 0.3
+    assert encode_ms_adpcm(x, 16000) == blob
+
+    x2 = np.stack([x, 0.3 * np.cos(2 * np.pi * 200 * t)], axis=1)
+    y2, _ = decode_wav(encode_ms_adpcm(x2, 16000))
+    assert y2.shape == (9000, 2)
+    for c in range(2):
+        snr_c = 10 * np.log10(
+            (x2[:, c] ** 2).mean() / ((y2[:, c] - x2[:, c]) ** 2).mean())
+        assert snr_c > 50, (c, snr_c)
