@@ -1264,11 +1264,15 @@ def _q_warc_ingest(sf_dir: str):
 
     tmp = tempfile.mkdtemp(prefix="warc_q_")
     try:
-        # two shard files, gzip members — the Common-Crawl layout
+        # two shard files, gzip members — the Common-Crawl layout; the
+        # second shard keeps Transfer-Encoding: chunked wire framing on
+        # every 3rd record (real captures retain it), so byte-identity
+        # also certifies the dechunker
         half = len(recs) // 2
         for i, chunk in enumerate((recs[:half], recs[half:])):
             with open(f"{tmp}/part-{i}.warc.gz", "wb") as f:
-                f.write(build_warc(chunk, gzip_members=True))
+                f.write(build_warc(chunk, gzip_members=True,
+                                   chunked_every=3 if i else 0))
         ds = read_warc(tmp)
         from pdf2pdfocr_ray.config import PipelineConfig
 

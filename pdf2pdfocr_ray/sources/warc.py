@@ -26,6 +26,7 @@ external data is ever fetched.
 from __future__ import annotations
 
 import os
+import re
 import zlib
 from typing import TYPE_CHECKING, Iterable, Iterator
 
@@ -109,13 +110,45 @@ def _parse_headers(block: bytes) -> dict[str, str]:
     return headers
 
 
+def _dechunk(body: bytes) -> bytes:
+    """HTTP/1.1 chunked transfer coding (RFC 9112 §7.1) -> the decoded
+    body: hex chunk-size lines (extensions after ';' ignored), data,
+    CRLF, terminated by a 0 chunk; trailer fields are discarded.
+    Raises ValueError on malformed framing."""
+    out = bytearray()
+    pos = 0
+    n = len(body)
+    while True:
+        eol = body.find(b"\r\n", pos)
+        if eol < 0:
+            raise ValueError("unterminated chunk-size line")
+        size = int(body[pos:eol].split(b";", 1)[0].strip(), 16)
+        pos = eol + 2
+        if size == 0:
+            return bytes(out)
+        if pos + size + 2 > n:
+            raise ValueError("truncated chunk")
+        out += body[pos : pos + size]
+        pos += size + 2  # chunk data + its CRLF
+
+
 def _strip_http_envelope(payload: bytes) -> bytes:
     """response records wrap the capture in an HTTP/1.x response; the
-    body starts after the header block."""
+    body starts after the header block.  Crawl captures routinely keep
+    the wire framing, so a ``Transfer-Encoding: chunked`` body is
+    decoded here (malformed framing falls back to the raw body — the
+    row then degrades downstream instead of crashing the read task)."""
     if payload[:5] in (b"HTTP/",):
         idx = payload.find(_CRLF2)
         if idx >= 0:
-            return payload[idx + 4 :]
+            body = payload[idx + 4 :]
+            head = payload[:idx].lower()
+            if re.search(rb"\r\ntransfer-encoding:[^\r\n]*\bchunked\b", head):
+                try:
+                    return _dechunk(body)
+                except ValueError:
+                    return body
+            return body
     return payload
 
 
@@ -310,21 +343,41 @@ def build_warc(
     *,
     gzip_members: bool = False,
     http_envelope: bool = True,
+    chunked_every: int = 0,
 ) -> bytes:
     """Fixture writer: (url, ts_us, payload) triples -> WARC/1.0 bytes
     (optionally as concatenated per-record gzip members, the Common-Crawl
-    .warc.gz layout)."""
+    .warc.gz layout).  ``chunked_every=k`` writes every k-th response
+    body with ``Transfer-Encoding: chunked`` wire framing (split into
+    uneven chunks + a trailer field), as real captures retain it."""
     import datetime
     import gzip as _gzip
 
     out = bytearray()
-    for url, ts_us, payload in records:
+    for rec_no, (url, ts_us, payload) in enumerate(records):
         if http_envelope:
-            body = (
-                b"HTTP/1.1 200 OK\r\nContent-Type: application/octet-stream\r\n"
-                b"Content-Length: " + str(len(payload)).encode() + _CRLF2[:2]
-                + b"\r\n" + payload
-            )
+            if chunked_every and rec_no % chunked_every == 0:
+                enc = bytearray()
+                pos = 0
+                step = max(1, len(payload) // 3)
+                while pos < len(payload):
+                    piece = payload[pos : pos + step]
+                    enc += (b"%x" % len(piece)) + b"\r\n" + piece + b"\r\n"
+                    pos += step
+                    step = max(1, step * 2)  # uneven chunk sizes
+                enc += b"0\r\nX-Trailer: t\r\n\r\n"
+                body = (
+                    b"HTTP/1.1 200 OK\r\n"
+                    b"Content-Type: application/octet-stream\r\n"
+                    b"Transfer-Encoding: chunked\r\n\r\n" + bytes(enc)
+                )
+            else:
+                body = (
+                    b"HTTP/1.1 200 OK\r\n"
+                    b"Content-Type: application/octet-stream\r\n"
+                    b"Content-Length: " + str(len(payload)).encode()
+                    + _CRLF2[:2] + b"\r\n" + payload
+                )
         else:
             body = payload
         iso = (

@@ -203,3 +203,42 @@ def test_wet_shards_survive_duplicate_first_urls(ray_session, tmp_path):
     assert len(back2) == 4
     assert sorted(back2["extracted_text"]) == sorted(df["extracted_text"])
     assert all(p.startswith("part-") for p in os.listdir(out))
+
+
+def test_chunked_transfer_encoding_decoded():
+    """Response records that retain HTTP/1.1 chunked wire framing (RFC
+    9112 §7.1) are decoded by the envelope strip: multi-chunk bodies
+    with size extensions and trailer fields, single-byte payloads, and
+    gzip-member containers all roundtrip byte-identically; malformed
+    framing falls back to the raw body instead of raising."""
+    from pdf2pdfocr_ray.sources.warc import (
+        _dechunk,
+        _strip_http_envelope,
+        build_warc,
+        parse_warc,
+    )
+
+    payloads = [b"hello world, a payload long enough to chunk " * 30,
+                b"x", b"<html><body>abc</body></html>"]
+    recs = [(f"https://s/{i}", 1_000_000 + i, p)
+            for i, p in enumerate(payloads)]
+    rows = parse_warc(build_warc(recs, chunked_every=2))
+    assert [r["html"] for r in rows] == payloads
+    rows = parse_warc(build_warc(recs, gzip_members=True, chunked_every=1))
+    assert [r["html"] for r in rows] == payloads
+
+    # extensions + trailers per the RFC grammar
+    assert _dechunk(b"5;ext=v\r\nhello\r\n0\r\nX-T: 1\r\n\r\n") == b"hello"
+    # malformed size line: raw body preserved, no exception
+    bad = (b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+           b"ZZZ\r\nnot hex")
+    assert _strip_http_envelope(bad) == b"ZZZ\r\nnot hex"
+    # truncated chunk: same fallback
+    trunc = (b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+             b"ff\r\nshort")
+    assert _strip_http_envelope(trunc) == b"ff\r\nshort"
+    # a Content-Length response is untouched even if the BODY contains
+    # chunked-looking bytes
+    plain = (b"HTTP/1.1 200 OK\r\nContent-Length: 12\r\n\r\n"
+             b"5\r\nhello\r\n0")
+    assert _strip_http_envelope(plain) == b"5\r\nhello\r\n0"
