@@ -375,7 +375,7 @@ GIANT_EVERY = 150  # every 150th doc is a skewed giant PDF (repartition/skew pat
 
 # Bump when generated content changes — cache keys (bench corpus dirs)
 # embed it so stale corpora from earlier generators never get reused.
-CORPUS_VERSION = "r5e"  # r3: WebP image docs; r3b/c: scanned-page PDFs
+CORPUS_VERSION = "r5f"  # r3: WebP image docs; r3b/c: scanned-page PDFs
 # (DCT / gray-Flate / CCITT-G4 / JBIG2 embedded images, 2% of docs);
 # r3d: realistic HTML variants (inline markup, nested script junk,
 # blockquotes, unclosed tags, BOM payloads); r4a: lossy-VP8 image docs;
@@ -391,7 +391,8 @@ CORPUS_VERSION = "r5e"  # r3: WebP image docs; r3b/c: scanned-page PDFs
 # RunLength / ASCIIHex+Flate / ASCII85+Flate filters; r5c: HTML charset
 # mix (windows-1252 / iso-8859-1 meta, UTF-16 BOM, declared UTF-8);
 # r5d: EXIF-oriented JPEG image docs (tag 274 = 3/6/8, auto-oriented);
-# r5e: ~6% gzip-wrapped payloads (Content-Encoding residue)
+# r5e: ~6% gzip-wrapped payloads (Content-Encoding residue);
+# r5f: +~3% zlib-wrapped payloads (Content-Encoding: deflate residue)
 
 
 def _gen_doc(i: int, seed: int):
@@ -511,13 +512,20 @@ def _gen_doc(i: int, seed: int):
         )
         golden, route, n_pages, error = None, "error", 0, "unsupported_type"
 
-    # Content-Encoding residue (r5e): ~6% of well-formed payloads arrive
-    # gzip-wrapped, as in real crawl dumps; the sniff stage gunzips
-    # transparently, so route/golden/error are unchanged.
-    if error is None and payload and rng.random() < 0.06:
-        import gzip as _gzip
+    # Content-Encoding residue (r5e/r5f): ~6% of well-formed payloads
+    # arrive gzip-wrapped and ~3% zlib-wrapped (deflate residue), as in
+    # real crawl dumps; the sniff stage decompresses transparently, so
+    # route/golden/error are unchanged.
+    if error is None and payload:
+        wrap = rng.random()
+        if wrap < 0.06:
+            import gzip as _gzip
 
-        payload = _gzip.compress(payload, 6, mtime=0)
+            payload = _gzip.compress(payload, 6, mtime=0)
+        elif wrap < 0.09:
+            import zlib as _zlib
+
+            payload = _zlib.compress(payload, 6)
 
     noisy = (golden or "")[:80] + (" …" if golden and len(golden) > 80 else "")
     page_row = {

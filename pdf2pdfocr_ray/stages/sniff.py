@@ -20,10 +20,10 @@ _IMAGE_MAGICS = (b"\x89PNG\r\n\x1a\n", b"\xff\xd8\xff", b"II*\x00", b"MM\x00*",
 _GZIP_CAP = 128 << 20  # decompression-bomb guard per payload
 
 
-def _gunzip_capped(payload: bytes) -> bytes:
+def _gunzip_capped(payload: bytes, wbits: int = 31) -> bytes:
     import zlib
 
-    d = zlib.decompressobj(wbits=31)
+    d = zlib.decompressobj(wbits=wbits)
     out = d.decompress(payload, _GZIP_CAP)
     if d.unconsumed_tail:
         raise ValueError("gzip payload exceeds the 128 MiB decompress cap")
@@ -34,27 +34,42 @@ def _gunzip_capped(payload: bytes) -> bytes:
     return out
 
 
+# zlib (Content-Encoding: deflate residue) leads with CMF 0x78 + an FLG
+# byte passing the %31 check; the four bytes below are the only FLG
+# values emitted by standard compression levels.  A text payload can't
+# collide ('\x01'/'\x5e'/'\x9c'/'\xda' after 'x' is not prose), and a
+# random collision still has to pass the full inflate + adler32 before
+# the bytes are replaced.
+_ZLIB_MAGICS = (b"\x78\x01", b"\x78\x5e", b"\x78\x9c", b"\x78\xda")
+
+
 def sniff_route(batch: pa.Table) -> pa.Table:
     """Append a ``route`` column derived from payload magic bytes.
 
     pdf: ``%PDF-`` prefix; image: PNG/JPEG/TIFF magics; html: leading ``<``;
     anything else (including empty payloads) -> error route.
 
-    Gzip-wrapped payloads (Content-Encoding residue, routine in crawl
-    dumps) are transparently decompressed FIRST — bounded by a 128 MiB
-    bomb guard — and every downstream stage sees the decompressed
-    bytes; only the gzip subset pays the Python loop."""
+    Gzip- and zlib-wrapped payloads (Content-Encoding gzip/deflate
+    residue, routine in crawl dumps) are transparently decompressed
+    FIRST — bounded by a 128 MiB bomb guard — and every downstream
+    stage sees the decompressed bytes; only the compressed subset pays
+    the Python loop."""
     col = batch.column("html")
     is_gz = pc.starts_with(col, pattern=b"\x1f\x8b\x08")
-    if pc.any(is_gz).as_py():
-        mask = is_gz.to_numpy(zero_copy_only=False)
+    is_zl = pc.starts_with(col, pattern=_ZLIB_MAGICS[0])
+    for magic in _ZLIB_MAGICS[1:]:
+        is_zl = pc.or_(is_zl, pc.starts_with(col, pattern=magic))
+    if pc.any(pc.or_(is_gz, is_zl)).as_py():
+        gz_mask = is_gz.to_numpy(zero_copy_only=False)
+        zl_mask = is_zl.to_numpy(zero_copy_only=False)
         payloads = col.to_pylist()
         for i in range(len(payloads)):
-            if mask[i]:
+            if gz_mask[i] or zl_mask[i]:
                 try:
-                    payloads[i] = _gunzip_capped(payloads[i])
+                    payloads[i] = _gunzip_capped(
+                        payloads[i], wbits=31 if gz_mask[i] else 15)
                 except Exception:  # noqa: BLE001 — row-level isolation:
-                    pass  # corrupt gzip keeps its raw bytes -> error route
+                    pass  # corrupt member keeps its raw bytes -> error route
         col = pa.array(payloads, pa.binary())
         batch = batch.set_column(
             batch.schema.get_field_index("html"), "html", col)

@@ -138,10 +138,12 @@ def test_gzip_residue_payloads_transparently_decompress():
 
 def test_fanout_truncation_fuzz_round5_kinds():
     """300 random truncations of every round-5 container kind (tiled
-    TIFF, 16-bit TIFF, EXIF JPEG, ASCII85 PDF, gzip HTML) flow through
-    sniff+fanout with zero stage crashes — every malformed payload
-    becomes an error row or a passthrough row, never an exception."""
+    TIFF, 16-bit TIFF, EXIF JPEG, ASCII85 PDF, gzip HTML, zlib HTML)
+    flow through sniff+fanout with zero stage crashes — every malformed
+    payload becomes an error row or a passthrough row, never an
+    exception."""
     import gzip
+    import zlib
 
     import numpy as np
 
@@ -160,6 +162,8 @@ def test_fanout_truncation_fuzz_round5_kinds():
         gzip.compress(
             b"<html><body><p>" + b"x" * 64 + b"</p></body></html>",
             mtime=0),
+        zlib.compress(
+            b"<html><body><p>" + b"y" * 64 + b"</p></body></html>", 6),
     ]
     payloads, urls = [], []
     for bi, b in enumerate(bases):
@@ -176,3 +180,39 @@ def test_fanout_truncation_fuzz_round5_kinds():
     })
     out = FanOut()(sniff_route(t))  # must not raise
     assert out.num_rows >= len(urls) - 1  # multi-frame may add rows
+
+
+def test_zlib_residue_payloads_transparently_decompress():
+    """Content-Encoding: deflate residue (zlib-wrapped, CMF/FLG header):
+    every standard-level FLG byte decompresses inline like gzip; a
+    payload that merely STARTS with a zlib magic but fails the inflate
+    (or its adler32) keeps its raw bytes; PDFs wrapped in zlib route as
+    pdf after inflation."""
+    import zlib
+
+    html = (b"<html><body><p>" + b"deflate residue body " * 6
+            + b"</p></body></html>")
+    pdfish = b"%PDF-1.4 fake"
+    rows = []
+    for level, _flg in ((1, 0x01), (6, 0x9C), (9, 0xDA)):
+        z = zlib.compress(html, level)
+        assert z[0] == 0x78
+        rows.append(z)
+    rows.append(zlib.compress(pdfish, 6))
+    rows.append(b"\x78\x9c" + b"\xff" * 30)  # bad inflate -> raw kept
+    rows.append(b"\x78\x01")                 # truncated -> raw kept
+    t = pa.table({
+        "url": pa.array([f"u{i}" for i in range(len(rows))], pa.string()),
+        "warc_ts": pa.array([0] * len(rows), pa.timestamp("us")),
+        "html": pa.array(rows, pa.binary()),
+        "text": pa.array([""] * len(rows), pa.string()),
+        "lang": pa.array(["eng"] * len(rows), pa.string()),
+    })
+    out = sniff_route(t)
+    routes = out.column("route").to_pylist()
+    payloads = out.column("html").to_pylist()
+    assert routes[:3] == [ROUTE_HTML] * 3
+    assert payloads[:3] == [html] * 3
+    assert routes[3] == ROUTE_PDF and payloads[3] == pdfish
+    assert routes[4] == ROUTE_ERROR and payloads[4] == rows[4]
+    assert routes[5] == ROUTE_ERROR and payloads[5] == rows[5]
