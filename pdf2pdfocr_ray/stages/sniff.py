@@ -23,15 +23,23 @@ _GZIP_CAP = 128 << 20  # decompression-bomb guard per payload
 def _gunzip_capped(payload: bytes, wbits: int = 31) -> bytes:
     import zlib
 
-    d = zlib.decompressobj(wbits=wbits)
-    out = d.decompress(payload, _GZIP_CAP)
-    if d.unconsumed_tail:
-        raise ValueError("gzip payload exceeds the 128 MiB decompress cap")
-    if not d.eof:
-        # a truncated member would silently yield a prefix; keep the raw
-        # bytes instead so the row lands on the error route
-        raise ValueError("truncated gzip payload")
-    return out
+    out = bytearray()
+    while payload:  # loop: gzip bodies may concatenate members
+        d = zlib.decompressobj(wbits=wbits)
+        out += d.decompress(payload, _GZIP_CAP - len(out))
+        if d.unconsumed_tail:
+            raise ValueError("gzip payload exceeds the 128 MiB decompress cap")
+        if not d.eof:
+            # a truncated member would silently yield a prefix; keep the
+            # raw bytes instead so the row lands on the error route
+            raise ValueError("truncated gzip payload")
+        payload = d.unused_data
+        if payload and not (wbits == 31 and payload[:3] == b"\x1f\x8b\x08"):
+            # residual junk after the last member (padding, stray CRLFs)
+            # is routine in wire captures; keep what decoded cleanly.
+            # zlib (wbits=15) never concatenates members.
+            break
+    return bytes(out)
 
 
 # zlib (Content-Encoding: deflate residue) leads with CMF 0x78 + an FLG

@@ -216,3 +216,31 @@ def test_zlib_residue_payloads_transparently_decompress():
     assert routes[3] == ROUTE_PDF and payloads[3] == pdfish
     assert routes[4] == ROUTE_ERROR and payloads[4] == rows[4]
     assert routes[5] == ROUTE_ERROR and payloads[5] == rows[5]
+
+
+def test_multi_member_gzip_payload_fully_decompresses():
+    """HTTP gzip bodies occasionally concatenate members; all members
+    decode (not silently just the first), trailing non-gzip junk after
+    the last member is tolerated, and the bomb cap spans the SUM of
+    members."""
+    import gzip
+
+    import pytest
+
+    from pdf2pdfocr_ray.stages.sniff import _GZIP_CAP, _gunzip_capped
+
+    a = gzip.compress(b"<html><body>first ", mtime=0)
+    b = gzip.compress(b"second</body></html>", mtime=0)
+    assert _gunzip_capped(a + b) == b"<html><body>first second</body></html>"
+    # trailing junk after the final member: keep what decoded
+    assert _gunzip_capped(a + b"\r\n\r\n") == b"<html><body>first "
+    # sum-of-members bomb: two members each just under the cap
+    half = gzip.compress(b"\x00" * (_GZIP_CAP // 2 + 16), 9, mtime=0)
+    with pytest.raises(ValueError, match="decompress cap"):
+        _gunzip_capped(half + half)
+    # zlib payloads never loop: a second zlib stream after the first is
+    # trailing junk, and the first stream still decodes
+    import zlib
+
+    z = zlib.compress(b"<html>z</html>", 6)
+    assert _gunzip_capped(z + z, wbits=15) == b"<html>z</html>"
