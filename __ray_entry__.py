@@ -1708,11 +1708,12 @@ def _q_audio_near_dup(sf_dir: str):
     """Multimodal near-dup, audio modality: energy-envelope fingerprints
     over synthesized clips (doc_id arithmetic, like audio_features) with
     planted gain-scaled copies — planted pairs asserted in-query.
-    CROSS-CONTAINER: planted copies alternate FLAC (i % 24 == 0) and
-    MP3 (the other i % 12 == 0) while their sources are WAV, so a pair
-    only surfaces if both codecs decode to the same waveform (for mp3,
-    to within its lossy floor — clip lengths are 1152-multiples so the
-    sample grids align exactly)."""
+    CROSS-CONTAINER: planted copies rotate FLAC (i % 36 == 0), IMA
+    ADPCM (i % 36 == 24) and MP3 (the remaining i % 12 == 0) while
+    their sources are WAV, so a pair only surfaces if the codecs decode
+    to the same waveform (for the lossy pair members, to within their
+    lossy floors — clip lengths are 1152-multiples so the mp3 sample
+    grids align exactly)."""
     import numpy as np
     import pandas as pd
     import ray.data
@@ -1750,13 +1751,21 @@ def _q_audio_near_dup(sf_dir: str):
         s = clip(int(i))
         rows.append({"doc_id": int(i), "audio": encode_wav(s, 16000)})
         if i % 12 == 0:  # planted gain-scaled near-dup
-            if i % 24 == 0:
+            if i % 36 == 0:
                 # FLAC carries the SAME quantized PCM encode_wav would
                 # emit, so the pair matches iff both codecs agree
                 pcm16 = np.clip(
                     np.round(s * 0.3 * 32767.0), -32768, 32767,
                 ).astype(np.int16)
                 blob = encode_flac(pcm16, 16000)
+            elif i % 36 == 24:
+                # IMA ADPCM: 4-bit lossy (~39 dB) — far above the
+                # envelope fingerprint's bimodal margin
+                from pdf2pdfocr_ray.functions.wavcodec import (
+                    encode_ima_adpcm,
+                )
+
+                blob = encode_ima_adpcm(s * 0.3, 16000)
             else:
                 # MP3: lossy — the envelope fingerprint must survive the
                 # full encode->decode chain to surface the pair
