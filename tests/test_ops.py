@@ -777,6 +777,40 @@ def test_trigram_lm_orders_prose_before_junk():
     assert lm(df)["lm_ppl"].equals(out["lm_ppl"])
 
 
+def test_trigram_lm_batch_partition_independent():
+    """Scoring a doc must be bit-identical regardless of which batch
+    neighbors it shares (segmented reduceat, not cumsum differences) —
+    the property that makes lm_score identical across cpu counts."""
+    from pdf2pdfocr_ray.ops.text_analysis import TrigramLM
+
+    lm = TrigramLM()
+    texts = [
+        "time heals all wounds and knowledge is power",
+        "qzxv jkqp wvxz qqjj zzxkv pqw zxjq kvpz",
+        "the quick brown fox jumps over the lazy dog " * 7,
+        "",
+        "ab",
+        "practice makes perfect and actions speak louder than words",
+    ]
+    whole = lm(pd.DataFrame({"text": texts}))
+    # one-doc-per-batch, reversed order: same doc, different neighbors
+    singles = [
+        lm(pd.DataFrame({"text": [t]})) for t in reversed(texts)
+    ]
+    for i, t in enumerate(texts):
+        solo = singles[len(texts) - 1 - i]
+        assert solo["lm_logprob_per_char"].iloc[0] == whole["lm_logprob_per_char"].iloc[i]
+        assert solo["lm_ppl"].iloc[0] == whole["lm_ppl"].iloc[i]
+    # and a 2+4 split equals the 6-doc batch bitwise
+    split = pd.concat(
+        [lm(pd.DataFrame({"text": texts[:2]})), lm(pd.DataFrame({"text": texts[2:]}))],
+        ignore_index=True,
+    )
+    assert np.array_equal(
+        split["lm_logprob_per_char"].to_numpy(), whole["lm_logprob_per_char"].to_numpy()
+    )
+
+
 def test_stratified_sample_rates(ray_session):
     """Kept fraction per stratum tracks its permille; deterministic and
     reshard-stable (same kept set at 2 and 8 partitions)."""

@@ -199,3 +199,22 @@ def test_giant_skewed_doc_default_path(ray_session):
     for u, t in zip(g["url"], g["extracted_text"]):
         a = merged.loc[u, "extracted_text"]
         assert (a == t) or (pd.isna(a) and pd.isna(t))
+
+
+def test_resolve_ocr_concurrency_reserve(monkeypatch, ray_session):
+    """Pool sizing: explicit setting passes through; otherwise reserve
+    ~1 core per 16 (round-5 A/B: 30 actors at 32 cpus beat both 28 and
+    31), never the full cluster, floor of 1 actor."""
+    import ray
+
+    from pdf2pdfocr_ray.config import PipelineConfig
+
+    assert PipelineConfig(ocr_concurrency=5).resolve_ocr_concurrency() == 5
+    assert PipelineConfig(ocr_concurrency=(2, 6)).resolve_ocr_concurrency() == (2, 6)
+
+    def fake_resources(cpus):
+        return lambda: {"CPU": float(cpus)}
+
+    for cpus, want in [(1, 1), (2, 1), (8, 7), (16, 15), (32, 30), (64, 60)]:
+        monkeypatch.setattr(ray, "cluster_resources", fake_resources(cpus))
+        assert PipelineConfig().resolve_ocr_concurrency() == want, cpus
