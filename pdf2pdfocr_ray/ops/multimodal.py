@@ -186,13 +186,16 @@ class AudioFeatureStage:
     (AAC/Opus/...) would need codecs absent from this container and
     hit the stub path: ``strict`` raises NotImplementedError, else
     deterministic fakes derived from the payload hash (the distributed
-    plumbing stays exercised either way)."""
+    plumbing stays exercised either way).  Emits ``audio_ok``: True
+    only for a successful REAL decode; corrupt known-container payloads
+    get zeros + False (row-level isolation), stub rows get fakes +
+    False."""
 
     def __init__(self, audio_col: str = "audio", strict: bool = False):
         self.audio_col = audio_col
         self.strict = strict
 
-    def _features(self, payload: bytes) -> tuple[float, int, float]:
+    def _features(self, payload: bytes) -> tuple[float, int, float, bool]:
         if (payload[:4] == b"RIFF" and payload[8:12] == b"WAVE") or \
                 payload[:4] == b"fLaC" or is_mp3(payload) or \
                 is_isobmff(payload):
@@ -200,29 +203,37 @@ class AudioFeatureStage:
                 samples, rate = decode_audio(payload)
                 n = samples.shape[0]
                 rms = float(np.sqrt(np.mean(samples**2))) if n else 0.0
-                return n / float(rate), n, rms
+                return n / float(rate), n, rms, True
             except NotImplementedError:
                 # known container, genuinely-absent codec (e.g. AAC in
                 # mp4): same strict gate as unknown formats below
                 if self.strict:
                     raise
+            except Exception:  # noqa: BLE001 — row-level isolation:
+                # corrupt/truncated payload in a KNOWN container (the
+                # routine crawl case) must mark its row, not kill the
+                # task — same posture as AudioFingerprintStage/FanOut
+                if self.strict:
+                    raise
+                return 0.0, 0, 0.0, False
         if self.strict:
             raise NotImplementedError(
                 "compressed audio (aac/opus) decode not available"
             )
         h = hashlib.md5(payload[:128]).digest()
         n = max(1, len(payload)) * 4
-        return n / 16000.0, n, float(h[2]) / 255.0
+        return n / 16000.0, n, float(h[2]) / 255.0, False
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        durs, ns, rms = [], [], []
+        durs, ns, rms, oks = [], [], [], []
         for payload in batch.column(self.audio_col).to_pylist():
-            d, n, r = self._features(payload or b"")
-            durs.append(d); ns.append(n); rms.append(r)
+            d, n, r, ok = self._features(payload or b"")
+            durs.append(d); ns.append(n); rms.append(r); oks.append(ok)
         return (
             batch.append_column("duration_s", pa.array(durs, pa.float64()))
             .append_column("n_samples", pa.array(ns, pa.int64()))
             .append_column("rms", pa.array(rms, pa.float64()))
+            .append_column("audio_ok", pa.array(oks, pa.bool_()))
         )
 
 

@@ -544,3 +544,59 @@ def test_wav_ms_adpcm_roundtrip():
         snr_c = 10 * np.log10(
             (x2[:, c] ** 2).mean() / ((y2[:, c] - x2[:, c]) ** 2).mean())
         assert snr_c > 50, (c, snr_c)
+
+
+def test_audio_feature_stage_isolates_corrupt_payloads():
+    """Truncation fuzz over all SEVEN audio containers through
+    AudioFeatureStage: a malformed payload must mark its row
+    audio_ok=False (zeros, not hash-fakes), never raise, and healthy
+    neighbors keep their real decode — one truncated crawl WAV must
+    not kill an audio_features task."""
+    import numpy as np
+    import pyarrow as pa
+
+    from pdf2pdfocr_ray.functions.flaccodec import encode_flac
+    from pdf2pdfocr_ray.functions.mp3codec import encode_mp3
+    from pdf2pdfocr_ray.functions.wavcodec import (
+        encode_alaw,
+        encode_ima_adpcm,
+        encode_ms_adpcm,
+        encode_mulaw,
+        encode_wav,
+    )
+    from pdf2pdfocr_ray.ops.multimodal import AudioFeatureStage
+
+    pcm = 0.4 * np.sin(2 * np.pi * 200 * np.arange(4000) / 16000.0)
+    bases = [
+        encode_flac((pcm * 32767).astype(np.int16), 16000),
+        encode_mp3(pcm, 44100),
+        encode_wav(pcm, 16000),
+        encode_alaw(pcm, 16000),
+        encode_mulaw(pcm, 16000),
+        encode_ima_adpcm(pcm, 16000),
+        encode_ms_adpcm(pcm, 16000),
+    ]
+    rng = np.random.default_rng(7)
+    payloads = list(bases)  # healthy head rows
+    for b in bases:
+        for _ in range(25):
+            payloads.append(bytes(b[: int(rng.integers(12, len(b)))]))
+    tbl = pa.table({"audio": pa.array(payloads, pa.binary())})
+    out = AudioFeatureStage()(tbl).to_pandas()  # must not raise
+    ok = out["audio_ok"].to_numpy()
+    assert ok[: len(bases)].all()  # healthy rows decode for real
+    # corrupt known-container rows are zeros, never fabricated features
+    bad = out[~out["audio_ok"]]
+    known = bad[bad.index >= len(bases)]
+    # truncations short enough to lose the magic fall to the stub path;
+    # every isolated known-container row must be exact zeros
+    trunc_known = known[(known["n_samples"] == 0)]
+    assert (trunc_known["duration_s"] == 0).all()
+    assert (trunc_known["rms"] == 0).all()
+    # strict mode: corrupt payload raises instead of silently zeroing
+    import pytest
+
+    with pytest.raises(Exception):
+        AudioFeatureStage(strict=True)(
+            pa.table({"audio": pa.array([bases[2][:30]], pa.binary())})
+        )
