@@ -246,7 +246,9 @@ class VideoFrameSampleStage:
     evenly-spaced frames re-encoded as PNG.  mp4 tracks whose BITSTREAM
     codec is genuinely absent (avc1/hev1) and other containers (mkv)
     hit the stub path: ``strict`` raises, else deterministic
-    solid-color fakes."""
+    solid-color fakes.  Emits ``frames_ok``: True only for a real
+    demux+decode; corrupt known-container payloads get an empty frame
+    list + False (row-level isolation), stub rows fakes + False."""
 
     def __init__(self, n_frames: int = 3, video_col: str = "video",
                  strict: bool = False):
@@ -254,24 +256,36 @@ class VideoFrameSampleStage:
         self.video_col = video_col
         self.strict = strict
 
-    def _frames(self, payload: bytes) -> list[bytes]:
+    def _frames(self, payload: bytes) -> tuple[list[bytes], bool]:
         if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
             from ..functions.avicodec import sample_frames
 
-            return [
-                encode_png(f) for f in sample_frames(payload, self.n_frames)
-            ]
+            try:
+                return [
+                    encode_png(f)
+                    for f in sample_frames(payload, self.n_frames)
+                ], True
+            except Exception:  # noqa: BLE001 — row-level isolation:
+                # a truncated crawl AVI marks its row, not the task
+                if self.strict:
+                    raise
+                return [], False
         if is_isobmff(payload):
             from ..functions.mp4box import sample_frames_mp4
 
             try:
                 return [encode_png(f)
-                        for f in sample_frames_mp4(payload, self.n_frames)]
+                        for f in sample_frames_mp4(payload, self.n_frames)
+                        ], True
             except NotImplementedError:
                 # demux is real; the track's bitstream codec (avc1/...)
                 # is genuinely absent -> same strict gate as below
                 if self.strict:
                     raise
+            except Exception:  # noqa: BLE001 — corrupt box structure
+                if self.strict:
+                    raise
+                return [], False
         if self.strict:
             raise NotImplementedError(
                 "non-AVI/MP4 video demux not available in container"
@@ -281,14 +295,16 @@ class VideoFrameSampleStage:
         for i in range(self.n_frames):
             img = np.full((16, 16, 3), h[i % 16], dtype=np.uint8)
             out.append(encode_png(img))
-        return out
+        return out, False
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        frames = [self._frames(p or b"") for p in
-                  batch.column(self.video_col).to_pylist()]
+        frames, oks = [], []
+        for p in batch.column(self.video_col).to_pylist():
+            fr, ok = self._frames(p or b"")
+            frames.append(fr); oks.append(ok)
         return batch.append_column(
             "frames", pa.array(frames, pa.list_(pa.binary()))
-        )
+        ).append_column("frames_ok", pa.array(oks, pa.bool_()))
 
 
 # Reference M12 presets (/root/reference/pdf2pdfocr.py:834-838): named

@@ -600,3 +600,44 @@ def test_audio_feature_stage_isolates_corrupt_payloads():
         AudioFeatureStage(strict=True)(
             pa.table({"audio": pa.array([bases[2][:30]], pa.binary())})
         )
+
+
+def test_video_frame_stage_isolates_corrupt_payloads():
+    """Truncation fuzz over both video containers (MJPEG-AVI, MJPEG-MP4)
+    through VideoFrameSampleStage: malformed payloads mark frames_ok=False
+    with an empty frame list, never raise; healthy neighbors demux for
+    real; strict mode raises."""
+    import numpy as np
+    import pyarrow as pa
+
+    from pdf2pdfocr_ray.functions.avicodec import mux_avi_mjpeg
+    from pdf2pdfocr_ray.functions.jpegcodec import encode_jpeg
+    from pdf2pdfocr_ray.functions.mp4box import mux_mp4
+    from pdf2pdfocr_ray.ops.multimodal import VideoFrameSampleStage
+
+    rng = np.random.default_rng(11)
+    frames = [
+        rng.integers(0, 256, (24, 24, 3), dtype=np.uint8) for _ in range(4)
+    ]
+    jpegs = [encode_jpeg(f, 90) for f in frames]
+    bases = [mux_avi_mjpeg(jpegs), mux_mp4(jpegs)]
+    payloads = list(bases)
+    for b in bases:
+        for _ in range(30):
+            payloads.append(bytes(b[: int(rng.integers(16, len(b)))]))
+    tbl = pa.table({"video": pa.array(payloads, pa.binary())})
+    out = VideoFrameSampleStage()(tbl).to_pandas()  # must not raise
+    assert out["frames_ok"].iloc[0] and out["frames_ok"].iloc[1]
+    assert len(out["frames"].iloc[0]) > 0 and len(out["frames"].iloc[1]) > 0
+    bad = out[~out["frames_ok"]]
+    # isolated known-container rows carry an EMPTY list (no fabricated
+    # frames); stub-path rows (truncations that lost the magic) carry
+    # exactly n_frames fakes — both flagged not-ok
+    for fr in bad["frames"]:
+        assert len(fr) in (0, 3)
+    import pytest
+
+    with pytest.raises(Exception):
+        VideoFrameSampleStage(strict=True)(
+            pa.table({"video": pa.array([bases[0][:40]], pa.binary())})
+        )
