@@ -37,6 +37,9 @@ def decode_bmp(payload: bytes) -> np.ndarray:
         raise ValueError("BMP: bad dimensions")
     top_down = h_raw < 0
     h = abs(h_raw)
+    from .limits import guard_dims
+
+    guard_dims(w, h, "BMP")
     if planes != 1:
         raise ValueError("BMP: planes != 1")
     if comp not in (BI_RGB, BI_RLE8):

@@ -197,6 +197,9 @@ def decode_gif(payload: bytes) -> list[np.ndarray]:
     if len(payload) < 13:
         raise ValueError("truncated GIF header")
     sw, sh, flags, bg_index, _aspect = struct.unpack_from("<HHBBB", payload, 6)
+    from .limits import guard_dims
+
+    guard_dims(sw, sh, "GIF screen")
     pos = 13
     gct = None
     if flags & 0x80:

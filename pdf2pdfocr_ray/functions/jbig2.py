@@ -42,6 +42,7 @@ import struct
 
 import numpy as np
 
+from .limits import guard_dims
 from .mq import MQDecoder, MQEncoder
 
 _NOMINAL_AT = ((3, -1), (-3, -1), (2, -2), (-2, -2))
@@ -273,6 +274,7 @@ def decode_text_region(body: bytes, syms: list[np.ndarray]):
     """T.88 SS6.4 text region (SBHUFF=0, TRANSPOSED=0) -> (bits, x, y)
     where bits is the (h, w) uint8 0/1 region bitmap."""
     rw, rh, rx, ry = struct.unpack_from(">IIII", body, 0)
+    guard_dims(rx + rw, ry + rh, "JBIG2 region")
     flags = struct.unpack_from(">H", body, 17)[0]
     sbhuff = flags & 1
     refine = (flags >> 1) & 1
@@ -464,11 +466,13 @@ def decode_jbig2_embedded(data: bytes, globals_data: bytes = b"") -> np.ndarray:
                 continue
             if seg_type == _PAGE_INFO:
                 pw, ph = struct.unpack_from(">II", body, 0)
+                guard_dims(pw, max(ph if ph != 0xFFFFFFFF else 1, 1), "JBIG2 page")
                 if ph == 0xFFFFFFFF:
                     ph = 0  # striped page, unknown height: grow per region
                 page = np.zeros((ph, pw), np.uint8)
             elif seg_type in _GENERIC_IMMEDIATE:
                 rw, rh, rx, ry = struct.unpack_from(">IIII", body, 0)
+                guard_dims(rx + rw, ry + rh, "JBIG2 region")
                 gflags = body[17]
                 mmr = gflags & 1
                 template = (gflags >> 1) & 3

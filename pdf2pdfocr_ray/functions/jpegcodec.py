@@ -866,6 +866,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             progressive = marker == 0xC2
             _prec, fh, fw, ncomp = struct.unpack(">BHHB", seg[:6])
+            from .limits import guard_dims
+
+            # grids allocate int32 per 4:2:0-padded block — 16x the
+            # pixel count in bytes, so guard the padded geometry
+            guard_dims(fw + 16, fh + 16, "JPEG")
             comps = []
             for ci in range(ncomp):
                 cid, hv, qid = seg[6 + ci * 3 : 9 + ci * 3]

@@ -104,15 +104,15 @@ class PdfStream:
         out = self.raw
         for f in filters:
             if f == "FlateDecode":
+                from .limits import capped_inflate
+
                 try:
-                    out = zlib.decompress(out)
-                except zlib.error:
+                    out = capped_inflate(out, "FlateDecode")
+                except ValueError:
                     # tolerate truncated deflate tails like real readers
-                    d = zlib.decompressobj()
-                    try:
-                        out = d.decompress(out)
-                    except zlib.error as e:
-                        raise ValueError(f"bad FlateDecode stream: {e}") from e
+                    # (still bomb-capped)
+                    out = capped_inflate(
+                        out, "FlateDecode", require_eof=False)
             elif f == "LZWDecode":
                 parms = self.dict.get("DecodeParms") or {}
                 if isinstance(parms, list):
@@ -709,7 +709,9 @@ class PdfDocument:
                     for f in filters[:-1]:
                         if f != "FlateDecode":
                             raise ValueError(f"unsupported pre-filter /{f}")
-                        raw = zlib.decompress(raw)
+                        from .limits import capped_inflate
+
+                        raw = capped_inflate(raw, "image pre-filter")
                     out.append(raw)
                     continue
                 if filters and filters[-1] == "CCITTFaxDecode":
@@ -721,7 +723,9 @@ class PdfDocument:
                     for f in filters[:-1]:
                         if f != "FlateDecode":
                             raise ValueError(f"unsupported pre-filter /{f}")
-                        raw = zlib.decompress(raw)
+                        from .limits import capped_inflate
+
+                        raw = capped_inflate(raw, "image pre-filter")
                     import numpy as np
 
                     from .ccitt import decode_g3, decode_g4
@@ -731,6 +735,9 @@ class PdfDocument:
                     h = int(self.resolve(s.dict.get("Height")) or 0)
                     if not h:
                         continue
+                    from .limits import guard_dims
+
+                    guard_dims(w, h, "CCITT image")
                     black1 = bool(self.resolve(parms.get("BlackIs1")))
                     align = bool(
                         self.resolve(parms.get("EncodedByteAlign"))
@@ -765,7 +772,9 @@ class PdfDocument:
                     for f in filters[:-1]:
                         if f != "FlateDecode":
                             raise ValueError(f"unsupported pre-filter /{f}")
-                        raw = zlib.decompress(raw)
+                        from .limits import capped_inflate
+
+                        raw = capped_inflate(raw, "image pre-filter")
                     import numpy as np
 
                     from .imagecodec import encode_raw

@@ -280,6 +280,9 @@ def decode_png(data: bytes) -> np.ndarray:
             width, height, depth, ct, _, _, interlace = struct.unpack(
                 ">IIBBBBB", payload
             )
+            from .limits import guard_dims
+
+            guard_dims(width, height, "PNG")
             if ct not in _CHANNELS:
                 raise ValueError(f"PNG: bad color type {ct}")
             if depth not in (1, 2, 4, 8, 16):
@@ -298,7 +301,9 @@ def decode_png(data: bytes) -> np.ndarray:
             break
     if width is None:
         raise ValueError("PNG missing IHDR")
-    raw = zlib.decompress(bytes(idat))
+    from .limits import capped_inflate
+
+    raw = capped_inflate(bytes(idat), "PNG IDAT")
     ch = _CHANNELS[ct]
     bits_pp = ch * depth
     bpp = max(1, bits_pp // 8)
@@ -412,6 +417,9 @@ def decode_png_frames(data: bytes) -> list[np.ndarray]:
     if ihdr_payload is None:
         raise ValueError("PNG missing IHDR")
     cw, ch, depth, ct = struct.unpack(">IIBBxxx", ihdr_payload[:13])
+    from .limits import guard_dims
+
+    guard_dims(cw, ch, "APNG canvas")
     interlace = ihdr_payload[12]  # frames inherit the base interlace method
     if ct in (4, 6):
         for f in fctls:

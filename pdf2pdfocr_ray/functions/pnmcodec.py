@@ -50,6 +50,9 @@ def decode_pnm(payload: bytes) -> np.ndarray:
     (w, h), pos = _tokens(payload, 2, 2)
     if w <= 0 or h <= 0:
         raise ValueError("PNM: bad dimensions")
+    from .limits import guard_dims
+
+    guard_dims(w, h, "PNM")
     maxval = 1
     if kind not in (1, 4):
         (maxval,), pos = _tokens(payload, pos, 1)

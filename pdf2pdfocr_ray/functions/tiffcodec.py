@@ -32,6 +32,10 @@ _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
 
 _LZW_CLEAR, _LZW_EOI = 256, 257
 
+# LZW expands up to ~4096:1 — a small corrupt/hostile stream can emit
+# gigabytes; same bomb posture as limits.capped_inflate
+from .limits import MAX_DECODE_BYTES as _LZW_CAP  # noqa: E402
+
 
 def _lzw_decode(buf: bytes, early_change: int = 1) -> bytes:
     """TIFF-variant LZW (T.6.0 §13): 9..12-bit MSB-first codes with the
@@ -75,6 +79,9 @@ def _lzw_decode(buf: bytes, early_change: int = 1) -> bytes:
         else:
             raise ValueError("corrupt LZW stream (code beyond table)")
         out += entry
+        if len(out) > _LZW_CAP:
+            raise ValueError(
+                f"LZW output exceeds the {_LZW_CAP} byte decode cap")
         prev = entry
         if len(table) == (1 << code_w) - early_change and code_w < 12:
             code_w += 1
@@ -200,6 +207,11 @@ def _read_ifd(data: bytes, off: int, bo: str) -> tuple[dict[int, list[int]], int
         else:
             (voff,) = struct.unpack_from(bo + "I", data, p + 8)
             raw = data[voff : voff + size]
+        if len(raw) < size:
+            # corrupt count/offset: the value array overruns the file —
+            # reject BEFORE building a count-sized unpack format string
+            # (a bit-flipped 32-bit count once stalled a worker here)
+            raise ValueError("TIFF IFD entry overruns file")
         if typ == 3:  # SHORT
             vals = list(struct.unpack(bo + "H" * count, raw))
         elif typ == 4:  # LONG
@@ -308,6 +320,13 @@ def decode_tiff(data: bytes) -> list[np.ndarray]:
         tiled = bool(tile_w and tile_h and tags.get(324))
         if (not offsets and not tiled) or not w or not h:
             raise ValueError("malformed TIFF IFD (missing strips/dims)")
+        from .limits import guard_dims
+
+        guard_dims(w, h, "TIFF")
+        if tiled:
+            # padded tile grid allocates ceil(w/tw)*tw x ceil(h/th)*th
+            guard_dims(tile_w, tile_h, "TIFF tile")
+            guard_dims(w + tile_w, h + tile_h, "TIFF tile grid")
         rows_per_strip = tags.get(278, [h])[0] or h
         if tiled and comp in (2, 3, 4, 7):
             raise ValueError("tiled TIFF: fax/JPEG tiles not supported")
@@ -343,7 +362,13 @@ def decode_tiff(data: bytes) -> list[np.ndarray]:
             if comp == 5:
                 return _lzw_decode(blob)[:need]
             if comp in (8, 32946):  # Adobe / old-style Deflate
-                return _zlib.decompress(blob)[:need]
+                from .limits import capped_inflate
+
+                # cap at the strip's own declared size: output
+                # beyond `need` is discarded anyway
+                return capped_inflate(
+                    blob, "TIFF deflate strip", cap=need,
+                    require_eof=False)[:need]
             return _packbits_decode(blob, need)
 
         def _to_plane(raw: bytes, n_rows: int, width: int) -> np.ndarray:

@@ -879,6 +879,9 @@ def decode_vp8(payload: bytes) -> np.ndarray:
     h = struct.unpack("<H", payload[8:10])[0] & 0x3FFF
     if w == 0 or h == 0:
         raise ValueError("zero VP8 dimensions")
+    from .limits import guard_dims
+
+    guard_dims(w + 16, h + 16, "VP8")  # planes pad to MB multiples
     part1_end = 10 + part1_size
     if part1_end > len(payload):
         raise ValueError("VP8 partition 1 overruns payload")

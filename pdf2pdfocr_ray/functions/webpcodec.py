@@ -529,6 +529,9 @@ def decode_webp_frames(payload: bytes) -> list["np.ndarray"]:
         return [decode_webp(payload)]
     if not canvas_w or not canvas_h:
         raise ValueError("animated WebP without a VP8X canvas size")
+    from .limits import guard_dims
+
+    guard_dims(canvas_w, canvas_h, "WebP canvas")
     canvas = np.full((canvas_h, canvas_w, 3), 255, np.uint8)
     frames: list[np.ndarray] = []
     for body in anmf:
@@ -631,6 +634,9 @@ def decode_webp(payload: bytes) -> np.ndarray:
     br = _BitReader(data[1:])
     w = br.read(14) + 1
     h = br.read(14) + 1
+    from .limits import guard_dims
+
+    guard_dims(w, h, "VP8L")
     br.read_bit()  # alpha hint
     if br.read(3) != 0:
         raise ValueError("unsupported VP8L version")

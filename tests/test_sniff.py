@@ -244,3 +244,97 @@ def test_multi_member_gzip_payload_fully_decompresses():
 
     z = zlib.compress(b"<html>z</html>", 6)
     assert _gunzip_capped(z + z, wbits=15) == b"<html>z</html>"
+
+
+def test_fanout_bitflip_fuzz_never_stalls():
+    """640 random BIT-FLIPS (not just truncations) of every container
+    kind through sniff+fanout: corrupted headers can declare absurd
+    dimensions or counts (a flipped 32-bit TIFF IFD count once built a
+    GB-sized struct format string; flipped PNG/TIFF dims once allocated
+    TB-sized arrays) — the decode-time caps in functions/limits.py must
+    turn every such payload into a prompt error row.  The whole sweep
+    must finish in seconds, not minutes."""
+    import gzip
+    import time
+    import zlib
+
+    import numpy as np
+
+    from pdf2pdfocr_ray.functions.gifcodec import encode_gif
+    from pdf2pdfocr_ray.functions.jpegcodec import encode_jpeg
+    from pdf2pdfocr_ray.functions.minipdf import build_foreign_pdf
+    from pdf2pdfocr_ray.functions.pngcodec import encode_png
+    from pdf2pdfocr_ray.functions.tiffcodec import encode_tiff
+    from pdf2pdfocr_ray.stages.fanout import FanOut
+
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    pal = (img // 64) * 64
+    bases = [
+        encode_tiff([img, img], tile=(16, 16), compression="deflate"),
+        encode_tiff([(img.astype(np.uint16) << 8) | img]),
+        encode_jpeg(img, 90, exif_orientation=6),
+        encode_png(img),
+        encode_gif([pal, pal]),
+        build_foreign_pdf([["alpha beta"]], stream_filter="a85+flate"),
+        gzip.compress(
+            b"<html><body><p>" + b"x" * 64 + b"</p></body></html>",
+            mtime=0),
+        zlib.compress(
+            b"<html><body><p>" + b"y" * 64 + b"</p></body></html>", 6),
+    ]
+    payloads, urls = [], []
+    for bi, b in enumerate(bases):
+        for j in range(80):
+            bb = bytearray(b)
+            for _ in range(int(rng.integers(1, 8))):
+                bb[int(rng.integers(0, len(bb)))] = int(rng.integers(0, 256))
+            payloads.append(bytes(bb))
+            urls.append(f"u{bi}_{j}")
+    t = pa.table({
+        "url": pa.array(urls, pa.string()),
+        "warc_ts": pa.array([0] * len(urls), pa.timestamp("us")),
+        "html": pa.array(payloads, pa.binary()),
+        "text": pa.array([""] * len(urls), pa.string()),
+        "lang": pa.array(["eng"] * len(urls), pa.string()),
+    })
+    t0 = time.time()
+    out = FanOut()(sniff_route(t))  # must not raise
+    elapsed = time.time() - t0
+    assert out.num_rows >= len(urls) - 1
+    assert elapsed < 60, f"bit-flip sweep took {elapsed:.1f}s (decode caps broken?)"
+
+
+def test_decode_caps_reject_bombs_and_absurd_dims():
+    """The limits.py guards directly: header-declared petabyte images
+    raise promptly; deflate bombs stop at the byte cap."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from pdf2pdfocr_ray.functions.limits import MAX_DECODE_BYTES, MAX_PIXELS, capped_inflate, guard_dims
+
+    with pytest.raises(ValueError, match="implausible"):
+        guard_dims(1 << 20, 1 << 20, "test")
+    with pytest.raises(ValueError, match="implausible"):
+        guard_dims(0, 5, "test")
+    guard_dims(8192, 8192, "test")  # 67 MP: legal
+
+    # PNG declaring 2^30 x 2^30 raises from the IHDR parse, no allocation
+    from pdf2pdfocr_ray.functions.pngcodec import decode_png, encode_png
+    import numpy as np
+
+    good = bytearray(encode_png(np.zeros((4, 4, 3), np.uint8)))
+    ihdr_at = good.find(b"IHDR") + 4
+    struct.pack_into(">II", good, ihdr_at, 1 << 30, 1 << 30)
+    with pytest.raises(ValueError):
+        decode_png(bytes(good))
+
+    # deflate bomb: 1 MB of zeros compressed ~1000:1, cap at 64 KiB
+    bomb = zlib.compress(b"\x00" * (1 << 20), 9)
+    with pytest.raises(ValueError, match="cap"):
+        capped_inflate(bomb, "test", cap=1 << 16)
+    # honest stream under the cap passes through
+    assert capped_inflate(zlib.compress(b"abc"), "t") == b"abc"
+    assert MAX_DECODE_BYTES > MAX_PIXELS * 3  # cap clears a max-size RGB image
