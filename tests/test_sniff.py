@@ -260,11 +260,19 @@ def test_fanout_bitflip_fuzz_never_stalls():
 
     import numpy as np
 
+    from pdf2pdfocr_ray.functions.bmpcodec import encode_bmp
     from pdf2pdfocr_ray.functions.gifcodec import encode_gif
+    from pdf2pdfocr_ray.functions.icocodec import encode_ico
     from pdf2pdfocr_ray.functions.jpegcodec import encode_jpeg
     from pdf2pdfocr_ray.functions.minipdf import build_foreign_pdf
     from pdf2pdfocr_ray.functions.pngcodec import encode_png
+    from pdf2pdfocr_ray.functions.pnmcodec import encode_pnm
     from pdf2pdfocr_ray.functions.tiffcodec import encode_tiff
+    from pdf2pdfocr_ray.functions.webpcodec import (
+        encode_webp,
+        encode_webp_anim,
+        encode_webp_lossy,
+    )
     from pdf2pdfocr_ray.stages.fanout import FanOut
 
     rng = np.random.default_rng(13)
@@ -276,6 +284,12 @@ def test_fanout_bitflip_fuzz_never_stalls():
         encode_jpeg(img, 90, exif_orientation=6),
         encode_png(img),
         encode_gif([pal, pal]),
+        encode_webp(img),
+        encode_webp_lossy(img),
+        encode_webp_anim([img, img]),
+        encode_bmp(img),
+        encode_ico(img),
+        encode_pnm(img),
         build_foreign_pdf([["alpha beta"]], stream_filter="a85+flate"),
         gzip.compress(
             b"<html><body><p>" + b"x" * 64 + b"</p></body></html>",
