@@ -40,6 +40,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-autorotate", action="store_true")
     # reference -t skip has-text PDFs (1215-1227)
     p.add_argument("-t", "--skip-native-text", action="store_true")
+    # reference -a check_protection_mode (1196-1198, 1428-1429): refuse any
+    # /Encrypt-bearing PDF even when the empty user password would open it
+    p.add_argument("-a", "--check-protection", action="store_true")
     # engine addition: trust native text layer (inverse of
     # --ignore-existing-text, 1104-1111)
     p.add_argument("--prefer-native-text", action="store_true")
@@ -102,6 +105,7 @@ def main(argv: list[str] | None = None) -> int:
             min_kbytes=args.min_kbytes,
             max_pages=args.max_pages,
             skip_native_text=args.skip_native_text,
+            check_protection=args.check_protection,
             prefer_native_text=args.prefer_native_text,
             deskew=not args.no_deskew,
             autorotate=not args.no_autorotate,

@@ -14,7 +14,12 @@ class PipelineConfig:
     min_kbytes: float = 0.0  # F1: skip docs smaller than this (0 = off)
     max_pages: int = 0  # F2: skip docs with more pages (0 = off)
     skip_native_text: bool = False  # F3: skip PDFs that already have fonts
-    # F4: encrypted PDFs always yield error rows (content unreadable)
+    # F4: LOCKED PDFs (empty user password fails) always yield error rows;
+    # empty-user-password standard-security files decrypt transparently
+    # (functions/pdfcrypt), matching the reference's default poppler
+    # behavior.  check_protection=True refuses ANY /Encrypt-bearing doc —
+    # the reference's -a check_protection_mode (pdf2pdfocr.py:1196-1198).
+    check_protection: bool = False
     # S6 inverse: when True, PDFs with a native text layer short-circuit to
     # direct text extraction (no rasterize, no OCR) — the engine addition
     # the reference lacks; default False = rasterize+OCR everything, i.e.

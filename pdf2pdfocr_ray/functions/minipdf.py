@@ -45,10 +45,13 @@ class PageSpec:
 @dataclass
 class MiniPdfDoc:
     n_pages: int
-    is_encrypted: bool
+    is_encrypted: bool  # LOCKED: /Encrypt present and empty user pw fails
     has_native_text: bool
     metadata: dict[str, str]
     pages: list[PageSpec] | None  # None when encrypted (content inaccessible)
+    # /Encrypt was present (even if transparently decrypted) — drives the
+    # reference's check_protection_mode (-a) refusal, pdf2pdfocr.py:1196-1198
+    was_encrypted: bool = False
 
 
 def _esc(s: str) -> bytes:
@@ -183,14 +186,24 @@ def parse_pdf(data: bytes) -> MiniPdfDoc:
         raise ValueError("truncated PDF (missing %%EOF)")
     try:
         doc = PdfDocument(data)
-        is_encrypted = doc.is_encrypted()
+        is_encrypted = doc.is_encrypted()  # locked only; empty-user-password
+        # standard-security files decrypt transparently (pdfcrypt)
+        was_encrypted = doc.was_encrypted
+
+        if is_encrypted:
+            # content unreadable: page tree/fonts/info may be partially
+            # parseable but strings/streams are ciphertext — report the
+            # envelope only
+            try:
+                n_pages = len(doc.pages())
+            except Exception:  # noqa: BLE001
+                n_pages = 0
+            return MiniPdfDoc(n_pages, True, False, {}, None, True)
+
         page_dicts = doc.pages()
         n_pages = len(page_dicts)
         metadata = doc.info()
         has_native_text = doc.has_fonts()
-
-        if is_encrypted:
-            return MiniPdfDoc(n_pages, True, has_native_text, metadata, None)
 
         pages: list[PageSpec] = []
         for pd_ in page_dicts:
@@ -220,7 +233,9 @@ def parse_pdf(data: bytes) -> MiniPdfDoc:
                         pages.append(PageSpec(dpi=72, image_bytes=imgs[0]))
                     else:
                         pages.append(PageSpec(blank=True))
-        return MiniPdfDoc(n_pages, False, has_native_text, metadata, pages)
+        return MiniPdfDoc(
+            n_pages, False, has_native_text, metadata, pages, was_encrypted
+        )
     except ValueError:
         raise
     except Exception as e:  # noqa: BLE001 — any parse wreckage -> error row

@@ -426,6 +426,9 @@ class PdfDocument:
         self._objstm_cache: dict[int, list] = {}
         self.trailer: dict = {}
         self.recovered = False
+        self._crypt = None  # StandardSecurityHandler once unlocked
+        self._encrypt_obj_num = None
+        self.was_encrypted = False
         try:
             self._load_xref()
         except ValueError:
@@ -436,6 +439,33 @@ class PdfDocument:
             raise ValueError("corrupt PDF (no objects found)")
         if "Root" not in self.trailer:
             self._find_root()
+        # standard-security decryption (reference parity: poppler/pdftoppm
+        # transparently opens empty-user-password files, and the reference
+        # only refuses encrypted input under check_protection_mode,
+        # pdf2pdfocr.py:1196-1198).  A locked or unsupported /Encrypt
+        # leaves _crypt=None -> is_encrypted() True -> "encrypted" row.
+        self.was_encrypted = "Encrypt" in self.trailer
+        if self.was_encrypted:
+            enc_ref = self.trailer["Encrypt"]
+            if isinstance(enc_ref, PdfRef):
+                self._encrypt_obj_num = enc_ref.num
+            try:
+                enc = self.resolve(enc_ref)
+                ids = self.trailer.get("ID")
+                id0 = (
+                    ids[0]
+                    if isinstance(ids, list) and ids
+                    and isinstance(ids[0], bytes)
+                    else b""
+                )
+                from .pdfcrypt import StandardSecurityHandler
+
+                handler = StandardSecurityHandler(enc, id0)
+                if handler.authenticate(b""):
+                    self._crypt = handler
+                    self._cache.clear()  # anything fetched pre-handler
+            except Exception:  # noqa: BLE001 — malformed /Encrypt => locked
+                self._crypt = None
 
     # -------------------------------------------------------------- xref
     def _load_xref(self) -> None:
@@ -604,7 +634,29 @@ class PdfDocument:
             raise ValueError(f"bad object header at {off}")
         lex = _Lexer(self.data, off + m.end())
         obj = lex.parse_object()
+        if self._crypt is not None and num != self._encrypt_obj_num:
+            obj = self._decrypt_object(obj, num, int(m.group(2)))
         self._cache[num] = obj
+        return obj
+
+    def _decrypt_object(self, obj, num: int, gen: int):
+        """Walk a freshly parsed indirect object, decrypting strings and
+        stream payloads in place (§7.6.2).  Never applied to objects
+        living inside an /ObjStm (their container stream is what is
+        encrypted) nor to xref streams (always plaintext by spec)."""
+        if isinstance(obj, bytes):
+            return self._crypt.decrypt_string(obj, num, gen)
+        if isinstance(obj, list):
+            return [self._decrypt_object(o, num, gen) for o in obj]
+        if isinstance(obj, PdfStream):
+            d = self._decrypt_object(obj.dict, num, gen)
+            if d.get("Type") == "XRef":
+                return PdfStream(d, obj.raw)
+            return PdfStream(d, self._crypt.decrypt_stream(obj.raw, num, gen))
+        if isinstance(obj, dict):
+            return {
+                k: self._decrypt_object(v, num, gen) for k, v in obj.items()
+            }
         return obj
 
     def resolve(self, obj, depth: int = 0):
@@ -623,7 +675,13 @@ class PdfDocument:
         return root
 
     def is_encrypted(self) -> bool:
-        return "Encrypt" in self.trailer
+        """True only when the file is LOCKED: carries /Encrypt and the
+        empty user password does not open it (or the handler/algorithm is
+        unsupported).  Empty-user-password files — the common crawl case —
+        decrypt transparently, matching the reference's default poppler
+        behavior; ``was_encrypted`` still records the /Encrypt presence
+        for metadata / check-protection parity."""
+        return self.was_encrypted and self._crypt is None
 
     def pages(self) -> list[dict]:
         """Walk the page tree -> leaf Page dicts (inherited attrs merged)."""

@@ -392,7 +392,9 @@ CORPUS_VERSION = "r5f"  # r3: WebP image docs; r3b/c: scanned-page PDFs
 # mix (windows-1252 / iso-8859-1 meta, UTF-16 BOM, declared UTF-8);
 # r5d: EXIF-oriented JPEG image docs (tag 274 = 3/6/8, auto-oriented);
 # r5e: ~6% gzip-wrapped payloads (Content-Encoding residue);
-# r5f: +~3% zlib-wrapped payloads (Content-Encoding: deflate residue)
+# r5f: +~3% zlib-wrapped payloads (Content-Encoding: deflate residue);
+# r5g: ~4% of well-formed PDFs permissions-encrypted (standard security
+# handler, empty user password, RC4-40/RC4-128/AESV2/AESV3 rotation)
 
 
 def _gen_doc(i: int, seed: int):
@@ -511,6 +513,19 @@ def _gen_doc(i: int, seed: int):
             rng.integers(1, 255, int(rng.integers(16, 200)), dtype=np.uint8)
         )
         golden, route, n_pages, error = None, "error", 0, "unsupported_type"
+
+    # r5g: ~4% of well-formed PDFs arrive permissions-encrypted (standard
+    # security handler with an EMPTY user password — the crawl-typical
+    # case, rotating RC4-40/RC4-128/AESV2/AESV3); pdfparse decrypts them
+    # transparently, so route/golden/n_pages are unchanged.
+    if route == "pdf" and error is None and payload.startswith(b"%PDF-"):
+        if rng.random() < 0.04:
+            from ..functions.pdfcrypt import encrypt_pdf
+
+            variant = ("rc4-40", "rc4-128", "aes-128", "aes-256")[
+                int(rng.integers(0, 4))
+            ]
+            payload = encrypt_pdf(payload, variant)
 
     # Content-Encoding residue (r5e/r5f): ~6% of well-formed payloads
     # arrive gzip-wrapped and ~3% zlib-wrapped (deflate residue), as in

@@ -166,7 +166,7 @@ class FanOut:
                 emit(url, ts, route, 0, 0, 0, None, None, "corrupt_pdf")
                 continue
             _cur_title[0] = doc.metadata.get("Title") or None
-            if doc.is_encrypted:
+            if doc.is_encrypted or (cfg.check_protection and doc.was_encrypted):
                 emit(url, ts, route, 0, doc.n_pages, 0, None, None, "encrypted")
                 continue
             if cfg.max_pages and doc.n_pages > cfg.max_pages:
