@@ -411,6 +411,109 @@ def encode_jpeg(
     return bytes(out)
 
 
+def encode_jpeg_cmyk(
+    img: np.ndarray, quality: int = 85, transform: int = 0,
+    k_value: int = 255,
+) -> bytes:
+    """Encode (H,W,3) RGB -> 4-component Adobe baseline JPEG fixture:
+    ``transform=0`` direct CMYK, ``transform=2`` YCCK (both with the APP14
+    Adobe marker real producers write).  Stored planes use the Adobe
+    INVERTED convention with a constant K'=255 (no black), so the decoder's
+    R = C'*K'/255 combine reproduces the input RGB exactly at quality 100.
+    Follows libjpeg's table assignment: CMYK puts every component on the
+    luma tables; YCCK puts Cb/Cr on the chroma tables.  ``k_value``
+    writes a different constant stored K' (decoded RGB scales by
+    K'/255 — lets tests pin the four-component combine math)."""
+    img = np.asarray(img)
+    if img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError("CMYK encoder needs (H,W,3) RGB input")
+    h, w = img.shape[:2]
+    qt_l, qt_c = _quality_tables(quality)
+    k_plane = np.full((h, w), float(k_value))
+    if transform == 2:
+        ycc = _rgb_to_ycbcr(img)
+        planes = [ycc[..., 0], ycc[..., 1], ycc[..., 2], k_plane]
+        tsel = [0, 1, 1, 0]  # luma / chroma / chroma / luma
+    elif transform == 0:
+        planes = [
+            img[..., 0].astype(np.float64),
+            img[..., 1].astype(np.float64),
+            img[..., 2].astype(np.float64),
+            k_plane,
+        ]
+        tsel = [0, 0, 0, 0]
+    else:
+        raise ValueError("transform must be 0 (CMYK) or 2 (YCCK)")
+
+    comp_zz, grid = [], None
+    for ci, plane in enumerate(planes):
+        blocks, bh, bw = _plane_blocks(plane)
+        qt = qt_l if tsel[ci] == 0 else qt_c
+        q = np.round(_dct2(blocks - 128.0).reshape(-1, 64) / qt)
+        comp_zz.append(q[:, ZIGZAG].astype(np.int64))
+        grid = (bh, bw)
+    bh, bw = grid
+
+    out = bytearray(b"\xFF\xD8")
+    out += (
+        b"\xFF\xEE" + struct.pack(">H", 14) + b"Adobe"
+        + b"\x00\x64\x00\x00\x00\x00" + bytes([transform])
+    )
+    qtabs = [(0, qt_l)] + ([(1, qt_c)] if 1 in tsel else [])
+    for tid, qt in qtabs:
+        out += b"\xFF\xDB" + struct.pack(">H", 67) + bytes([tid])
+        out += bytes(int(v) for v in qt.reshape(-1)[ZIGZAG])
+    out += b"\xFF\xC0" + struct.pack(">HBHHB", 8 + 3 * 4, 8, h, w, 4)
+    for ci in range(4):
+        out += bytes([ci + 1, 0x11, tsel[ci]])
+    tables = [(0x00, HT_DC_LUMA), (0x10, HT_AC_LUMA)]
+    if 1 in tsel:
+        tables += [(0x01, HT_DC_CHROMA), (0x11, HT_AC_CHROMA)]
+    for tclass_id, (bits, values) in tables:
+        out += b"\xFF\xC4" + struct.pack(">H", 19 + len(values))
+        out += bytes([tclass_id]) + bytes(bits) + bytes(values)
+    out += b"\xFF\xDA" + struct.pack(">HB", 6 + 2 * 4, 4)
+    for ci in range(4):
+        out += bytes([ci + 1, 0x00 if tsel[ci] == 0 else 0x11])
+    out += b"\x00\x3F\x00"
+
+    dc_l, ac_l = _build_codes(*HT_DC_LUMA), _build_codes(*HT_AC_LUMA)
+    dc_c, ac_c = _build_codes(*HT_DC_CHROMA), _build_codes(*HT_AC_CHROMA)
+    writer = _BitWriter()
+    prev_dc = [0, 0, 0, 0]
+    for bi in range(bh * bw):  # 4:4:4 -> MCU = one block per component
+        for ci in range(4):
+            dc_codes = dc_l if tsel[ci] == 0 else dc_c
+            ac_codes = ac_l if tsel[ci] == 0 else ac_c
+            row = comp_zz[ci][bi]
+            dc = int(row[0])
+            size, bits_v = _magnitude(dc - prev_dc[ci])
+            prev_dc[ci] = dc
+            c, ln = dc_codes[size]
+            writer.write(c, ln)
+            writer.write(bits_v, size)
+            nz = np.flatnonzero(row[1:])
+            pos = 0
+            for idx in nz:
+                run = int(idx) - pos
+                while run >= 16:
+                    c, ln = ac_codes[0xF0]
+                    writer.write(c, ln)
+                    run -= 16
+                v = int(row[1 + idx])
+                size, bits_v = _magnitude(v)
+                c, ln = ac_codes[(run << 4) | size]
+                writer.write(c, ln)
+                writer.write(bits_v, size)
+                pos = int(idx) + 1
+            if pos < 63:
+                c, ln = ac_codes[0x00]
+                writer.write(c, ln)
+    writer.flush()
+    out += writer.buf + b"\xFF\xD9"
+    return bytes(out)
+
+
 # ------------------------------------------------------- progressive encoder
 
 
@@ -834,6 +937,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     progressive = False
     dri = 0
     exif_orientation = 1
+    adobe_transform = None  # APP14: 0=RGB/CMYK direct, 1=YCbCr, 2=YCCK
     geom: dict = {}
     grids: dict[int, np.ndarray] = {}
     n_scans = 0
@@ -866,6 +970,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             progressive = marker == 0xC2
             _prec, fh, fw, ncomp = struct.unpack(">BHHB", seg[:6])
+            if ncomp not in (1, 3, 4):
+                raise ValueError(
+                    f"unsupported JPEG component count {ncomp} "
+                    "(grayscale, YCbCr/RGB, or CMYK/YCCK only)"
+                )
             from .limits import guard_dims
 
             # grids allocate int32 per 4:2:0-padded block — 16x the
@@ -905,6 +1014,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 p += 17 + nv
         elif marker == 0xE1 and seg[:6] == b"Exif\x00\x00":  # APP1 EXIF
             exif_orientation = _parse_exif_orientation(seg[6:])
+        elif marker == 0xEE and seg[:5] == b"Adobe" and len(seg) >= 12:
+            # APP14 Adobe: version(2) flags0(2) flags1(2) transform(1)
+            adobe_transform = seg[11]
         elif marker == 0xDD:  # DRI
             dri = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:  # SOS
@@ -950,17 +1062,37 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             plane = np.repeat(np.repeat(plane, vmax // vs, axis=0), hmax // hs, axis=1)
         planes[cid] = plane[:fh, :fw]
 
-    if len(comps) == 1:
-        y = np.clip(np.round(planes[comps[0][0]]), 0, 255).astype(np.uint8)
-        rgb8 = np.repeat(y[:, :, None], 3, axis=2)
-    else:
-        cy, ccb, ccr = (planes[c[0]] for c in comps[:3])
+    def ycbcr_to_rgb(cy, ccb, ccr):
         cb = ccb - 128.0
         cr = ccr - 128.0
         r = cy + 1.402 * cr
         g = cy - 0.344136 * cb - 0.714136 * cr
         b = cy + 1.772 * cb
-        rgb = np.stack([r, g, b], axis=-1)
+        return np.stack([r, g, b], axis=-1)
+
+    if len(comps) == 1:
+        y = np.clip(np.round(planes[comps[0][0]]), 0, 255).astype(np.uint8)
+        rgb8 = np.repeat(y[:, :, None], 3, axis=2)
+    elif len(comps) == 4:
+        # Adobe CMYK (transform 0 / no APP14) or YCCK (transform 2).
+        # Adobe stores CMYK INVERTED (the historical "Adobe bug" every
+        # decoder honors), so with stored values: R = C'*K'/255 etc.;
+        # YCCK first converts its YCbCr channels back to inverted CMY.
+        p0, p1, p2 = (planes[c[0]] for c in comps[:3])
+        pk = np.clip(planes[comps[3][0]], 0.0, 255.0)
+        if adobe_transform == 2:
+            cmy = np.clip(ycbcr_to_rgb(p0, p1, p2), 0.0, 255.0)
+        else:
+            cmy = np.clip(np.stack([p0, p1, p2], axis=-1), 0.0, 255.0)
+        rgb = cmy * (pk / 255.0)[:, :, None]
+        rgb8 = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    elif adobe_transform == 0:
+        # APP14 transform 0 with 3 components: planes are RGB directly
+        rgb = np.stack([planes[c[0]] for c in comps[:3]], axis=-1)
+        rgb8 = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    else:
+        cy, ccb, ccr = (planes[c[0]] for c in comps[:3])
+        rgb = ycbcr_to_rgb(cy, ccb, ccr)
         rgb8 = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
     return _apply_exif_orientation(rgb8, exif_orientation)
 

@@ -423,16 +423,18 @@ def build_scanned_pdf(
     pages_no = add(b"")
     kid_nos: list[int] = []
     for frame in frames:
-        if frame[0] == "jpeg":
+        if frame[0] in ("jpeg", "jpeg_cmyk"):
             _, payload, w, h = frame
-            img_no = add(
+            # jpeg_cmyk: Adobe 4-component DCT (print pipeline) declared
+            # /DeviceCMYK; the decoder reads the APP14 transform itself
+            cs = b"/DeviceCMYK" if frame[0] == "jpeg_cmyk" else b"/DeviceRGB"
+            hdr = (
                 b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "
-                b"/ColorSpace /DeviceRGB /BitsPerComponent 8 "
+                b"/ColorSpace %s /BitsPerComponent 8 "
                 b"/Filter /DCTDecode /Length %d >>\nstream\n"
-                % (w, h, len(payload))
-                + payload
-                + b"\nendstream"
+                % (w, h, cs, len(payload))
             )
+            img_no = add(hdr + payload + b"\nendstream")
         elif frame[0] == "gray":
             arr = frame[1]
             h, w = arr.shape[:2]

@@ -222,13 +222,21 @@ def _make_image_doc(rng: np.random.Generator) -> tuple[bytes, str, int]:
     if fmt < 0.38:
         from ..functions.jpegcodec import encode_jpeg
 
-        if rng.random() < 0.3:
+        jv = rng.random()
+        if jv < 0.3:
             # camera-style EXIF orientation: store the rotated pixels +
             # tag 274; the decoder auto-orients (browsers/ImageMagick
             # behavior), so the OCR sees the upright page
             o, k_store = ((3, 2), (6, 1), (8, 3))[int(rng.integers(0, 3))]
             stored = np.ascontiguousarray(np.rot90(img, k_store))
             return encode_jpeg(stored, quality=95, exif_orientation=o), text, 1
+        if jv < 0.45:
+            # Adobe 4-component JPEG (print-pipeline files in crawls):
+            # direct CMYK (transform 0) or YCCK (transform 2), APP14
+            from ..functions.jpegcodec import encode_jpeg_cmyk
+
+            t = 0 if rng.random() < 0.5 else 2
+            return encode_jpeg_cmyk(img, quality=95, transform=t), text, 1
         return encode_jpeg(img, quality=95), text, 1
     if fmt < 0.47:
         from ..functions.jpegcodec import encode_jpeg_progressive
@@ -375,7 +383,7 @@ GIANT_EVERY = 150  # every 150th doc is a skewed giant PDF (repartition/skew pat
 
 # Bump when generated content changes — cache keys (bench corpus dirs)
 # embed it so stale corpora from earlier generators never get reused.
-CORPUS_VERSION = "r5f"  # r3: WebP image docs; r3b/c: scanned-page PDFs
+CORPUS_VERSION = "r5h"  # r3: WebP image docs; r3b/c: scanned-page PDFs
 # (DCT / gray-Flate / CCITT-G4 / JBIG2 embedded images, 2% of docs);
 # r3d: realistic HTML variants (inline markup, nested script junk,
 # blockquotes, unclosed tags, BOM payloads); r4a: lossy-VP8 image docs;
@@ -394,7 +402,9 @@ CORPUS_VERSION = "r5f"  # r3: WebP image docs; r3b/c: scanned-page PDFs
 # r5e: ~6% gzip-wrapped payloads (Content-Encoding residue);
 # r5f: +~3% zlib-wrapped payloads (Content-Encoding: deflate residue);
 # r5g: ~4% of well-formed PDFs permissions-encrypted (standard security
-# handler, empty user password, RC4-40/RC4-128/AESV2/AESV3 rotation)
+# handler, empty user password, RC4-40/RC4-128/AESV2/AESV3 rotation);
+# r5h: Adobe 4-component JPEGs (direct CMYK + YCCK, APP14) as image docs
+# and as /DeviceCMYK DCT frames inside scanned-page PDFs
 
 
 def _gen_doc(i: int, seed: int):
@@ -469,10 +479,21 @@ def _gen_doc(i: int, seed: int):
             img = render_page(lines, dpi=72)
             enc = rng.random()
             if enc < 0.25:
-                frames.append(
-                    ("jpeg", encode_jpeg(img, quality=95),
-                     img.shape[1], img.shape[0])
-                )
+                if enc < 0.08:  # Adobe CMYK/YCCK DCT (print-origin scans)
+                    from ..functions.jpegcodec import encode_jpeg_cmyk
+
+                    frames.append(
+                        ("jpeg_cmyk",
+                         encode_jpeg_cmyk(
+                             img, quality=95,
+                             transform=0 if enc < 0.04 else 2),
+                         img.shape[1], img.shape[0])
+                    )
+                else:
+                    frames.append(
+                        ("jpeg", encode_jpeg(img, quality=95),
+                         img.shape[1], img.shape[0])
+                    )
             elif enc < 0.5:
                 frames.append(
                     ("gray", img.mean(axis=2).astype(np.uint8))

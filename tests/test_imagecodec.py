@@ -584,3 +584,91 @@ def test_tiled_tiff_fuzz_truncation_rejected_cleanly():
     d16 = encode_tiff([img16])
     with pytest.raises(Exception):
         decode_tiff(d16[: len(d16) // 2])
+
+
+def test_jpeg_cmyk_and_ycck_roundtrip():
+    """Adobe 4-component JPEGs (the print-pipeline files in crawls):
+    direct CMYK (APP14 transform 0) and YCCK (transform 2) decode back to
+    the source RGB; stored planes use the Adobe inverted convention."""
+    from pdf2pdfocr_ray.functions.jpegcodec import (
+        decode_jpeg,
+        encode_jpeg_cmyk,
+    )
+
+    rng = np.random.default_rng(17)
+    img = rng.integers(0, 256, (40, 56, 3), dtype=np.uint8)
+    for t in (0, 2):
+        dec = decode_jpeg(encode_jpeg_cmyk(img, quality=100, transform=t))
+        assert np.abs(dec.astype(int) - img.astype(int)).max() <= 2
+        dec95 = decode_jpeg(encode_jpeg_cmyk(img, quality=95, transform=t))
+        assert np.abs(dec95.astype(int) - img.astype(int)).mean() < 8
+
+
+def test_jpeg_cmyk_k_multiply_math_pinned():
+    """R = C'*K'/255 with the STORED (inverted) values: constant K'=128
+    must scale the decoded RGB by exactly 128/255."""
+    from pdf2pdfocr_ray.functions.jpegcodec import (
+        decode_jpeg,
+        encode_jpeg_cmyk,
+    )
+
+    rng = np.random.default_rng(23)
+    img = rng.integers(0, 256, (24, 32, 3), dtype=np.uint8)
+    dec = decode_jpeg(
+        encode_jpeg_cmyk(img, quality=100, transform=0, k_value=128))
+    exp = np.round(img.astype(float) * 128 / 255)
+    assert np.abs(dec.astype(float) - exp).max() <= 1
+
+
+def test_jpeg_cmyk_without_app14_defaults_to_direct():
+    """A 4-component file with no APP14 marker is CMYK by convention."""
+    from pdf2pdfocr_ray.functions.jpegcodec import (
+        decode_jpeg,
+        encode_jpeg_cmyk,
+    )
+
+    rng = np.random.default_rng(29)
+    img = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    data = encode_jpeg_cmyk(img, quality=100, transform=0)
+    at = data.find(b"\xff\xee")
+    seglen = int.from_bytes(data[at + 2 : at + 4], "big")
+    stripped = data[:at] + data[at + 2 + seglen :]
+    dec = decode_jpeg(stripped)
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 2
+
+
+def test_jpeg_unsupported_component_count_rejected():
+    from pdf2pdfocr_ray.functions.jpegcodec import (
+        decode_jpeg,
+        encode_jpeg_cmyk,
+    )
+
+    data = bytearray(encode_jpeg_cmyk(
+        np.zeros((8, 8, 3), np.uint8), quality=100))
+    at = data.find(b"\xff\xc0")
+    data[at + 9] = 2  # SOF ncomp byte -> 2 components
+    with pytest.raises(ValueError, match="component count"):
+        decode_jpeg(bytes(data))
+
+
+def test_scanned_pdf_cmyk_dct_frame_extracts(ray_session):
+    """A /DeviceCMYK DCTDecode page inside a scanned PDF OCRs to the
+    same text as its RGB twin (pdfparse hands the JPEG to the decoder,
+    which reads the APP14 transform itself)."""
+    from pdf2pdfocr_ray.functions.jpegcodec import encode_jpeg, encode_jpeg_cmyk
+    from pdf2pdfocr_ray.functions.minipdf import build_scanned_pdf, parse_pdf
+    from pdf2pdfocr_ray.functions.ocr_core import recognize_page
+    from pdf2pdfocr_ray.functions.jpegcodec import decode_jpeg
+    from pdf2pdfocr_ray.functions.pagerender import render_page
+
+    lines = ["Cmyk Scan Line 321"]
+    img = render_page(lines, dpi=72)
+    for t in (0, 2):
+        pdf = build_scanned_pdf(
+            [("jpeg_cmyk", encode_jpeg_cmyk(img, quality=95, transform=t),
+              img.shape[1], img.shape[0])]
+        )
+        doc = parse_pdf(pdf)
+        assert doc.n_pages == 1 and doc.pages[0].image_bytes
+        got = decode_jpeg(doc.pages[0].image_bytes)
+        assert [l.text for l in recognize_page(got, 2)] == lines
