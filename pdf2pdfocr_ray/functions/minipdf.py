@@ -211,7 +211,10 @@ def parse_pdf(data: bytes) -> MiniPdfDoc:
             if isinstance(piece, dict) and "Dpi" in piece:
                 pages.append(
                     PageSpec(
-                        lines=extract_text_lines(doc.page_content(pd_)),
+                        lines=extract_text_lines(
+                            doc.page_content(pd_),
+                            doc.page_font_decoders(pd_),
+                        ),
                         dpi=int(piece.get("Dpi", 72)),
                         rot_k=int(piece.get("Rot", 0)),
                         shear=float(piece.get("Shear", 0.0)),
@@ -222,7 +225,9 @@ def parse_pdf(data: bytes) -> MiniPdfDoc:
                     )
                 )
             else:
-                lines = extract_text_lines(doc.page_content(pd_))
+                lines = extract_text_lines(
+                    doc.page_content(pd_), doc.page_font_decoders(pd_)
+                )
                 if lines:
                     pages.append(PageSpec(lines=lines, dpi=72))
                 else:
@@ -273,12 +278,26 @@ def _encode_content_stream(raw: bytes, stream_filter: str) -> tuple[bytes, bytes
     raise ValueError(f"unknown stream_filter {stream_filter!r}")
 
 
+def _esc_raw(raw: bytes) -> bytes:
+    """Escape raw code bytes as a PDF literal string body."""
+    out = bytearray()
+    for b in raw:
+        if b in (0x5C, 0x28, 0x29):
+            out += b"\\" + bytes([b])
+        elif 32 <= b < 127:
+            out.append(b)
+        else:
+            out += b"\\%03o" % b
+    return bytes(out)
+
+
 def build_foreign_pdf(
     pages_lines: list[list[str]],
     *,
     title: str = "Foreign Doc",
     incremental: bool = False,
     stream_filter: str = "flate",
+    text_encoding: str = "plain",
 ) -> bytes:
     """Build a REAL-WORLD-syntax PDF the engine did not write itself —
     the tolerance fixture for the pdfparse front end.  Features exercised:
@@ -290,6 +309,16 @@ def build_foreign_pdf(
 
     Golden text rule (matches pdfparse.extract_text_lines): one line per
     text-showing op; a TJ array's strings concatenate into one line.
+
+    ``text_encoding`` picks how strings are stored (all decode back to
+    the same golden text through the font machinery):
+
+    * ``plain`` — UTF-8 bytes, no font encoding (historical behavior);
+    * ``differences`` — a /WinAnsiEncoding base with a /Differences array
+      remapping every distinct character to a private high code via AGL
+      glyph names (uniXXXX fallback) — the subset-font idiom;
+    * ``tounicode`` — 2-byte codes with a /ToUnicode CMap (bfchar +
+      bfrange, codespacerange <0000><FFFF>) — the composite-font idiom.
     """
     import zlib as _zlib
 
@@ -306,9 +335,77 @@ def build_foreign_pdf(
     catalog_no = add(b"")  # patched
     root_pages_no = add(b"")  # patched
     mid_pages_no = add(b"")  # patched
-    font_no = add(
-        b"<< /Type /Font /Subtype /Type1 /BaseFont /Times-Roman >>"
-    )
+
+    char_code: dict[str, int] = {}
+    if text_encoding != "plain":
+        for lines in pages_lines:
+            for line in lines:
+                for ch in line:
+                    char_code.setdefault(ch, 0)
+        if text_encoding == "differences" and len(char_code) > 0x7E:
+            raise ValueError("too many distinct chars for 1-byte codes")
+        base = 0x81 if text_encoding == "differences" else 1
+        for i, ch in enumerate(sorted(char_code)):
+            char_code[ch] = base + i
+
+    if text_encoding == "differences":
+        from .pdftext import CHAR_TO_GLYPH
+
+        diffs = [b"%d" % min(char_code.values())] if char_code else []
+        for ch, code in sorted(char_code.items(), key=lambda kv: kv[1]):
+            name = CHAR_TO_GLYPH.get(ch, "uni%04X" % ord(ch))
+            diffs.append(b"/" + name.encode("ascii"))
+        font_no = add(
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Times-Roman "
+            b"/Encoding << /BaseEncoding /WinAnsiEncoding /Differences [ "
+            + b" ".join(diffs)
+            + b" ] >> >>"
+        )
+    elif text_encoding == "tounicode":
+        # CMap: half the chars via bfchar pairs, the rest via 1-wide
+        # bfranges — exercises both §9.10.3 forms
+        items = sorted(char_code.items(), key=lambda kv: kv[1])
+        half = len(items) // 2
+        cmap = bytearray(
+            b"/CIDInit /ProcSet findresource begin\n"
+            b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+        )
+        if items[:half]:
+            cmap += b"%d beginbfchar\n" % len(items[:half])
+            for ch, code in items[:half]:
+                cmap += b"<%04X> <%s>\n" % (
+                    code, ch.encode("utf-16-be").hex().upper().encode())
+            cmap += b"endbfchar\n"
+        if items[half:]:
+            cmap += b"%d beginbfrange\n" % len(items[half:])
+            for ch, code in items[half:]:
+                cmap += b"<%04X> <%04X> <%s>\n" % (
+                    code, code,
+                    ch.encode("utf-16-be").hex().upper().encode())
+            cmap += b"endbfrange\n"
+        cmap += b"endcmap end\n"
+        cmap_no = add(
+            b"<< /Length %d >>\nstream\n" % len(cmap)
+            + bytes(cmap) + b"\nendstream"
+        )
+        font_no = add(
+            b"<< /Type /Font /Subtype /Type0 /BaseFont /Graft-Subset "
+            b"/Encoding /Identity-H /ToUnicode %d 0 R >>" % cmap_no
+        )
+    else:
+        font_no = add(
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Times-Roman >>"
+        )
+
+    def enc_line(line: str) -> bytes:
+        if text_encoding == "differences":
+            return bytes(char_code[ch] for ch in line)
+        if text_encoding == "tounicode":
+            out = bytearray()
+            for ch in line:
+                out += char_code[ch].to_bytes(2, "big")
+            return bytes(out)
+        return line.encode("utf-8")
 
     kid_nos = []
     for li, lines in enumerate(pages_lines):
@@ -320,15 +417,15 @@ def build_foreign_pdf(
             if style == 0 and len(line) > 2:  # TJ kerning array, split line
                 cut = len(line) // 2  # char boundary, never mid-codepoint
                 ops.append(
-                    b"[(" + _esc(line[:cut]) + b") -250 ("
-                    + _esc(line[cut:]) + b")] TJ"
+                    b"[(" + _esc_raw(enc_line(line[:cut])) + b") -250 ("
+                    + _esc_raw(enc_line(line[cut:])) + b")] TJ"
                 )
             elif style == 1:  # hex string
                 ops.append(
-                    b"<" + line.encode("utf-8").hex().encode() + b"> Tj"
+                    b"<" + enc_line(line).hex().encode() + b"> Tj"
                 )
             else:  # literal
-                ops.append(b"(" + _esc(line) + b") Tj")
+                ops.append(b"(" + _esc_raw(enc_line(line)) + b") Tj")
         ops.append(b"ET")
         raw = b" ".join(ops)
         filt_clause, comp = _encode_content_stream(raw, stream_filter)

@@ -907,6 +907,44 @@ class PdfDocument:
                 out[k] = str(v)
         return out
 
+    def page_font_decoders(self, page: dict) -> dict:
+        """Per-font text decoders for a page (PDF §9.6-9.10): /ToUnicode
+        CMaps win, then simple-font /Encoding (base name or /BaseEncoding
+        + /Differences); fonts with neither fall back to the default
+        utf-8/latin-1 decoding.  Malformed font dicts are skipped — text
+        extraction must never throw for one bad font."""
+        from .pdftext import (
+            FontDecoder,
+            encoding_decoder,
+            parse_tounicode_cmap,
+        )
+
+        out: dict[str, FontDecoder] = {}
+        try:
+            res = self.resolve(page.get("Resources"))
+            fonts = self.resolve(res.get("Font")) if isinstance(res, dict) else None
+        except ValueError:
+            return out
+        if not isinstance(fonts, dict):
+            return out
+        for name, ref in fonts.items():
+            try:
+                f = self.resolve(ref)
+                if not isinstance(f, dict):
+                    continue
+                tu = self.resolve(f.get("ToUnicode"))
+                if isinstance(tu, PdfStream):
+                    out[str(name)] = FontDecoder(
+                        cmap=parse_tounicode_cmap(tu.data()))
+                    continue
+                enc = f.get("Encoding")
+                if enc is not None:
+                    out[str(name)] = encoding_decoder(
+                        self.resolve(enc), self.resolve)
+            except Exception:  # noqa: BLE001
+                continue
+        return out
+
     def has_fonts(self) -> bool:
         """pdffonts stand-in (reference pdf2pdfocr.py:1215-1227): any page
         resources declaring a font => the PDF carries a text layer."""
@@ -931,37 +969,58 @@ _TEXT_OP_RE = re.compile(
     re.X | re.S,
 )
 _STR_IN_ARRAY_RE = re.compile(rb"\((?:[^()\\]|\\.)*\)|<[0-9A-Fa-f\s]*>")
+# Tf operator: current-font selection ("/F1 11 Tf") — tracked so strings
+# decode through the right font's encoding/CMap
+_TF_RE = re.compile(rb"/([^\s/<>\[\]()%]+)\s+[-+.\d]+\s+Tf")
+_TF_OR_TEXT_RE = re.compile(
+    _TF_RE.pattern + rb"|" + _TEXT_OP_RE.pattern, re.X | re.S
+)
 
 
-def _decode_pdf_string(tok: bytes) -> str:
+def _raw_pdf_string(tok: bytes) -> bytes:
     if tok.startswith(b"("):
         lex = _Lexer(tok, 0)
-        raw = lex.parse_literal_string()
-    else:
-        hx = re.sub(rb"[^0-9A-Fa-f]", b"", tok[1:-1])
-        if len(hx) % 2:
-            hx += b"0"
-        raw = bytes.fromhex(hx.decode())
+        return lex.parse_literal_string()
+    hx = re.sub(rb"[^0-9A-Fa-f]", b"", tok[1:-1])
+    if len(hx) % 2:
+        hx += b"0"
+    return bytes.fromhex(hx.decode())
+
+
+def _decode_pdf_string(tok: bytes, decoder=None) -> str:
+    raw = _raw_pdf_string(tok)
+    if decoder is not None:
+        return decoder(raw)
     try:
         return raw.decode("utf-8")
     except UnicodeDecodeError:
         return raw.decode("latin-1")
 
 
-def extract_text_lines(content: bytes) -> list[str]:
+def extract_text_lines(content: bytes, fonts: dict | None = None) -> list[str]:
     """Text-showing operators of a decoded content stream -> lines.
 
     One line per Tj/'/\" op; a TJ array's strings concatenate into one
     line (kerning numbers dropped) — a deterministic, simple model of the
-    reference's text-layer walk (hOCR line semantics)."""
+    reference's text-layer walk (hOCR line semantics).  ``fonts`` (from
+    :meth:`PdfDocument.page_font_decoders`) maps resource font names to
+    decoders; Tf operators are tracked so each string decodes through the
+    font selected at that point (ToUnicode CMaps, /Differences
+    encodings).  Without ``fonts`` the historical utf-8/latin-1 decode
+    applies."""
     lines: list[str] = []
-    for m in _TEXT_OP_RE.finditer(content):
-        if m.group(1) is not None:
-            lines.append(_decode_pdf_string(m.group(1)))
+    decoder = None
+    for m in _TF_OR_TEXT_RE.finditer(content):
+        if m.group(1) is not None:  # Tf: switch current font
+            if fonts is not None:
+                decoder = fonts.get(m.group(1).decode("latin-1"))
+            continue
+        if m.group(2) is not None:
+            lines.append(_decode_pdf_string(m.group(2), decoder))
         else:
             parts = [
-                _decode_pdf_string(t)
-                for t in _STR_IN_ARRAY_RE.findall(m.group(3))
+                _decode_pdf_string(t, decoder)
+                for t in _STR_IN_ARRAY_RE.findall(m.group(4))
             ]
             lines.append("".join(parts))
     return lines

@@ -383,7 +383,7 @@ GIANT_EVERY = 150  # every 150th doc is a skewed giant PDF (repartition/skew pat
 
 # Bump when generated content changes — cache keys (bench corpus dirs)
 # embed it so stale corpora from earlier generators never get reused.
-CORPUS_VERSION = "r5h"  # r3: WebP image docs; r3b/c: scanned-page PDFs
+CORPUS_VERSION = "r5i"  # r3: WebP image docs; r3b/c: scanned-page PDFs
 # (DCT / gray-Flate / CCITT-G4 / JBIG2 embedded images, 2% of docs);
 # r3d: realistic HTML variants (inline markup, nested script junk,
 # blockquotes, unclosed tags, BOM payloads); r4a: lossy-VP8 image docs;
@@ -404,7 +404,9 @@ CORPUS_VERSION = "r5h"  # r3: WebP image docs; r3b/c: scanned-page PDFs
 # r5g: ~4% of well-formed PDFs permissions-encrypted (standard security
 # handler, empty user password, RC4-40/RC4-128/AESV2/AESV3 rotation);
 # r5h: Adobe 4-component JPEGs (direct CMYK + YCCK, APP14) as image docs
-# and as /DeviceCMYK DCT frames inside scanned-page PDFs
+# and as /DeviceCMYK DCT frames inside scanned-page PDFs;
+# r5i: foreign-PDF strings stored via /Differences subset encodings and
+# 2-byte /ToUnicode CMaps (40% of pdf_foreign docs)
 
 
 def _gen_doc(i: int, seed: int):
@@ -455,9 +457,13 @@ def _gen_doc(i: int, seed: int):
         # long tail of old crawled PDFs
         sfilter = ("flate", "flate", "lzw", "rl", "ahx+flate",
                    "a85+flate")[int(rng.integers(0, 6))]
+        # r5i: real-world string storage — /Differences-remapped subset
+        # encodings and 2-byte /ToUnicode CMaps next to plain UTF-8
+        tenc = ("plain", "plain", "plain", "differences",
+                "tounicode")[int(rng.integers(0, 5))]
         payload = build_foreign_pdf(
             pages_lines, incremental=bool(rng.random() < 0.3),
-            stream_filter=sfilter,
+            stream_filter=sfilter, text_encoding=tenc,
         )
         golden = "".join(
             normalize_ligatures("\n".join(ls)) + "\n" for ls in pages_lines

@@ -1,0 +1,127 @@
+"""Font-encoding-aware PDF text decoding (functions/pdftext): glyph-name
+resolution, /Differences simple-font encodings, ToUnicode CMap parsing
+(both bfrange forms), Tf tracking in extract_text_lines, and end-to-end
+foreign-PDF fixtures whose strings are stored as private codes yet decode
+to the same golden text (PDF 32000-1 §9.6-9.10; the reference gets this
+via poppler's text machinery)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pdf2pdfocr_ray.functions.minipdf import build_foreign_pdf, parse_pdf
+from pdf2pdfocr_ray.functions.pdfparse import extract_text_lines
+from pdf2pdfocr_ray.functions.pdftext import (
+    FontDecoder,
+    encoding_decoder,
+    glyph_name_to_char,
+    parse_tounicode_cmap,
+)
+
+
+def test_glyph_name_resolution():
+    assert glyph_name_to_char("a") == "a"
+    assert glyph_name_to_char("Z") == "Z"
+    assert glyph_name_to_char("space") == " "
+    assert glyph_name_to_char("seven") == "7"
+    assert glyph_name_to_char("fi") == "ﬁ"  # AGL ligature U+FB01
+    assert glyph_name_to_char("eacute") == "é"
+    assert glyph_name_to_char("uni0041") == "A"
+    assert glyph_name_to_char("uni20AC") == "€"
+    assert glyph_name_to_char("u1F600") == "😀"
+    assert glyph_name_to_char("notaglyphxx") is None
+
+
+def test_differences_encoding_decoder():
+    enc = {
+        "BaseEncoding": "WinAnsiEncoding",
+        "Differences": [128, "a", "b", "uni0043", 200, "space"],
+    }
+    dec = encoding_decoder(enc, resolve=lambda x: x)
+    assert dec(bytes([128, 129, 130, 200])) == "abC "
+    # untouched codes fall through to the base encoding (cp1252)
+    assert dec(b"Hi!") == "Hi!"
+    assert dec(bytes([0x93])) == "“"  # cp1252 smart quote
+    # unknown glyph name -> replacement char, never a throw
+    enc2 = {"Differences": [65, "zzznope"]}
+    assert encoding_decoder(enc2, resolve=lambda x: x)(b"A") == "�"
+
+
+def test_base_encoding_names():
+    win = encoding_decoder("WinAnsiEncoding", resolve=lambda x: x)
+    assert win(bytes([0xE9])) == "é"
+    mac = encoding_decoder("MacRomanEncoding", resolve=lambda x: x)
+    assert mac(bytes([0x8E])) == "é"  # mac_roman é
+    std = encoding_decoder("StandardEncoding", resolve=lambda x: x)
+    assert std(b"abc'") == "abc’"  # quoteright in StandardEncoding
+
+
+def test_tounicode_cmap_bfchar_and_both_bfrange_forms():
+    cmap = b"""
+    1 begincodespacerange <0000> <FFFF> endcodespacerange
+    2 beginbfchar
+    <0001> <0048>
+    <0002> <0065006C>
+    endbfchar
+    2 beginbfrange
+    <0010> <0012> <0041>
+    <0020> <0021> [<00580059> <005A>]
+    endbfrange
+    """
+    n, m = parse_tounicode_cmap(cmap)
+    assert n == 2
+    assert m[1] == "H"
+    assert m[2] == "el"  # multi-unit destination
+    assert (m[0x10], m[0x11], m[0x12]) == ("A", "B", "C")  # incrementing
+    assert m[0x20] == "XY" and m[0x21] == "Z"  # array form
+    dec = FontDecoder(cmap=(n, m))
+    assert dec(bytes.fromhex("0001000200100020")) == "HelAXY"
+
+
+def test_extract_text_lines_tracks_tf():
+    fonts = {
+        "F1": FontDecoder(table={0x41: "X", 0x42: "Y"}),
+        "F2": FontDecoder(cmap=(2, {1: "one", 2: "two"})),
+    }
+    content = (
+        b"BT /F1 10 Tf (AB) Tj /F2 9.5 Tf <00010002> Tj "
+        b"/F1 10 Tf [(A) -250 (B)] TJ ET"
+    )
+    assert extract_text_lines(content, fonts) == ["XY", "onetwo", "XY"]
+    # without fonts: historical utf-8/latin-1 behavior
+    assert extract_text_lines(b"(Plain) Tj") == ["Plain"]
+
+
+@pytest.mark.parametrize("mode", ["differences", "tounicode"])
+def test_encoded_foreign_pdf_golden_text(mode):
+    pages = [
+        ["Hello encoded world", "with ligature ﬁle stuff"],
+        ["page two: é and ü chars!"],
+    ]
+    ref = [p.lines for p in parse_pdf(build_foreign_pdf(pages)).pages]
+    d = parse_pdf(build_foreign_pdf(pages, text_encoding=mode))
+    assert [p.lines for p in d.pages] == ref
+
+
+def test_encoded_foreign_pdf_survives_encryption():
+    """Encoding + encryption compose: a ToUnicode foreign PDF that is
+    also permissions-encrypted still extracts the golden text."""
+    from pdf2pdfocr_ray.functions.pdfcrypt import encrypt_pdf
+
+    pages = [["composed crypto text", "second line"]]
+    plain = build_foreign_pdf(pages, text_encoding="tounicode")
+    ref = [p.lines for p in parse_pdf(plain).pages]
+    d = parse_pdf(encrypt_pdf(plain, "aes-128"))
+    assert [p.lines for p in d.pages] == ref
+
+
+def test_malformed_font_dict_never_throws():
+    """A damaged /ToUnicode stream or garbage /Encoding must fall back,
+    not break the page."""
+    pdf = build_foreign_pdf([["fallback text"]], text_encoding="plain")
+    # plain build has no encoding machinery; direct API-level checks:
+    n, m = parse_tounicode_cmap(b"beginbfchar <01 endbfchar")
+    assert isinstance(m, dict)
+    dec = encoding_decoder(12345, resolve=lambda x: x)  # nonsense entry
+    assert dec(b"ok") == "ok"
+    assert parse_pdf(pdf).pages[0].lines == ["fallback text"]
