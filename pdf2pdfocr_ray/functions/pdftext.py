@@ -143,6 +143,13 @@ def encoding_decoder(encoding, resolve) -> FontDecoder:
     """Build a simple-font decoder from an /Encoding entry (a base
     encoding name, or a dict with /BaseEncoding + /Differences)."""
     if isinstance(encoding, str) and not isinstance(encoding, bytes):
+        if str(encoding) in ("Identity-H", "Identity-V"):
+            # Composite font with NO ToUnicode: codes are 2-byte glyph
+            # ids of an embedded font we don't parse.  Poppler reads the
+            # font's internal cmap; without that, decoding the id bytes
+            # as Latin-1 would be silent mojibake — emit replacement
+            # chars instead (honest "text present but undecodable").
+            return FontDecoder(cmap=(2, {}))
         table = _BASE_ENCODINGS.get(str(encoding))
         return FontDecoder(table=dict(table)) if table else DEFAULT_DECODER
     if not isinstance(encoding, dict):

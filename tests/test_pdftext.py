@@ -125,3 +125,14 @@ def test_malformed_font_dict_never_throws():
     dec = encoding_decoder(12345, resolve=lambda x: x)  # nonsense entry
     assert dec(b"ok") == "ok"
     assert parse_pdf(pdf).pages[0].lines == ["fallback text"]
+
+
+def test_identity_h_without_tounicode_is_honest_replacement():
+    """A Type0 /Identity-H font with NO /ToUnicode stores 2-byte glyph
+    ids of an embedded font the engine doesn't parse — decoding those
+    bytes as Latin-1 would be silent mojibake.  The decoder must emit
+    one replacement char per 2-byte code instead."""
+    dec = encoding_decoder("Identity-H", resolve=lambda x: x)
+    assert dec(b"\x00\x41\x01\x02") == "��"
+    dec_v = encoding_decoder("Identity-V", resolve=lambda x: x)
+    assert dec_v(b"\x00\x10") == "�"

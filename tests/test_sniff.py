@@ -149,6 +149,7 @@ def test_fanout_truncation_fuzz_round5_kinds():
 
     from pdf2pdfocr_ray.functions.jpegcodec import encode_jpeg
     from pdf2pdfocr_ray.functions.minipdf import build_foreign_pdf
+    from pdf2pdfocr_ray.functions.pdfcrypt import encrypt_pdf
     from pdf2pdfocr_ray.functions.tiffcodec import encode_tiff
     from pdf2pdfocr_ray.stages.fanout import FanOut
 
@@ -159,6 +160,10 @@ def test_fanout_truncation_fuzz_round5_kinds():
         encode_tiff([(img.astype(np.uint16) << 8) | img]),
         encode_jpeg(img, 90, exif_orientation=6),
         build_foreign_pdf([["alpha beta"]], stream_filter="a85+flate"),
+        build_foreign_pdf([["alpha beta"]], text_encoding="differences"),
+        encrypt_pdf(
+            build_foreign_pdf([["alpha beta"]], text_encoding="tounicode"),
+            variant="aes-128"),
         gzip.compress(
             b"<html><body><p>" + b"x" * 64 + b"</p></body></html>",
             mtime=0),
@@ -265,6 +270,7 @@ def test_fanout_bitflip_fuzz_never_stalls():
     from pdf2pdfocr_ray.functions.icocodec import encode_ico
     from pdf2pdfocr_ray.functions.jpegcodec import encode_jpeg
     from pdf2pdfocr_ray.functions.minipdf import build_foreign_pdf
+    from pdf2pdfocr_ray.functions.pdfcrypt import encrypt_pdf
     from pdf2pdfocr_ray.functions.pngcodec import encode_png
     from pdf2pdfocr_ray.functions.pnmcodec import encode_pnm
     from pdf2pdfocr_ray.functions.tiffcodec import encode_tiff
@@ -291,6 +297,10 @@ def test_fanout_bitflip_fuzz_never_stalls():
         encode_ico(img),
         encode_pnm(img),
         build_foreign_pdf([["alpha beta"]], stream_filter="a85+flate"),
+        build_foreign_pdf([["alpha beta"]], text_encoding="differences"),
+        encrypt_pdf(
+            build_foreign_pdf([["alpha beta"]], text_encoding="tounicode"),
+            variant="aes-128"),
         gzip.compress(
             b"<html><body><p>" + b"x" * 64 + b"</p></body></html>",
             mtime=0),
