@@ -893,16 +893,12 @@ class PdfDocument:
             return {}
         if not isinstance(info, dict):
             return {}
+        from .pdftext import pdfdoc_decode
+
         out = {}
         for k, v in info.items():
             if isinstance(v, bytes):
-                if v.startswith(b"\xfe\xff"):
-                    out[k] = v[2:].decode("utf-16-be", "replace")
-                else:
-                    try:
-                        out[k] = v.decode("utf-8")
-                    except UnicodeDecodeError:
-                        out[k] = v.decode("latin-1")
+                out[k] = pdfdoc_decode(v)
             elif isinstance(v, (str, int, float, bool)):
                 out[k] = str(v)
         return out

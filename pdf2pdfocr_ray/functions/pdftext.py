@@ -102,6 +102,36 @@ _BASE_ENCODINGS = {
     "StandardEncoding": _STANDARD,
 }
 
+# PDFDocEncoding (PDF 32000-1 Table D.2): the encoding of text strings
+# OUTSIDE content streams (Info dict, outlines).  Identical to Latin-1
+# except 0x18-0x1F (accents) and 0x80-0x9F (typographic punctuation) —
+# the ranges below; 0x7F and 0xAD are undefined.
+_PDFDOC_DELTAS = {
+    0x18: "˘", 0x19: "ˇ", 0x1A: "ˆ", 0x1B: "˙",
+    0x1C: "˝", 0x1D: "˛", 0x1E: "˚", 0x1F: "˜",
+    0x80: "•", 0x81: "†", 0x82: "‡", 0x83: "…",
+    0x84: "—", 0x85: "–", 0x86: "ƒ", 0x87: "⁄",
+    0x88: "‹", 0x89: "›", 0x8A: "−", 0x8B: "‰",
+    0x8C: "„", 0x8D: "“", 0x8E: "”", 0x8F: "‘",
+    0x90: "’", 0x91: "‚", 0x92: "™", 0x93: "ﬁ",
+    0x94: "ﬂ", 0x95: "Ł", 0x96: "Œ", 0x97: "Š",
+    0x98: "Ÿ", 0x99: "Ž", 0x9A: "ı", 0x9B: "ł",
+    0x9C: "œ", 0x9D: "š", 0x9E: "ž",
+}
+
+
+def pdfdoc_decode(raw: bytes) -> str:
+    """Decode a PDF *text string* (§7.9.2.2) outside a content stream:
+    UTF-16BE with BOM, else UTF-8 if it parses (modern producers), else
+    PDFDocEncoding."""
+    if raw.startswith(b"\xfe\xff"):
+        return raw[2:].decode("utf-16-be", "replace")
+    try:
+        return raw.decode("utf-8")
+    except UnicodeDecodeError:
+        return "".join(
+            _PDFDOC_DELTAS.get(b, chr(b)) for b in raw)
+
 
 class FontDecoder:
     """Callable decoding one PDF string's raw bytes to text for a font.

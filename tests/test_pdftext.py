@@ -136,3 +136,15 @@ def test_identity_h_without_tounicode_is_honest_replacement():
     assert dec(b"\x00\x41\x01\x02") == "��"
     dec_v = encoding_decoder("Identity-V", resolve=lambda x: x)
     assert dec_v(b"\x00\x10") == "�"
+
+
+def test_pdfdoc_encoding_metadata_strings():
+    """Text strings outside content streams (Info dict) use
+    PDFDocEncoding (Table D.2): typographic punctuation in 0x80-0x9F,
+    not Latin-1 control chars; UTF-16BE BOM and valid UTF-8 win."""
+    from pdf2pdfocr_ray.functions.pdftext import pdfdoc_decode
+
+    assert pdfdoc_decode(b"Caf\xe9 \x84 title \x8f\x90") == "Café — title ‘’"
+    assert pdfdoc_decode(b"\xfe\xff\x00H\x00i") == "Hi"
+    assert pdfdoc_decode("utf8 é".encode()) == "utf8 é"
+    assert pdfdoc_decode(b"plain") == "plain"
