@@ -89,12 +89,28 @@ def _codec_table(codec: str) -> dict[int, str]:
 
 _WINANSI = _codec_table("cp1252")
 _MACROMAN = _codec_table("mac_roman")
-# StandardEncoding: ASCII range matches Latin-1 except quotes/grave;
-# approximating with the ASCII table is exact for the printable range
-# the engine's fixtures and the vast majority of crawl PDFs use.
+# Adobe StandardEncoding (PDF 32000-1 Appendix D.2): ASCII range matches
+# Latin-1 except quotes/grave; the high region is its own layout
+# (ligatures, accents, guillemets) quite unlike Latin-1.
 _STANDARD = {b: chr(b) for b in range(32, 127)}
 _STANDARD[0x27] = "’"  # quoteright
 _STANDARD[0x60] = "‘"  # quoteleft
+_STANDARD.update({
+    0xA1: "¡", 0xA2: "¢", 0xA3: "£", 0xA4: "⁄", 0xA5: "¥",
+    0xA6: "ƒ", 0xA7: "§", 0xA8: "¤", 0xA9: "'", 0xAA: "“",
+    0xAB: "«", 0xAC: "‹", 0xAD: "›", 0xAE: "ﬁ", 0xAF: "ﬂ",
+    0xB1: "–", 0xB2: "†", 0xB3: "‡", 0xB4: "·", 0xB6: "¶",
+    0xB7: "•", 0xB8: "‚", 0xB9: "„", 0xBA: "”", 0xBB: "»",
+    0xBC: "…", 0xBD: "‰", 0xBF: "¿",
+    0xC1: "`", 0xC2: "´", 0xC3: "ˆ", 0xC4: "˜", 0xC5: "¯",
+    0xC6: "˘", 0xC7: "˙", 0xC8: "¨", 0xCA: "˚", 0xCB: "¸",
+    0xCD: "˝", 0xCE: "˛", 0xCF: "ˇ",
+    0xD0: "—",
+    0xE1: "Æ", 0xE3: "ª", 0xE8: "Ł", 0xE9: "Ø", 0xEA: "Œ",
+    0xEB: "º",
+    0xF1: "æ", 0xF5: "ı", 0xF8: "ł", 0xF9: "ø", 0xFA: "œ",
+    0xFB: "ß",
+})
 
 _BASE_ENCODINGS = {
     "WinAnsiEncoding": _WINANSI,

@@ -148,3 +148,16 @@ def test_pdfdoc_encoding_metadata_strings():
     assert pdfdoc_decode(b"\xfe\xff\x00H\x00i") == "Hi"
     assert pdfdoc_decode("utf8 é".encode()) == "utf8 é"
     assert pdfdoc_decode(b"plain") == "plain"
+
+
+def test_standard_encoding_high_region():
+    """Adobe StandardEncoding's high region (Appendix D.2) is NOT
+    Latin-1: ligatures, guillemets and accents live at their own codes."""
+    dec = encoding_decoder("StandardEncoding", resolve=lambda x: x)
+    assert dec(b"\xae\xaf") == "ﬁﬂ"      # fi fl ligatures
+    assert dec(b"\xab\xbb") == "«»"      # guillemets
+    assert dec(b"\xd0\xb1") == "—–"      # em/en dash
+    assert dec(b"\xe1\xf1") == "Ææ"
+    assert dec(b"\xfb") == "ß"
+    assert dec(b"A b!") == "A b!"        # ASCII unchanged
+    assert dec(b"\x27\x60") == "’‘"      # quote remaps
