@@ -241,12 +241,25 @@ def _utf16be(b: bytes) -> str:
         return "�"
 
 
+# Total-WORK bomb guard: a legitimate ToUnicode CMap cannot exceed the
+# 2-byte code space (65536 codes); 2x leaves headroom for multi-CMap
+# junk.  The budget counts mappings WRITTEN (not distinct codes), so a
+# few KB of ranges re-mapping the same span can't buy millions of loop
+# iterations either.
+_MAX_CMAP_ENTRIES = 1 << 17
+
+
 def parse_tounicode_cmap(data: bytes) -> tuple[int, dict[int, str]]:
     """ToUnicode CMap stream -> (code_length_bytes, code -> text).
 
     Tolerant: code length comes from the first codespacerange (falling
     back to the bfchar/bfrange source width, then 1); bfrange supports
-    both the incrementing-destination and array forms (§9.10.3)."""
+    both the incrementing-destination and array forms (§9.10.3).
+
+    Bomb-guarded: a few KB of malicious bfranges (<0000> <FFFF> ...)
+    could otherwise expand to hundreds of millions of dict writes —
+    total writes are capped at ``_MAX_CMAP_ENTRIES`` (a legitimate
+    ToUnicode can't exceed the 2-byte code space anyway)."""
     codelen = 0
     m = _CSR_RE.search(data)
     if m:
@@ -254,14 +267,20 @@ def parse_tounicode_cmap(data: bytes) -> tuple[int, dict[int, str]]:
         if first:
             codelen = max(1, len(_hx(first.group(1))))
     mapping: dict[int, str] = {}
+    budget = _MAX_CMAP_ENTRIES  # counts WRITES, not distinct codes
     for m in _BFCHAR_RE.finditer(data):
         for src, dst in _PAIR_RE.findall(m.group(1)):
+            if budget <= 0:
+                return (codelen or 1), mapping
+            budget -= 1
             s = _hx(src)
             if not codelen:
                 codelen = len(s) or 1
             mapping[int.from_bytes(s, "big")] = _utf16be(_hx(dst))
     for m in _BFRANGE_RE.finditer(data):
         for lo, hi, dst, arr in _RANGE_RE.findall(m.group(1)):
+            if budget <= 0:
+                return (codelen or 1), mapping
             lo_b, hi_b = _hx(lo), _hx(hi)
             if not codelen:
                 codelen = len(lo_b) or 1
@@ -269,6 +288,8 @@ def parse_tounicode_cmap(data: bytes) -> tuple[int, dict[int, str]]:
             hi_i = int.from_bytes(hi_b, "big")
             if hi_i - lo_i > 65535:  # sanity cap on malformed ranges
                 hi_i = lo_i + 65535
+            hi_i = min(hi_i, lo_i + budget - 1)
+            budget -= max(1, hi_i - lo_i + 1)
             if arr:
                 dsts = [_hx(h) for h in re.findall(_HEX, arr)]
                 for off, d in enumerate(dsts):
@@ -285,9 +306,15 @@ def parse_tounicode_cmap(data: bytes) -> tuple[int, dict[int, str]]:
                 last_i = int.from_bytes(last, "big") if len(base) >= 2 else base_i
                 for off in range(hi_i - lo_i + 1):
                     if len(base) > 2:
+                        u = last_i + off
+                        if u > 0xFFFF:  # malformed: last unit overflows
+                            break
                         mapping[lo_i + off] = _utf16be(
-                            prefix + (last_i + off).to_bytes(2, "big"))
+                            prefix + u.to_bytes(2, "big"))
                     else:
+                        u = base_i + off
+                        if u > 0xFFFF:
+                            break
                         mapping[lo_i + off] = _utf16be(
-                            (base_i + off).to_bytes(max(2, len(base)), "big"))
+                            u.to_bytes(max(2, len(base)), "big"))
     return (codelen or 1), mapping

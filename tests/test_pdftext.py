@@ -161,3 +161,53 @@ def test_standard_encoding_high_region():
     assert dec(b"\xfb") == "ß"
     assert dec(b"A b!") == "A b!"        # ASCII unchanged
     assert dec(b"\x27\x60") == "’‘"      # quote remaps
+
+
+def test_cmap_bomb_and_overflow_guards():
+    """A few KB of malicious bfranges (<0000> <FFFF> repeated) must not
+    expand to hundreds of millions of dict entries, and an incrementing
+    destination that overflows its last UTF-16 code unit must stop, not
+    raise OverflowError."""
+    import time
+
+    from pdf2pdfocr_ray.functions.pdftext import _MAX_CMAP_ENTRIES
+
+    bomb = (b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+            + b"".join(
+                b"1 beginbfrange\n<0000> <FFFF> <0041>\nendbfrange\n"
+                for _ in range(64)))
+    t0 = time.time()
+    n, m = parse_tounicode_cmap(bomb)
+    assert len(m) <= _MAX_CMAP_ENTRIES
+    assert time.time() - t0 < 30
+    # overflow of the incrementing form's last code unit
+    n, m = parse_tounicode_cmap(
+        b"1 beginbfrange\n<0000> <00FF> <FFFE>\nendbfrange\n")
+    assert m[0] == "￾" and 2 not in m  # stopped at 0xFFFF
+    n, m = parse_tounicode_cmap(
+        b"1 beginbfrange\n<0000> <00FF> <D835FFFE>\nendbfrange\n")
+    assert 2 not in m
+
+
+def test_cmap_random_bytes_never_throw():
+    """Arbitrary bytes through the CMap parser and the decoders: no
+    exceptions, ever (the fuzz posture of every other parser here)."""
+    import numpy as np
+
+    from pdf2pdfocr_ray.functions.pdftext import pdfdoc_decode
+
+    rng = np.random.default_rng(77)
+    frags = [b"beginbfchar", b"endbfchar", b"beginbfrange", b"endbfrange",
+             b"<", b">", b"[", b"]", b"<0041>", b"<FFFF>",
+             b"begincodespacerange", b"endcodespacerange"]
+    for _ in range(300):
+        parts = [frags[int(rng.integers(0, len(frags)))]
+                 for _ in range(int(rng.integers(1, 12)))]
+        junk = bytes(rng.integers(0, 256, int(rng.integers(0, 40)),
+                                  dtype=np.uint8))
+        n, m = parse_tounicode_cmap(b" ".join(parts) + junk)
+        assert n >= 1 and isinstance(m, dict)
+        raw = bytes(rng.integers(0, 256, int(rng.integers(0, 32)),
+                                 dtype=np.uint8))
+        FontDecoder(cmap=(n, m))(raw)
+        pdfdoc_decode(raw)
