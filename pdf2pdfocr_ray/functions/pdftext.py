@@ -48,6 +48,37 @@ _AGL_BASE = {
     "agrave": "à", "aacute": "á", "acircumflex": "â",
     "ccedilla": "ç", "ntilde": "ñ", "germandbls": "ß",
     "oslash": "ø", "aring": "å", "ae": "æ",
+    # common names real subset fonts put in /Differences
+    "Euro": "€", "florin": "ƒ", "trademark": "™",
+    "copyright": "©", "registered": "®", "degree": "°",
+    "plusminus": "±", "multiply": "×", "divide": "÷",
+    "onehalf": "½", "onequarter": "¼", "threequarters": "¾",
+    "onesuperior": "¹", "twosuperior": "²", "threesuperior": "³",
+    "cent": "¢", "sterling": "£", "yen": "¥", "currency": "¤",
+    "section": "§", "paragraph": "¶", "brokenbar": "¦",
+    "dagger": "†", "daggerdbl": "‡", "ellipsis": "…",
+    "perthousand": "‰", "minus": "−", "fraction": "⁄",
+    "guillemotleft": "«", "guillemotright": "»",
+    "guilsinglleft": "‹", "guilsinglright": "›",
+    "quotesinglbase": "‚", "quotedblbase": "„",
+    "exclamdown": "¡", "questiondown": "¿",
+    "periodcentered": "·",
+    "circumflex": "ˆ", "tilde": "˜", "macron": "¯",
+    "dieresis": "¨", "acute": "´", "cedilla": "¸",
+    "ordfeminine": "ª", "ordmasculine": "º",
+    "logicalnot": "¬", "mu": "µ",
+    "scaron": "š", "Scaron": "Š", "zcaron": "ž", "Zcaron": "Ž",
+    "ydieresis": "ÿ", "Ydieresis": "Ÿ",
+    "oe": "œ", "OE": "Œ", "lslash": "ł", "Lslash": "Ł",
+    "dotlessi": "ı", "thorn": "þ", "Thorn": "Þ", "eth": "ð",
+    "Eth": "Ð", "AE": "Æ", "Oslash": "Ø", "Aring": "Å",
+    "icircumflex": "î", "idieresis": "ï", "igrave": "ì",
+    "iacute": "í", "ocircumflex": "ô", "ograve": "ò",
+    "oacute": "ó", "otilde": "õ", "ucircumflex": "û",
+    "ugrave": "ù", "uacute": "ú", "yacute": "ý",
+    "atilde": "ã", "edieresis": "ë", "Ccedilla": "Ç",
+    "Eacute": "É", "Egrave": "È", "Agrave": "À", "Aacute": "Á",
+    "Ntilde": "Ñ",
 }
 for _c in range(ord("A"), ord("Z") + 1):
     _AGL_BASE[chr(_c)] = chr(_c)
