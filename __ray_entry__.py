@@ -3748,7 +3748,7 @@ def _oracle_sql_static() -> dict[str, str]:
             "true AS pairs_nonempty"
         ),
         "multimodal_decode": (
-            "SELECT 141::BIGINT AS n_pages, 39423::BIGINT AS sum_width, "
+            "SELECT 141::BIGINT AS n_pages, 39447::BIGINT AS sum_width, "
             "14309::BIGINT AS sum_height, true AS all_rgb"
         ),
         # pinned verdict rows (fixed-seed corpus; verified identical
@@ -3801,8 +3801,8 @@ def _oracle_sql_static() -> dict[str, str]:
         ),
         "page_zip_merge": (
             "SELECT 233::BIGINT AS n_pages, 120::BIGINT AS n_docs, "
-            "233::BIGINT AS n_scale_ok, 10293494::BIGINT AS total_raster_bytes, "
-            "35960::BIGINT AS total_text_len, 28::BIGINT AS n_underlay"
+            "233::BIGINT AS n_scale_ok, 10297382::BIGINT AS total_raster_bytes, "
+            "35969::BIGINT AS total_text_len, 28::BIGINT AS n_underlay"
         ),
         "embedding_near_dup_lsh": (
             "SELECT 7::BIGINT AS n_pairs, 14::BIGINT AS n_vecs_in_pairs, "
@@ -3993,8 +3993,8 @@ def _oracle_sql_static() -> dict[str, str]:
             "20::BIGINT AS n_added, true AS all_accounted"
         ),
         "extract_then_curate": (
-            "SELECT 233::BIGINT AS n_extracted_docs, 22::BIGINT AS n_lang_en, "
-            "22::BIGINT AS n_after_exact_dedup, 22::BIGINT AS n_final"
+            "SELECT 233::BIGINT AS n_extracted_docs, 21::BIGINT AS n_lang_en, "
+            "21::BIGINT AS n_after_exact_dedup, 21::BIGINT AS n_final"
         ),
         "profile_docs": (
             "SELECT 'doc_id' AS \"column\", COUNT(*)::BIGINT AS n_rows, "

@@ -45,6 +45,20 @@ PDF_VOCAB = [
     "Lorem", "ipsum", "dolor", "sit", "amet", "scan", "copy", "original",
     "2026", "410", "77", "1024", "A4", "Ref", "No.", "Q3",
 ]
+# Foreign-PDF vocabulary: PDF_VOCAB plus symbol-bearing tokens covering the
+# widened AGL glyph-name table (pdftext._AGL_BASE).  Foreign PDFs are
+# rasterized + OCR'd in the flagship, so every char here must also be in the
+# 5x7 render/OCR font; in /Differences mode these store as NAMED glyphs
+# (/Euro, /onehalf, /Scaron...), certifying the name table end-to-end
+# through the byte-identity gate.
+FOREIGN_VOCAB = PDF_VOCAB + [
+    "€249,90", "£17", "¥3000", "¢99", "¤", "ƒ(x)",
+    "½", "¾", "¼", "×4", "8÷2", "25°C", "±0,5%", "¹²³",
+    "§7", "¶2", "«citação»", "‹nota›", "„Zitat‚",
+    "©2026", "®", "™", "45‰", "†nota‡", "etc…",
+    "Škoda", "žurnál", "œuvre", "Œ", "Łukasz", "Þórður", "Ærø",
+    "¿qué?", "¡Hola!", "µg", "¬p", "nº·1ª", "ÿŸ", "Ðe−ð",
+]
 # HTML vocabulary (no font constraint).
 HTML_VOCAB = [
     "research", "article", "content", "analysis", "methods", "results",
@@ -82,6 +96,10 @@ def _words(rng: np.random.Generator, vocab: list[str], n: int) -> str:
 
 def _pdf_line(rng: np.random.Generator) -> str:
     return _words(rng, PDF_VOCAB, int(rng.integers(2, 6)))
+
+
+def _foreign_line(rng: np.random.Generator) -> str:
+    return _words(rng, FOREIGN_VOCAB, int(rng.integers(2, 6)))
 
 
 def _make_pdf_doc(
@@ -383,7 +401,7 @@ GIANT_EVERY = 150  # every 150th doc is a skewed giant PDF (repartition/skew pat
 
 # Bump when generated content changes — cache keys (bench corpus dirs)
 # embed it so stale corpora from earlier generators never get reused.
-CORPUS_VERSION = "r5i"  # r3: WebP image docs; r3b/c: scanned-page PDFs
+CORPUS_VERSION = "r5j"  # r3: WebP image docs; r3b/c: scanned-page PDFs
 # (DCT / gray-Flate / CCITT-G4 / JBIG2 embedded images, 2% of docs);
 # r3d: realistic HTML variants (inline markup, nested script junk,
 # blockquotes, unclosed tags, BOM payloads); r4a: lossy-VP8 image docs;
@@ -406,7 +424,11 @@ CORPUS_VERSION = "r5i"  # r3: WebP image docs; r3b/c: scanned-page PDFs
 # r5h: Adobe 4-component JPEGs (direct CMYK + YCCK, APP14) as image docs
 # and as /DeviceCMYK DCT frames inside scanned-page PDFs;
 # r5i: foreign-PDF strings stored via /Differences subset encodings and
-# 2-byte /ToUnicode CMaps (40% of pdf_foreign docs)
+# 2-byte /ToUnicode CMaps (40% of pdf_foreign docs);
+# r5j: foreign-PDF text drawn from FOREIGN_VOCAB (adds currency signs,
+# fractions, guillemets, cp1252-region letters...) so the byte-identity
+# gate certifies the widened AGL glyph-name table AND the matching 5x7
+# font extension (foreign PDFs rasterize + OCR in the flagship)
 
 
 def _gen_doc(i: int, seed: int):
@@ -449,7 +471,7 @@ def _gen_doc(i: int, seed: int):
 
         n_pages = int(rng.integers(1, 4))
         pages_lines = [
-            [_pdf_line(rng) for _ in range(int(rng.integers(2, 5)))]
+            [_foreign_line(rng) for _ in range(int(rng.integers(2, 5)))]
             for _ in range(n_pages)
         ]
         # classic content-stream filters (PDF 1.7 §7.4): deflate is the

@@ -90,9 +90,24 @@ def test_word_bboxes_sane():
 
 
 def test_unsupported_char_renders_as_question():
-    img = render_page(["aéb"], dpi=72)  # é not in font
+    img = render_page(["aΩb"], dpi=72)  # Ω not in font
     (line,) = recognize_page(img, 2)
     assert line.text == "a?b"
+
+
+def test_foreign_vocab_roundtrips():
+    """Every FOREIGN_VOCAB token (currency signs, fractions, guillemets,
+    cp1252-region letters — the widened-AGL corpus vocabulary) must
+    render->recognize byte-identically: the corpus byte-identity gate
+    rests on this invariant."""
+    from pdf2pdfocr_ray.sources.corpus import FOREIGN_VOCAB
+
+    lines = [" ".join(FOREIGN_VOCAB[i : i + 5])
+             for i in range(0, len(FOREIGN_VOCAB), 5)]
+    for dpi in (36, 72, 144):
+        img = render_page(lines, dpi=dpi)
+        rec = [ln.text for ln in recognize_page(img, dpi // 36)]
+        assert rec == lines, f"dpi {dpi}"
 
 
 def test_supported_chars_cover_ascii_alnum():

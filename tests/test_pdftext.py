@@ -32,6 +32,24 @@ def test_glyph_name_resolution():
     assert glyph_name_to_char("notaglyphxx") is None
 
 
+def test_widened_agl_names_resolve_by_name():
+    """The widened table region: names real subset fonts put in
+    /Differences must resolve via the NAME table (not the uniXXXX
+    fallback) — these are what build_foreign_pdf emits for the corpus
+    symbol vocabulary."""
+    for name, want in [
+        ("Euro", "€"), ("florin", "ƒ"), ("trademark", "™"),
+        ("onehalf", "½"), ("threequarters", "¾"), ("guillemotleft", "«"),
+        ("guillemotright", "»"), ("quotedblbase", "„"), ("Scaron", "Š"),
+        ("zcaron", "ž"), ("oe", "œ"), ("OE", "Œ"), ("Lslash", "Ł"),
+        ("Thorn", "Þ"), ("eth", "ð"), ("perthousand", "‰"),
+        ("daggerdbl", "‡"), ("minus", "−"), ("multiply", "×"),
+        ("divide", "÷"), ("logicalnot", "¬"), ("mu", "µ"),
+        ("ordfeminine", "ª"), ("ordmasculine", "º"), ("brokenbar", "¦"),
+    ]:
+        assert glyph_name_to_char(name) == want, name
+
+
 def test_differences_encoding_decoder():
     enc = {
         "BaseEncoding": "WinAnsiEncoding",
