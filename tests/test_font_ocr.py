@@ -110,6 +110,22 @@ def test_foreign_vocab_roundtrips():
         assert rec == lines, f"dpi {dpi}"
 
 
+def test_symbol_glyphs_survive_distortion():
+    """The new symbol glyphs through the M3-M5 normalize path: shear +
+    90-degree rotation must still recognize byte-identically (their
+    narrow/low shapes — „ … · — are the segmentation-hostile cases)."""
+    from pdf2pdfocr_ray.functions.ocr_core import normalize_page
+
+    lines = ["€249,90 «citação» ½ Škoda œuvre", "„Zitat‚ etc… nº·1ª ±0,5%"]
+    img = render_page(lines, dpi=72)
+    for k in (0, 1, 3):
+        for slope in (0.0, 0.08, -0.12):
+            scan = apply_rot90(apply_shear(img, slope), k)
+            fixed, got_k, got_slope = normalize_page(scan, 2)
+            assert [l.text for l in recognize_page(fixed, 2)] == lines, (
+                k, slope)
+
+
 def test_supported_chars_cover_ascii_alnum():
     import string
 
