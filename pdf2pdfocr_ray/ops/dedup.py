@@ -1248,12 +1248,19 @@ def dedup_minhash_incremental(
 
     snap_dir = os.path.join(store_dir, f"snapshot={snapshot}")
     shutil.rmtree(snap_dir, ignore_errors=True)
+    # Materialized once: the signatures feed BOTH the store write and the
+    # banding below — without materialize() each consumer would re-run the
+    # signature pass, and reading the store back from disk (the previous
+    # shape) paid a parquet round-trip for bytes already in the object
+    # store.  Signatures are 8*num_perm B/doc, so a 1B-doc delta holds
+    # ~0.5 TB — the object store spills; still strictly less I/O than
+    # write-then-reread.
     new_sigs = new_ds.map_batches(
         _functools.partial(minhash_batch, num_perm=num_perm),
         batch_format="pandas",
     ).map_batches(
         lambda df: df[[id_col, "minhash_sig"]], batch_format="pandas"
-    )
+    ).materialize()
     new_sigs.write_parquet(snap_dir)
 
     def _has_parquet(d: str) -> bool:
@@ -1272,7 +1279,7 @@ def dedup_minhash_incremental(
         for f in sorted(os.listdir(p)) if f.endswith(".parquet")
     ]
 
-    if not _has_parquet(snap_dir):
+    if new_sigs.count() == 0:
         return ray.data.from_pandas(pd.DataFrame({
             "id_a": pd.Series([], dtype="int64"),
             "id_b": pd.Series([], dtype="int64"),
@@ -1280,7 +1287,7 @@ def dedup_minhash_incremental(
             "bucket_truncated": pd.Series([], dtype="bool"),
         }))
 
-    tagged_new = ray.data.read_parquet(snap_dir).map_batches(
+    tagged_new = new_sigs.map_batches(
         lambda df: df.assign(is_new=True), batch_format="pandas")
     if prior_files:
         tagged_old = ray.data.read_parquet(prior_files).map_batches(
