@@ -126,6 +126,18 @@ def test_symbol_glyphs_survive_distortion():
                 k, slope)
 
 
+def test_low_glyph_only_lines_segment():
+    """Lines whose every glyph is 1-2 ink rows tall (… „ ‚ ·) are the
+    band-detection edge: the line band is far shorter than LINE_HEIGHT
+    and must neither merge into a neighbor nor split."""
+    for lines in (["… „ ‚ ·"], ["‚‚‚"], ["a", "…", "b"],
+                  ["… normal text after"]):
+        for dpi in (36, 72):
+            img = render_page(lines, dpi=dpi)
+            rec = [l.text for l in recognize_page(img, dpi // 36)]
+            assert rec == lines, (lines, dpi, rec)
+
+
 def test_supported_chars_cover_ascii_alnum():
     import string
 
