@@ -160,9 +160,9 @@ def test_fanout_truncation_fuzz_round5_kinds():
         encode_tiff([(img.astype(np.uint16) << 8) | img]),
         encode_jpeg(img, 90, exif_orientation=6),
         build_foreign_pdf([["alpha beta"]], stream_filter="a85+flate"),
-        build_foreign_pdf([["alpha beta"]], text_encoding="differences"),
+        build_foreign_pdf([["€½ «Škoda» beta"]], text_encoding="differences"),
         encrypt_pdf(
-            build_foreign_pdf([["alpha beta"]], text_encoding="tounicode"),
+            build_foreign_pdf([["€½ «Škoda» beta"]], text_encoding="tounicode"),
             variant="aes-128"),
         gzip.compress(
             b"<html><body><p>" + b"x" * 64 + b"</p></body></html>",
@@ -297,9 +297,9 @@ def test_fanout_bitflip_fuzz_never_stalls():
         encode_ico(img),
         encode_pnm(img),
         build_foreign_pdf([["alpha beta"]], stream_filter="a85+flate"),
-        build_foreign_pdf([["alpha beta"]], text_encoding="differences"),
+        build_foreign_pdf([["€½ «Škoda» beta"]], text_encoding="differences"),
         encrypt_pdf(
-            build_foreign_pdf([["alpha beta"]], text_encoding="tounicode"),
+            build_foreign_pdf([["€½ «Škoda» beta"]], text_encoding="tounicode"),
             variant="aes-128"),
         gzip.compress(
             b"<html><body><p>" + b"x" * 64 + b"</p></body></html>",
