@@ -10,6 +10,8 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from pdf2pdfocr_ray.functions.font5x7 import (
     GLYPHS,
@@ -143,3 +145,26 @@ def test_supported_chars_cover_ascii_alnum():
 
     for ch in string.ascii_letters + string.digits:
         assert ch in SUPPORTED_CHARS
+
+
+_GLYPH_ALPHABET = sorted(SUPPORTED_CHARS - {" "})
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    lines=st.lists(
+        st.text(alphabet=_GLYPH_ALPHABET, min_size=1, max_size=12).map(
+            lambda s: " ".join(s[i : i + 4] for i in range(0, len(s), 4))
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_any_supported_text_roundtrips(lines):
+    """Property: ANY text over the supported alphabet (all 137 glyphs,
+    arbitrary adjacency — including glyph pairs no vocabulary exercises)
+    renders and recognizes byte-identically at scale 1 and 2."""
+    for dpi in (36, 72):
+        img = render_page(lines, dpi=dpi)
+        rec = [ln.text for ln in recognize_page(img, dpi // 36)]
+        assert rec == lines
