@@ -128,6 +128,21 @@ def test_symbol_glyphs_survive_distortion():
                 k, slope)
 
 
+def test_symmetric_symbol_page_recovers_via_joint_normalize():
+    """A page made ONLY of rotation-symmetric symbols (x-cross, divide,
+    dots, ring glyphs) is the OSD-adversarial case: the cheap standalone
+    detect_orientation can misread k=3 as 0 here, but the pipeline's
+    joint rot90+deskew normalize_page scores full recognition and must
+    still recover the text at every rotation."""
+    from pdf2pdfocr_ray.functions.ocr_core import normalize_page
+
+    lines = ["× ÷ ± − … · °º¹²³"]
+    img = render_page(lines, dpi=72)
+    for k in range(4):
+        fixed, _, _ = normalize_page(apply_rot90(img, k), 2)
+        assert [l.text for l in recognize_page(fixed, 2)] == lines, k
+
+
 def test_low_glyph_only_lines_segment():
     """Lines whose every glyph is 1-2 ink rows tall (… „ ‚ ·) are the
     band-detection edge: the line band is far shorter than LINE_HEIGHT
