@@ -89,8 +89,15 @@ def read_manifest(out_dir: str, shard: int) -> dict | None:
     path = os.path.join(_shard_dir(out_dir, shard), MANIFEST)
     if not os.path.exists(path):
         return None
-    with open(path) as f:
-        return json.load(f)
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except (json.JSONDecodeError, OSError, UnicodeDecodeError):
+        # The publish is atomic (os.replace), so the engine never leaves a
+        # half-written manifest itself — but external corruption must read
+        # as "shard not completed" (the shard re-runs; the sink's part
+        # names are deterministic and idempotent) rather than kill resume.
+        return None
 
 
 def completed_shards(out_dir: str, num_shards: int, cfg_hash: str) -> set[int]:

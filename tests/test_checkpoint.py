@@ -118,6 +118,31 @@ def test_resume_skips_completed_shards(ray_session, corpus_dir, tmp_path):
     )
 
 
+def test_resume_rewrites_shard_with_corrupt_manifest(
+    ray_session, corpus_dir, tmp_path
+):
+    """External corruption of a manifest (the atomic publish means the
+    engine never truncates one itself) must read as 'not completed' and
+    re-run that shard idempotently — not kill the resume with a
+    JSONDecodeError."""
+    path, _ = corpus_dir
+    out = str(tmp_path / "out")
+    run_checkpointed(_factory(path), out, num_shards=N_SHARDS)
+    before = _read_all(out)
+
+    victim = os.path.join(out, f"shard={1:05d}", MANIFEST)
+    with open(victim, "w") as f:
+        f.write('{"config_hash": "tru')  # truncated json
+
+    summary = run_checkpointed(_factory(path), out, num_shards=N_SHARDS)
+    assert summary["shards"][1] == "done"
+    assert all(summary["shards"][s] == "skipped" for s in (0, 2, 3))
+    after = _read_all(out)
+    pd.testing.assert_frame_equal(
+        before.fillna("∅"), after.fillna("∅"), check_like=True
+    )
+
+
 def test_config_change_invalidates(ray_session, corpus_dir, tmp_path):
     path, _ = corpus_dir
     out = str(tmp_path / "out")
