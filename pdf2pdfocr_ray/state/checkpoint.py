@@ -100,11 +100,30 @@ def read_manifest(out_dir: str, shard: int) -> dict | None:
         return None
 
 
+def _shard_parquet_rows(sdir: str) -> int | None:
+    """Row total across a shard's part files from parquet FOOTERS only
+    (no data scan — resume validation must stay O(parts), not O(rows));
+    None if any part is unreadable (truncated footer, external damage)."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    try:
+        for name in os.listdir(sdir):
+            if name.endswith(".parquet"):
+                total += pq.ParquetFile(os.path.join(sdir, name)).metadata.num_rows
+    except Exception:  # noqa: BLE001 — damaged part => shard not completed
+        return None
+    return total
+
+
 def completed_shards(out_dir: str, num_shards: int, cfg_hash: str) -> set[int]:
     """Shards that may be skipped on resume: manifest present, SAME config
     hash AND same num_shards (ADVICE r2: a manifest written under a
     different modulus covers a different url subset — skipping it would
-    duplicate rows that re-hash into the new shards)."""
+    duplicate rows that re-hash into the new shards), AND the shard's
+    parquet footers sum to the manifest's rows_out (a deleted or
+    truncated part under a valid manifest re-runs instead of silently
+    shipping a short shard)."""
     done = set()
     for s in range(num_shards):
         m = read_manifest(out_dir, s)
@@ -112,6 +131,7 @@ def completed_shards(out_dir: str, num_shards: int, cfg_hash: str) -> set[int]:
             m is not None
             and m.get("config_hash") == cfg_hash
             and m.get("num_shards") == num_shards
+            and _shard_parquet_rows(_shard_dir(out_dir, s)) == m.get("rows_out")
         ):
             done.add(s)
     return done

@@ -143,6 +143,34 @@ def test_resume_rewrites_shard_with_corrupt_manifest(
     )
 
 
+def test_resume_rewrites_shard_with_damaged_part(
+    ray_session, corpus_dir, tmp_path
+):
+    """A valid manifest over a deleted/truncated part file must NOT be
+    skipped: resume validates parquet footer row totals against the
+    manifest's rows_out and re-runs the short shard."""
+    path, _ = corpus_dir
+    out = str(tmp_path / "out")
+    run_checkpointed(_factory(path), out, num_shards=N_SHARDS)
+    before = _read_all(out)
+
+    victim_dir = os.path.join(out, f"shard={3:05d}")
+    parts = [f for f in os.listdir(victim_dir) if f.endswith(".parquet")]
+    # truncate one part (damaged footer), keep the manifest intact
+    victim = os.path.join(victim_dir, parts[0])
+    data = open(victim, "rb").read()
+    with open(victim, "wb") as f:
+        f.write(data[: len(data) // 2])
+
+    summary = run_checkpointed(_factory(path), out, num_shards=N_SHARDS)
+    assert summary["shards"][3] == "done"
+    assert all(summary["shards"][s] == "skipped" for s in (0, 1, 2))
+    after = _read_all(out)
+    pd.testing.assert_frame_equal(
+        before.fillna("∅"), after.fillna("∅"), check_like=True
+    )
+
+
 def test_config_change_invalidates(ray_session, corpus_dir, tmp_path):
     path, _ = corpus_dir
     out = str(tmp_path / "out")
