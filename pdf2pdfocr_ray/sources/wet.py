@@ -131,15 +131,33 @@ def read_wet(paths: str | list[str]) -> "ray.data.Dataset":
     files = _list_warc_files(paths)
 
     def load(batch: pd.DataFrame) -> pa.Table:
+        import os as _os
+
         urls, tss, texts = [], [], []
+
+        def sentinel(path: str, e: Exception) -> None:
+            # same row-level fault posture as read_warc: one damaged
+            # shard/record flags itself instead of killing the task
+            urls.append(f"wet:error:{_os.path.basename(path)}:{e}")
+            tss.append(0)
+            texts.append(None)
+
         for path in batch["path"]:
-            with open(path, "rb") as f:
-                for rec in iter_warc_records(
-                    _iter_gunzip(f), types=("conversion",)
-                ):
-                    urls.append(rec["url"])
-                    tss.append(rec["warc_ts"])
-                    texts.append(rec["html"].decode("utf-8"))
+            try:
+                with open(path, "rb") as f:
+                    for rec in iter_warc_records(
+                        _iter_gunzip(f), types=("conversion",)
+                    ):
+                        try:
+                            text = rec["html"].decode("utf-8")
+                        except UnicodeDecodeError as e:
+                            sentinel(path, e)  # bad record, keep reading
+                            continue
+                        urls.append(rec["url"])
+                        tss.append(rec["warc_ts"])
+                        texts.append(text)
+            except (ValueError, OSError) as e:
+                sentinel(path, e)  # corrupt gzip/framing: rest of file lost
         return pa.table({
             "url": pa.array(urls, pa.string()),
             "warc_ts": pa.array(tss, pa.timestamp("us")),

@@ -169,6 +169,43 @@ def test_wet_sink_source_roundtrip(ray_session, tmp_path):
     assert len(os.listdir(out)) == len(set(os.listdir(out)))
 
 
+def test_wet_reader_isolates_damaged_shards(ray_session, tmp_path):
+    """read_wet's fault posture must match read_warc: a truncated gzip
+    shard yields a wet:error sentinel row (intact sibling shards still
+    read fully) instead of killing the task."""
+    import os
+
+    import pandas as pd
+    import ray.data
+
+    from pdf2pdfocr_ray.sources.wet import read_wet, write_wet
+
+    df = pd.DataFrame({
+        "url": [f"https://example.org/{i:04d}" for i in range(8)],
+        "warc_ts": pd.to_datetime(
+            [1_767_225_600_000_000 + i * 1_000_000 for i in range(8)],
+            unit="us"),
+        "extracted_text": [f"text {i}\n" for i in range(8)],
+    })
+    out = str(tmp_path / "wet")
+    assert write_wet(ray.data.from_pandas(df).repartition(2), out) == 8
+
+    shards = sorted(
+        f for f in os.listdir(out) if f.endswith(".warc.wet.gz"))
+    victim = os.path.join(out, shards[0])
+    data = open(victim, "rb").read()
+    with open(victim, "wb") as f:
+        f.write(data[: len(data) // 3])  # truncate mid-member
+
+    back = read_wet(out).to_pandas()
+    errs = back[back["url"].str.startswith("wet:error:")]
+    good = back[~back["url"].str.startswith("wet:error:")]
+    assert len(errs) >= 1 and errs["extracted_text"].isna().all()
+    # every record of the intact shard(s) survives
+    assert len(good) >= 4
+    assert set(good["url"]) <= set(df["url"])
+
+
 def test_wet_shards_survive_duplicate_first_urls(ray_session, tmp_path):
     """ADVICE r4 #2: two blocks starting with the SAME url (duplicate
     urls are routine in crawls) must not overwrite each other's shard,
