@@ -43,8 +43,18 @@ def read_ledger(out_dir: str) -> dict:
     path = _ledger_path(out_dir)
     if not os.path.exists(path):
         return {"batches": [], "files": {}}
-    with open(path) as f:
-        return json.load(f)
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except (json.JSONDecodeError, UnicodeDecodeError) as e:
+        # Unlike a shard manifest (safe to re-run), a lost ledger cannot be
+        # guessed: treating it as empty would re-map old files onto batch
+        # dirs that already hold manifests for a DIFFERENT file set, and
+        # those batches would then be silently skipped.  Fail loudly.
+        raise ValueError(
+            f"watch ledger corrupt: {path}: {e}; restore it from backup or "
+            "clear the output directory to re-ingest from scratch"
+        ) from e
 
 
 def _write_ledger(out_dir: str, ledger: dict) -> None:

@@ -307,6 +307,22 @@ def test_watch_ingest_incremental(ray_session, tmp_path):
             assert (a == text) or (pd.isna(a) and pd.isna(text))
 
 
+def test_watch_corrupt_ledger_fails_loudly(tmp_path):
+    """A damaged watch ledger must raise an actionable error, not be
+    treated as empty (an empty ledger would re-map old files onto batch
+    dirs holding manifests for a different file set and silently skip)."""
+    import pytest
+
+    from pdf2pdfocr_ray.state.watch import _LEDGER, read_ledger
+
+    out = tmp_path / "out"
+    out.mkdir()
+    assert read_ledger(str(out)) == {"batches": [], "files": {}}
+    (out / _LEDGER).write_text('{"batches": [tru')
+    with pytest.raises(ValueError, match="watch ledger corrupt"):
+        read_ledger(str(out))
+
+
 def test_watch_stop_file_exits(ray_session, tmp_path):
     """A stop sentinel ends an idle watch loop promptly."""
     import time
