@@ -287,7 +287,8 @@ def _list_warc_files(paths: str | list[str]) -> list[str]:
             files.extend(
                 os.path.join(p, f)
                 for f in sorted(os.listdir(p))
-                if f.endswith((".warc", ".warc.gz", ".warc.wet.gz"))
+                if f.endswith(
+                    (".warc", ".warc.gz", ".warc.wet", ".warc.wet.gz"))
             )
         else:
             files.append(p)

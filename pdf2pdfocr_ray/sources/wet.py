@@ -126,7 +126,7 @@ def read_wet(paths: str | list[str]) -> "ray.data.Dataset":
     import pyarrow as pa
     import ray.data
 
-    from .warc import _iter_gunzip, _list_warc_files, iter_warc_records
+    from .warc import _iter_chunks, _list_warc_files, iter_warc_records
 
     files = _list_warc_files(paths)
 
@@ -145,8 +145,11 @@ def read_wet(paths: str | list[str]) -> "ray.data.Dataset":
         for path in batch["path"]:
             try:
                 with open(path, "rb") as f:
+                    # _iter_chunks auto-detects gzip vs plain (same
+                    # sniff read_warc uses) — uncompressed .wet files
+                    # occur in the wild
                     for rec in iter_warc_records(
-                        _iter_gunzip(f), types=("conversion",)
+                        _iter_chunks(f), types=("conversion",)
                     ):
                         try:
                             text = rec["html"].decode("utf-8")

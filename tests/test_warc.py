@@ -206,6 +206,27 @@ def test_wet_reader_isolates_damaged_shards(ray_session, tmp_path):
     assert set(good["url"]) <= set(df["url"])
 
 
+def test_wet_reader_accepts_uncompressed_shards(ray_session, tmp_path):
+    """Uncompressed .warc.wet files occur in the wild: the reader's
+    chunk iterator sniffs the gzip magic and must fall through to plain
+    bytes (read_warc parity)."""
+    from pdf2pdfocr_ray.sources.wet import (
+        _conversion_record,
+        _warcinfo_record,
+        read_wet,
+    )
+
+    d = tmp_path / "wet"
+    d.mkdir()
+    (d / "part-x.warc.wet").write_bytes(
+        _warcinfo_record(0, 1)
+        + _conversion_record("https://e.org/1", 1_000_000, "plain text\n")
+    )
+    df = read_wet(str(d)).to_pandas()
+    assert df["url"].tolist() == ["https://e.org/1"]
+    assert df["extracted_text"].tolist() == ["plain text\n"]
+
+
 def test_wet_shards_survive_duplicate_first_urls(ray_session, tmp_path):
     """ADVICE r4 #2: two blocks starting with the SAME url (duplicate
     urls are routine in crawls) must not overwrite each other's shard,
