@@ -227,6 +227,47 @@ def test_wet_reader_accepts_uncompressed_shards(ray_session, tmp_path):
     assert df["extracted_text"].tolist() == ["plain text\n"]
 
 
+def test_wet_record_path_bitflip_fuzz_never_hangs_or_leaks():
+    """Bit-flipped/truncated WET shard bytes through the exact iterator
+    stack read_wet rides (_iter_chunks -> iter_warc_records): every
+    outcome is clean records or ValueError — never another exception
+    type, never a hang (the posture of every other parser here)."""
+    import io
+
+    import numpy as np
+
+    from pdf2pdfocr_ray.sources.warc import _iter_chunks, iter_warc_records
+    from pdf2pdfocr_ray.sources.wet import (
+        _conversion_record,
+        _warcinfo_record,
+    )
+    import gzip as _gzip
+
+    recs = _warcinfo_record(0, 2) + b"".join(
+        _conversion_record(f"https://e.org/{i}", i, f"text {i}\n")
+        for i in range(2)
+    )
+    shard = _gzip.compress(recs, mtime=0)
+    rng = np.random.default_rng(99)
+    for base in (shard, recs):  # gzip and plain forms
+        for _ in range(120):
+            b = bytearray(base)
+            if rng.random() < 0.5:
+                b = b[: int(rng.integers(0, len(b)))]
+            for _ in range(int(rng.integers(1, 4))):
+                if b:
+                    b[int(rng.integers(0, len(b)))] ^= 1 << int(
+                        rng.integers(0, 8))
+            try:
+                for rec in iter_warc_records(
+                    _iter_chunks(io.BytesIO(bytes(b))),
+                    types=("conversion",),
+                ):
+                    rec["html"]  # touch the payload
+            except ValueError:
+                pass  # the module's documented error contract
+
+
 def test_wet_shards_survive_duplicate_first_urls(ray_session, tmp_path):
     """ADVICE r4 #2: two blocks starting with the SAME url (duplicate
     urls are routine in crawls) must not overwrite each other's shard,
