@@ -102,6 +102,34 @@ def _q_flagship_match(sf_dir: str):
     return pd.DataFrame({"n_docs": [len(g)], "n_byte_identical": [eq]})
 
 
+def _q_flagship_native_fast(sf_dir: str):
+    """S6 native-text fast path at corpus scale: the same 240-doc corpus
+    extracted with ``prefer_native_text=True`` (PDFs with a text layer —
+    the 'native' kind and every foreign PDF — skip raster+OCR and strip
+    their text objects directly; everything else still OCRs).  The golden
+    text is path-independent by construction, so the ORACLE pins full
+    byte-identity through the fast path too (reference -t / pdffonts
+    gate, pdf2pdfocr.py:1215-1227).  One extra OCR run (different config
+    — cannot share the flagship cache)."""
+    import pandas as pd
+
+    from pdf2pdfocr_ray.config import PipelineConfig
+    from pdf2pdfocr_ray.pipelines.extract import extract
+
+    ds, golden = _corpus_ds(QUERY_N_DOCS)
+    cfg = PipelineConfig(
+        prefer_native_text=True, ocr_concurrency=(1, 8))
+    res = extract(ds, cfg).to_pandas().sort_values("url").reset_index(
+        drop=True)
+    g = golden.to_pandas().sort_values("url").reset_index(drop=True)
+    eq = 0
+    for i in range(len(g)):
+        a, b = res["extracted_text"][i], g["extracted_text"][i]
+        if (a == b) or (pd.isna(a) and pd.isna(b)):
+            eq += 1
+    return pd.DataFrame({"n_docs": [len(g)], "n_byte_identical": [eq]})
+
+
 def _q_flagship_spans(sf_dir: str):
     """Flagship with doc-level span aggregation: url -> n_spans + first
     span bbox (span payloads themselves stay engine-side).  Shares the
@@ -3014,6 +3042,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_filter": _q_doc_filter,
         "flagship_extract": _q_flagship,
         "flagship_match_rate": _q_flagship_match,
+        "flagship_native_fast": _q_flagship_native_fast,
         "wordlist_flag": _q_wordlist_flag,
         "image_near_dup": _q_image_near_dup,
         "audio_near_dup": _q_audio_near_dup,
@@ -3965,6 +3994,9 @@ def _oracle_sql_static() -> dict[str, str]:
         # (fixed seed, sf-independent): SQL pins the literals, the
         # byte-identity loops stay asserted in-query
         "flagship_match_rate": (
+            "SELECT 240::BIGINT AS n_docs, 240::BIGINT AS n_byte_identical"
+        ),
+        "flagship_native_fast": (
             "SELECT 240::BIGINT AS n_docs, 240::BIGINT AS n_byte_identical"
         ),
         "warc_ingest": (
