@@ -130,6 +130,45 @@ def _q_flagship_native_fast(sf_dir: str):
     return pd.DataFrame({"n_docs": [len(g)], "n_byte_identical": [eq]})
 
 
+def _q_extract_modes_census(sf_dir: str):
+    """F3 + T-engine mode parity at corpus scale, ORACLE-CHECKED: the
+    240-doc corpus extracted under (a) ``skip_native_text=True``
+    (reference -t: text-layer PDFs skip with the typed
+    ``has_native_text`` reason, pdf2pdfocr.py:1215-1227) and (b)
+    ``ocr_engine='no_ocr'`` (reference -c no_ocr: OCR suppressed, pages
+    pass through with empty text, pdf2pdfocr.py:958-1003 — HTML rows are
+    unaffected).  Census pinned after a 4-vs-16-cpu determinism check."""
+    import pandas as pd
+
+    from pdf2pdfocr_ray.config import PipelineConfig
+    from pdf2pdfocr_ray.pipelines.extract import extract
+
+    ds, _ = _corpus_ds(QUERY_N_DOCS)
+    skip = extract(
+        ds, PipelineConfig(skip_native_text=True, ocr_concurrency=(1, 8))
+    ).to_pandas()
+    noocr = extract(
+        ds, PipelineConfig(ocr_engine="no_ocr", ocr_concurrency=(1, 8))
+    ).to_pandas()
+    return pd.DataFrame(
+        {
+            "n_docs": pd.Series([len(skip)], dtype="int64"),
+            "skip_n_skipped": pd.Series(
+                [int((skip["error"] == "has_native_text").sum())],
+                dtype="int64"),
+            "skip_n_with_text": pd.Series(
+                [int(skip["extracted_text"].notna().sum())], dtype="int64"),
+            "noocr_n_empty": pd.Series(
+                [int((noocr["extracted_text"] == "").sum())], dtype="int64"),
+            "noocr_n_html_text": pd.Series(
+                [int((noocr["extracted_text"].fillna("") != "").sum())],
+                dtype="int64"),
+            "noocr_n_error": pd.Series(
+                [int(noocr["extracted_text"].isna().sum())], dtype="int64"),
+        }
+    )
+
+
 def _q_flagship_spans(sf_dir: str):
     """Flagship with doc-level span aggregation: url -> n_spans + first
     span bbox (span payloads themselves stay engine-side).  Shares the
@@ -3043,6 +3082,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "flagship_extract": _q_flagship,
         "flagship_match_rate": _q_flagship_match,
         "flagship_native_fast": _q_flagship_native_fast,
+        "extract_modes_census": _q_extract_modes_census,
         "wordlist_flag": _q_wordlist_flag,
         "image_near_dup": _q_image_near_dup,
         "audio_near_dup": _q_audio_near_dup,
@@ -3998,6 +4038,11 @@ def _oracle_sql_static() -> dict[str, str]:
         ),
         "flagship_native_fast": (
             "SELECT 240::BIGINT AS n_docs, 240::BIGINT AS n_byte_identical"
+        ),
+        "extract_modes_census": (
+            "SELECT 240::BIGINT AS n_docs, 6::BIGINT AS skip_n_skipped, "
+            "228::BIGINT AS skip_n_with_text, 66::BIGINT AS noocr_n_empty, "
+            "168::BIGINT AS noocr_n_html_text, 6::BIGINT AS noocr_n_error"
         ),
         "warc_ingest": (
             "SELECT 60::BIGINT AS n_records, 60::BIGINT AS n_extracted, "
