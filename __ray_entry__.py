@@ -137,13 +137,15 @@ def _q_extract_modes_census(sf_dir: str):
     ``has_native_text`` reason, pdf2pdfocr.py:1215-1227) and (b)
     ``ocr_engine='no_ocr'`` (reference -c no_ocr: OCR suppressed, pages
     pass through with empty text, pdf2pdfocr.py:958-1003 — HTML rows are
-    unaffected).  Census pinned after a 4-vs-16-cpu determinism check."""
+    unaffected).  120-doc corpus (the meta-census convention) keeps the
+    two extra extract runs cheap in the driver window; census pinned
+    after a 4-vs-16-cpu determinism check."""
     import pandas as pd
 
     from pdf2pdfocr_ray.config import PipelineConfig
     from pdf2pdfocr_ray.pipelines.extract import extract
 
-    ds, _ = _corpus_ds(QUERY_N_DOCS)
+    ds, _ = _corpus_ds(120)
     skip = extract(
         ds, PipelineConfig(skip_native_text=True, ocr_concurrency=(1, 8))
     ).to_pandas()
@@ -4040,9 +4042,9 @@ def _oracle_sql_static() -> dict[str, str]:
             "SELECT 240::BIGINT AS n_docs, 240::BIGINT AS n_byte_identical"
         ),
         "extract_modes_census": (
-            "SELECT 240::BIGINT AS n_docs, 6::BIGINT AS skip_n_skipped, "
-            "228::BIGINT AS skip_n_with_text, 66::BIGINT AS noocr_n_empty, "
-            "168::BIGINT AS noocr_n_html_text, 6::BIGINT AS noocr_n_error"
+            "SELECT 120::BIGINT AS n_docs, 3::BIGINT AS skip_n_skipped, "
+            "114::BIGINT AS skip_n_with_text, 28::BIGINT AS noocr_n_empty, "
+            "89::BIGINT AS noocr_n_html_text, 3::BIGINT AS noocr_n_error"
         ),
         "warc_ingest": (
             "SELECT 60::BIGINT AS n_records, 60::BIGINT AS n_extracted, "
