@@ -557,6 +557,8 @@ def _q_doc_meta_corpus(sf_dir: str):
             "n_image": pd.Series([int(vc.get("image", 0))], dtype="int64"),
             "n_encrypted": pd.Series(
                 [int(dm["is_encrypted"].sum())], dtype="int64"),
+            "n_was_encrypted": pd.Series(
+                [int(dm["was_encrypted"].sum())], dtype="int64"),
             "n_native_text": pd.Series(
                 [int(dm["has_native_text"].sum())], dtype="int64"),
             "total_pages": pd.Series(
@@ -3862,7 +3864,8 @@ def _oracle_sql_static() -> dict[str, str]:
         "doc_meta_corpus": (
             "SELECT 240::BIGINT AS n_docs, 168::BIGINT AS n_html, "
             "59::BIGINT AS n_pdf, 9::BIGINT AS n_image, "
-            "1::BIGINT AS n_encrypted, 6::BIGINT AS n_native_text, "
+            "1::BIGINT AS n_encrypted, 3::BIGINT AS n_was_encrypted, "
+            "6::BIGINT AS n_native_text, "
             "480::BIGINT AS total_pages, 6::BIGINT AS n_skipped"
         ),
         "dedup_jaccard": (

@@ -37,6 +37,10 @@ DOC_META_SCHEMA = pa.schema(
         ("content_type", pa.string()),
         ("n_pages", pa.int32()),
         ("is_encrypted", pa.bool_()),
+        # permissions-encrypted but empty-user-password: opened
+        # transparently by the standard security handler (r5g), the
+        # reference's default-poppler behavior; -a refuses these
+        ("was_encrypted", pa.bool_()),
         ("has_native_text", pa.bool_()),
         ("size_kb", pa.float64()),
         ("skip_reason", pa.string()),
@@ -64,6 +68,7 @@ def doc_meta(
         for url, payload, route in zip(urls, payloads, routes):
             size_kb = len(payload) / 1024.0
             n_pages, enc, native, skip = 0, False, False, None
+            wasenc = False
             producer = title = None
             if route == ROUTE_ERROR:
                 skip = "unsupported_type"
@@ -75,6 +80,7 @@ def doc_meta(
                 try:
                     doc = parse_pdf(payload)
                     n_pages, enc, native = doc.n_pages, doc.is_encrypted, doc.has_native_text
+                    wasenc = bool(getattr(doc, "was_encrypted", False))
                     producer = doc.metadata.get("Producer")
                     title = doc.metadata.get("Title")
                     if enc:
@@ -91,6 +97,7 @@ def doc_meta(
             out["content_type"].append(route)
             out["n_pages"].append(n_pages)
             out["is_encrypted"].append(enc)
+            out["was_encrypted"].append(wasenc)
             out["has_native_text"].append(native)
             out["size_kb"].append(size_kb)
             out["skip_reason"].append(skip)
