@@ -507,7 +507,15 @@ def build_scanned_pdf(
     8-bit /DeviceGray /FlateDecode samples, ``("g4", bilevel_ndarray)``
     -> 1-bit /CCITTFaxDecode K=-1 (Group 4) via the in-repo T.6 coder,
     or ``("jbig2", bilevel_ndarray)`` -> /JBIG2Decode embedded generic
-    region (MQ template-0 arithmetic, functions/jbig2.py)."""
+    region (MQ template-0 arithmetic, functions/jbig2.py).
+
+    INLINE-image kinds (PDF 1.7 §8.9.7 — the page raster lives in the
+    content stream between ``BI``/``ID``/``EI`` with abbreviated keys,
+    the organization fax-era writers and some distillers emit):
+    ``("inline_gray", ndarray)`` -> /CS /G /BPC 8 /F /Fl,
+    ``("inline_rgb", ndarray_hw3)`` -> /CS /RGB /F [/AHx /Fl] (chained
+    ASCII armor), ``("inline_g4", bilevel_ndarray)`` -> /F /CCF with
+    /K -1, and ``("inline_dct", jpeg_bytes, w, h)`` -> /F /DCT."""
     import zlib as _zlib
 
     objs: list[bytes] = []
@@ -592,8 +600,53 @@ def build_scanned_pdf(
                 + payload
                 + b"\nendstream"
             )
+        elif frame[0] in ("inline_gray", "inline_rgb", "inline_g4",
+                          "inline_dct"):
+            img_no = None
+            if frame[0] == "inline_dct":
+                _, payload, w, h = frame
+                body = (b"BI /W %d /H %d /CS /RGB /BPC 8 /F /DCT ID\n"
+                        % (w, h)) + payload + b"\nEI"
+            elif frame[0] == "inline_g4":
+                from .ccitt import encode_g4
+
+                arr = frame[1]
+                h, w = arr.shape[:2]
+                payload = encode_g4(arr)
+                body = (b"BI /W %d /H %d /CS /G /BPC 1 /F /CCF "
+                        b"/DP << /K -1 /Columns %d /Rows %d >> ID\n"
+                        % (w, h, w, h)) + payload + b"\nEI"
+            elif frame[0] == "inline_rgb":
+                import binascii
+
+                arr = frame[1]
+                h, w = arr.shape[:2]
+                # decode order [/AHx /Fl] => encode deflate, then hexlify
+                payload = binascii.hexlify(
+                    _zlib.compress(bytes(arr))).upper() + b">"
+                body = (b"BI /W %d /H %d /CS /RGB /BPC 8 /F [/AHx /Fl] ID\n"
+                        % (w, h)) + payload + b"\nEI"
+            else:  # inline_gray
+                arr = frame[1]
+                h, w = arr.shape[:2]
+                payload = _zlib.compress(bytes(arr))
+                body = (b"BI /W %d /H %d /CS /G /BPC 8 /F /Fl ID\n"
+                        % (w, h)) + payload + b"\nEI"
         else:
             raise ValueError(f"unknown frame kind {frame[0]!r}")
+        if img_no is None:  # inline image: raster lives IN the content
+            content = b"q %d 0 0 %d 0 0 cm\n" % (w, h) + body + b"\nQ"
+            cont_no = add(
+                b"<< /Length %d >>\nstream\n%s\nendstream"
+                % (len(content), content)
+            )
+            kid_nos.append(
+                add(
+                    b"<< /Type /Page /Parent %d 0 R /MediaBox [0 0 %d %d] "
+                    b"/Contents %d 0 R >>" % (pages_no, w, h, cont_no)
+                )
+            )
+            continue
         content = b"q %d 0 0 %d 0 0 cm /Im0 Do Q" % (w, h)
         cont_no = add(
             b"<< /Length %d >>\nstream\n%s\nendstream" % (len(content), content)

@@ -356,6 +356,233 @@ class _Lexer:
         return out
 
 
+# ------------------------------------------------- inline images (§8.9.7)
+
+# abbreviated key / filter / colorspace names allowed only in BI dicts
+_INLINE_KEY = {
+    "W": "Width", "H": "Height", "BPC": "BitsPerComponent",
+    "CS": "ColorSpace", "F": "Filter", "DP": "DecodeParms",
+    "IM": "ImageMask", "D": "Decode", "I": "Interpolate",
+}
+_INLINE_FILTER = {
+    "AHx": "ASCIIHexDecode", "A85": "ASCII85Decode", "LZW": "LZWDecode",
+    "Fl": "FlateDecode", "RL": "RunLengthDecode", "CCF": "CCITTFaxDecode",
+    "DCT": "DCTDecode",
+}
+_INLINE_CS = {"G": "DeviceGray", "RGB": "DeviceRGB", "CMYK": "DeviceCMYK",
+              "I": "Indexed"}
+
+
+def _apply_prefilters(raw: bytes, prefilters: list[str]) -> bytes:
+    """Filters preceding a terminal image codec (DCT/CCF/JBIG2) — the
+    deflate + ASCII-armor subset real writers chain there."""
+    for f in prefilters:
+        if f == "FlateDecode":
+            from .limits import capped_inflate
+
+            raw = capped_inflate(raw, "image pre-filter")
+        elif f in ("ASCIIHexDecode", "ASCII85Decode", "RunLengthDecode",
+                   "LZWDecode"):
+            raw = PdfStream({"Filter": PdfName(f)}, raw).data()
+        else:
+            raise ValueError(f"unsupported pre-filter /{f}")
+    return raw
+
+
+def _is_token_at(data: bytes, tok: bytes, pos: int) -> bool:
+    if not data.startswith(tok, pos):
+        return False
+    if pos > 0 and data[pos - 1] not in _WS and data[pos - 1] not in _DELIM:
+        return False
+    after = pos + len(tok)
+    return (after >= len(data)
+            or data[after] in _WS or data[after] in _DELIM)
+
+
+def _find_token(data: bytes, tok: bytes, start: int) -> int:
+    pos = start
+    while True:
+        pos = data.find(tok, pos)
+        if pos < 0:
+            return -1
+        if _is_token_at(data, tok, pos):
+            return pos
+        pos += 1
+
+
+def _has_token(data: bytes, tok: bytes) -> bool:
+    return _find_token(data, tok, 0) >= 0
+
+
+def _normalize_inline_dict(d: dict) -> dict:
+    out: dict = {}
+    for k, v in d.items():
+        out[_INLINE_KEY.get(k, k)] = v
+    filt = out.get("Filter")
+    if isinstance(filt, (PdfName, str)):
+        out["Filter"] = PdfName(_INLINE_FILTER.get(str(filt), str(filt)))
+    elif isinstance(filt, list):
+        out["Filter"] = [
+            PdfName(_INLINE_FILTER.get(str(f), str(f))) for f in filt
+        ]
+    cs = out.get("ColorSpace")
+    if isinstance(cs, (PdfName, str)):
+        out["ColorSpace"] = PdfName(_INLINE_CS.get(str(cs), str(cs)))
+    return out
+
+
+def _inline_unfiltered_len(d: dict) -> int | None:
+    """Exact sample byte count of an UNFILTERED inline image (the only
+    case where the data length is knowable up front)."""
+    try:
+        w = int(d.get("Width") or 0)
+        h = int(d.get("Height") or 0)
+        bpc = int(d.get("BitsPerComponent") or (1 if d.get("ImageMask")
+                                                else 0))
+        if d.get("ImageMask"):
+            ch = 1
+            bpc = 1
+        else:
+            ch = {"DeviceGray": 1, "DeviceRGB": 3,
+                  "DeviceCMYK": 4}.get(str(d.get("ColorSpace") or ""), 0)
+    except (TypeError, ValueError):
+        return None
+    if not (w and h and bpc and ch):
+        return None
+    return ((w * ch * bpc + 7) // 8) * h
+
+
+def _inline_data_ok(d: dict, data: bytes) -> bool:
+    """Validate a candidate EI split by decoding the filter chain — a
+    premature EI inside compressed data fails here and the scan moves
+    to the next candidate."""
+    filt = d.get("Filter")
+    filters = [str(f) for f in (
+        [filt] if isinstance(filt, (PdfName, str)) and filt else (filt or [])
+    )]
+    if not filters:
+        return True
+    try:
+        if filters[-1] == "DCTDecode":
+            raw = _apply_prefilters(data, filters[:-1])
+            return raw[:2] == b"\xff\xd8" and b"\xff\xd9" in raw
+        if filters[-1] == "CCITTFaxDecode":
+            parms = d.get("DecodeParms") or {}
+            if isinstance(parms, list):
+                parms = parms[-1] or {}
+            raw = _apply_prefilters(data, filters[:-1])
+            from .ccitt import decode_g3, decode_g4
+            from .limits import guard_dims
+
+            w = int(parms.get("Columns") or d.get("Width") or 1728)
+            h = int(d.get("Height") or 0)
+            if not h:
+                return False
+            guard_dims(w, h, "CCITT inline image")
+            kval = int(parms.get("K") or 0)
+            black1 = bool(parms.get("BlackIs1"))
+            align = bool(parms.get("EncodedByteAlign"))
+            if kval < 0:
+                decode_g4(raw, w, h, black_is_1=black1, byte_align=align)
+            else:
+                decode_g3(raw, w, h, k=kval, black_is_1=black1,
+                          byte_align=align,
+                          end_of_line=bool(parms.get("EndOfLine")))
+            return True
+        if filters[-1] == "JBIG2Decode":
+            from .jbig2 import decode_jbig2_embedded
+
+            raw = _apply_prefilters(data, filters[:-1])
+            decode_jbig2_embedded(raw, b"")
+            return True
+        decoded = PdfStream(d, data).data()
+        want = _inline_unfiltered_len(d)
+        return want is None or len(decoded) >= want
+    except (ValueError, zlib.error, OverflowError):
+        return False
+
+
+def parse_inline_images(content: bytes, *, with_spans: bool = False):
+    """Scan a DECODED content stream for inline images (``BI`` dict
+    ``ID`` data ``EI``, PDF 1.7 §8.9.7) and return them as
+    :class:`PdfStream` objects whose dicts use the full (non-abbreviated)
+    key/filter/colorspace names — so the image-payload machinery treats
+    them exactly like image XObjects.
+
+    Unfiltered data is cut at its exact computed byte length; filtered
+    data scans forward to each whitespace-delimited ``EI`` candidate and
+    accepts the first one whose filter chain decodes (compressed bytes
+    that happen to contain " EI " cannot truncate the image).  Malformed
+    inline images are skipped, never raised.
+
+    ``with_spans=True`` returns ``(start, end, PdfStream)`` tuples
+    covering the whole BI..EI byte range (used to blank inline binary
+    data out of text extraction)."""
+    out = []
+    pos = 0
+    n = len(content)
+    while pos < n:
+        bi = _find_token(content, b"BI", pos)
+        if bi < 0:
+            break
+        try:
+            lex = _Lexer(content, bi + 2)
+            raw_dict: dict = {}
+            while True:
+                lex.skip_ws()
+                if lex.pos >= n:
+                    raise ValueError("unterminated BI dict")
+                if content[lex.pos] == 0x2F:
+                    key = str(lex.parse_name())
+                    raw_dict[key] = lex.parse_object()
+                else:
+                    kw = lex._keyword()
+                    if kw == "ID":
+                        break
+                    raise ValueError(f"unexpected BI token {kw[:10]!r}")
+            d = _normalize_inline_dict(raw_dict)
+            # exactly one whitespace byte separates ID from the data
+            # (tolerate CRLF, the one two-byte case real writers emit)
+            dpos = lex.pos
+            if content.startswith(b"\r\n", dpos):
+                dpos += 2
+            elif dpos < n and content[dpos] in _WS:
+                dpos += 1
+            if not d.get("Filter"):
+                want = _inline_unfiltered_len(d)
+                if want is None or dpos + want > n:
+                    raise ValueError("bad unfiltered inline image")
+                data = content[dpos : dpos + want]
+                tail = _Lexer(content, dpos + want)
+                tail.skip_ws()
+                if not _is_token_at(content, b"EI", tail.pos):
+                    raise ValueError("inline image data not closed by EI")
+                end = tail.pos + 2
+            else:
+                search, data, end = dpos, None, -1
+                while True:
+                    ei = _find_token(content, b"EI", search)
+                    if ei < 0:
+                        raise ValueError("unterminated inline image data")
+                    cand = content[dpos:ei]
+                    # drop the single whitespace byte before EI
+                    if cand and cand[-1] in _WS:
+                        if cand.endswith(b"\r\n"):
+                            cand = cand[:-2]
+                        else:
+                            cand = cand[:-1]
+                    if _inline_data_ok(d, cand):
+                        data, end = cand, ei + 2
+                        break
+                    search = ei + 2
+            s = PdfStream(d, data)
+            out.append((bi, end, s) if with_spans else s)
+            pos = end
+        except ValueError:
+            pos = bi + 2  # malformed: skip this BI, keep scanning
+    return out
+
+
 def _undo_predictor(raw: bytes, parms) -> bytes:
     """Undo /DecodeParms predictors on decoded stream bytes: 1 = none,
     2 = TIFF horizontal, >= 10 = PNG per-row filters (the common
@@ -725,10 +952,11 @@ class PdfDocument:
         return out
 
     def page_image_payloads(self, page: dict) -> list[bytes]:
-        """Image XObject payloads of a page, as bytes the engine's image
-        dispatch can decode (reference parity: pdftoppm rasterizes any
-        page image for OCR, pdf2pdfocr.py:56-75 — here the common scanned-
-        page encodings are extracted directly):
+        """Image payloads of a page — image XObjects AND inline images
+        (``BI``/``ID``/``EI``, PDF 1.7 §8.9.7) — as bytes the engine's
+        image dispatch can decode (reference parity: pdftoppm rasterizes
+        any page image for OCR, pdf2pdfocr.py:56-75 — here the common
+        scanned-page encodings are extracted directly):
 
         * /DCTDecode (possibly after earlier filters) -> the JPEG bytes
           verbatim, routed to the in-repo jpegcodec via the image sniffer;
@@ -737,139 +965,153 @@ class PdfDocument:
           1D / mixed, fax-era scans) via the T.4 codec — honoring
           /BlackIs1, /EncodedByteAlign and /EndOfLine;
         * /JBIG2Decode (generic AND symbol-coded organizations);
-        * /FlateDecode or identity 8-bit /DeviceGray / /DeviceRGB raw
-          samples -> the engine's RAWB frame encoding.
+        * /FlateDecode / /LZWDecode / /RunLengthDecode / ASCII-armored
+          or identity 8-bit (or packed 1-bit) /DeviceGray / /DeviceRGB
+          raw samples -> the engine's RAWB frame encoding.
 
         Unsupported encodings (refinement JBIG2, other colorspaces) are
         skipped — callers fall back to their no-image behavior."""
         out: list[bytes] = []
         res = self.resolve(page.get("Resources"))
-        if not isinstance(res, dict):
-            return out
-        xobjs = self.resolve(res.get("XObject"))
-        if not isinstance(xobjs, dict):
-            return out
-        for v in xobjs.values():
-            try:
-                s = self.resolve(v)
-            except ValueError:
-                continue
-            if not isinstance(s, PdfStream) or s.dict.get("Subtype") != "Image":
-                continue
-            filt = s.dict.get("Filter")
-            filters = [str(f) for f in (
-                [filt] if isinstance(filt, (PdfName, str)) and filt else (filt or [])
-            )]
-            try:
-                if filters and filters[-1] == "DCTDecode":
-                    # apply any preceding filters, hand over the JPEG
-                    raw = s.raw
-                    for f in filters[:-1]:
-                        if f != "FlateDecode":
-                            raise ValueError(f"unsupported pre-filter /{f}")
-                        from .limits import capped_inflate
-
-                        raw = capped_inflate(raw, "image pre-filter")
-                    out.append(raw)
+        xobjs = self.resolve(res.get("XObject")) if isinstance(res, dict) \
+            else None
+        if isinstance(xobjs, dict):
+            for v in xobjs.values():
+                try:
+                    s = self.resolve(v)
+                except ValueError:
                     continue
-                if filters and filters[-1] == "CCITTFaxDecode":
-                    parms = self.resolve(s.dict.get("DecodeParms")) or {}
-                    if isinstance(parms, list):
-                        parms = self.resolve(parms[-1]) or {}
-                    kval = int(self.resolve(parms.get("K")) or 0)
-                    raw = s.raw
-                    for f in filters[:-1]:
-                        if f != "FlateDecode":
-                            raise ValueError(f"unsupported pre-filter /{f}")
-                        from .limits import capped_inflate
-
-                        raw = capped_inflate(raw, "image pre-filter")
-                    import numpy as np
-
-                    from .ccitt import decode_g3, decode_g4
-                    from .imagecodec import encode_raw
-
-                    w = int(self.resolve(parms.get("Columns")) or 1728)
-                    h = int(self.resolve(s.dict.get("Height")) or 0)
-                    if not h:
-                        continue
-                    from .limits import guard_dims
-
-                    guard_dims(w, h, "CCITT image")
-                    black1 = bool(self.resolve(parms.get("BlackIs1")))
-                    align = bool(
-                        self.resolve(parms.get("EncodedByteAlign"))
-                    )
-                    if kval < 0:  # Group 4 (T.6)
-                        gray = decode_g4(
-                            raw, w, h, black_is_1=black1, byte_align=align
-                        )
-                    else:  # Group 3 (T.4): K=0 pure 1D, K>0 mixed
-                        gray = decode_g3(
-                            raw, w, h, k=kval, black_is_1=black1,
-                            byte_align=align,
-                            end_of_line=bool(
-                                self.resolve(parms.get("EndOfLine"))
-                            ),
-                        )
-                    out.append(
-                        encode_raw(np.repeat(gray[:, :, None], 3, axis=2))
-                    )
+                if (not isinstance(s, PdfStream)
+                        or s.dict.get("Subtype") != "Image"):
                     continue
-                if filters and filters[-1] == "JBIG2Decode":
-                    parms = self.resolve(s.dict.get("DecodeParms")) or {}
-                    if isinstance(parms, list):
-                        parms = self.resolve(parms[-1]) or {}
-                    gstream = self.resolve(parms.get("JBIG2Globals"))
-                    gdata = (
-                        gstream.data()
-                        if isinstance(gstream, PdfStream)
-                        else b""
-                    )
-                    raw = s.raw
-                    for f in filters[:-1]:
-                        if f != "FlateDecode":
-                            raise ValueError(f"unsupported pre-filter /{f}")
-                        from .limits import capped_inflate
+                p = self._image_payload(s)
+                if p is not None:
+                    out.append(p)
+        # inline images (fax-era writers and some distillers embed the
+        # page raster straight in the content stream; poppler renders
+        # them like any XObject)
+        try:
+            content = self.page_content(page)
+        except (ValueError, zlib.error):
+            content = b""
+        if _has_token(content, b"BI"):
+            for s in parse_inline_images(content):
+                p = self._image_payload(s)
+                if p is not None:
+                    out.append(p)
+        return out
 
-                        raw = capped_inflate(raw, "image pre-filter")
-                    import numpy as np
+    def _image_payload(self, s: PdfStream) -> bytes | None:
+        """One image stream (XObject or inline) -> engine-decodable
+        payload bytes, or None if broken/unsupported (a broken image
+        never fails the page)."""
+        filt = s.dict.get("Filter")
+        filters = [str(f) for f in (
+            [filt] if isinstance(filt, (PdfName, str)) and filt
+            else (filt or [])
+        )]
+        try:
+            if filters and filters[-1] == "DCTDecode":
+                # apply any preceding filters, hand over the JPEG
+                raw = _apply_prefilters(s.raw, filters[:-1])
+                return raw
+            if filters and filters[-1] == "CCITTFaxDecode":
+                parms = self.resolve(s.dict.get("DecodeParms")) or {}
+                if isinstance(parms, list):
+                    parms = self.resolve(parms[-1]) or {}
+                kval = int(self.resolve(parms.get("K")) or 0)
+                raw = _apply_prefilters(s.raw, filters[:-1])
+                import numpy as np
 
-                    from .imagecodec import encode_raw
-                    from .jbig2 import decode_jbig2_embedded
+                from .ccitt import decode_g3, decode_g4
+                from .imagecodec import encode_raw
 
-                    # generic regions decode; symbol/text-coded streams
-                    # raise and fall through to the skip path
-                    gray = decode_jbig2_embedded(raw, gdata)
-                    out.append(
-                        encode_raw(np.repeat(gray[:, :, None], 3, axis=2))
-                    )
-                    continue
-                if any(f != "FlateDecode" for f in filters):
-                    continue  # unsupported filter: skip
-                samples = s.data()
-                w = int(self.resolve(s.dict.get("Width")) or 0)
+                w = int(
+                    self.resolve(parms.get("Columns"))
+                    or self.resolve(s.dict.get("Width")) or 1728
+                )
                 h = int(self.resolve(s.dict.get("Height")) or 0)
-                bpc = int(self.resolve(s.dict.get("BitsPerComponent")) or 0)
-                cs = str(self.resolve(s.dict.get("ColorSpace")) or "")
-                ch = {"DeviceGray": 1, "DeviceRGB": 3}.get(cs)
-                if not (w and h and bpc == 8 and ch):
-                    continue
-                if len(samples) < w * h * ch:
-                    continue
+                if not h:
+                    return None
+                from .limits import guard_dims
+
+                guard_dims(w, h, "CCITT image")
+                black1 = bool(self.resolve(parms.get("BlackIs1")))
+                align = bool(
+                    self.resolve(parms.get("EncodedByteAlign"))
+                )
+                if kval < 0:  # Group 4 (T.6)
+                    gray = decode_g4(
+                        raw, w, h, black_is_1=black1, byte_align=align
+                    )
+                else:  # Group 3 (T.4): K=0 pure 1D, K>0 mixed
+                    gray = decode_g3(
+                        raw, w, h, k=kval, black_is_1=black1,
+                        byte_align=align,
+                        end_of_line=bool(
+                            self.resolve(parms.get("EndOfLine"))
+                        ),
+                    )
+                return encode_raw(np.repeat(gray[:, :, None], 3, axis=2))
+            if filters and filters[-1] == "JBIG2Decode":
+                parms = self.resolve(s.dict.get("DecodeParms")) or {}
+                if isinstance(parms, list):
+                    parms = self.resolve(parms[-1]) or {}
+                gstream = self.resolve(parms.get("JBIG2Globals"))
+                gdata = (
+                    gstream.data()
+                    if isinstance(gstream, PdfStream)
+                    else b""
+                )
+                raw = _apply_prefilters(s.raw, filters[:-1])
                 import numpy as np
 
                 from .imagecodec import encode_raw
+                from .jbig2 import decode_jbig2_embedded
 
-                arr = np.frombuffer(samples[: w * h * ch], np.uint8).reshape(
-                    (h, w) if ch == 1 else (h, w, 3)
-                )
-                if ch == 1:
-                    arr = np.repeat(arr[:, :, None], 3, axis=2)
-                out.append(encode_raw(arr))
-            except (ValueError, zlib.error):
-                continue  # a broken image XObject never fails the page
-        return out
+                # generic regions decode; symbol/text-coded streams
+                # raise and fall through to the skip path
+                gray = decode_jbig2_embedded(raw, gdata)
+                return encode_raw(np.repeat(gray[:, :, None], 3, axis=2))
+            samples = s.data()  # full supported filter chain or identity
+            w = int(self.resolve(s.dict.get("Width")) or 0)
+            h = int(self.resolve(s.dict.get("Height")) or 0)
+            bpc = int(self.resolve(s.dict.get("BitsPerComponent")) or 0)
+            cs = str(self.resolve(s.dict.get("ColorSpace")) or "")
+            if self.resolve(s.dict.get("ImageMask")):
+                cs, bpc = "DeviceGray", 1  # stencil mask: 1-bit gray
+            ch = {"DeviceGray": 1, "DeviceRGB": 3}.get(cs)
+            if not (w and h and ch and bpc in (1, 8)):
+                return None
+            import numpy as np
+
+            from .imagecodec import encode_raw
+            from .limits import guard_dims
+
+            guard_dims(w, h, "PDF raw image")
+            if bpc == 1:
+                if ch != 1:
+                    return None
+                row_bytes = (w + 7) // 8
+                if len(samples) < row_bytes * h:
+                    return None
+                packed = np.frombuffer(
+                    samples[: row_bytes * h], np.uint8
+                ).reshape(h, row_bytes)
+                bits = np.unpackbits(packed, axis=1)[:, :w]
+                # DeviceGray: 0 = black, 1 = white
+                arr = (bits * 255).astype(np.uint8)
+            else:
+                if len(samples) < w * h * ch:
+                    return None
+                arr = np.frombuffer(
+                    samples[: w * h * ch], np.uint8
+                ).reshape((h, w) if ch == 1 else (h, w, 3))
+            if arr.ndim == 2:
+                arr = np.repeat(arr[:, :, None], 3, axis=2)
+            return encode_raw(arr)
+        except (ValueError, zlib.error):
+            return None  # a broken image never fails the page
 
     def page_content(self, page: dict) -> bytes:
         """Decoded, concatenated content stream bytes of a page."""
@@ -1006,6 +1248,15 @@ def extract_text_lines(content: bytes, fonts: dict | None = None) -> list[str]:
     applies."""
     lines: list[str] = []
     decoder = None
+    if b"BI" in content and _has_token(content, b"BI"):
+        # blank inline-image binary data (it can contain byte runs that
+        # look like text-showing operators) before the operator scan
+        spans = parse_inline_images(content, with_spans=True)
+        if spans:
+            buf = bytearray(content)
+            for start, end, _s in spans:
+                buf[start:end] = b" " * (end - start)
+            content = bytes(buf)
     for m in _TF_OR_TEXT_RE.finditer(content):
         if m.group(1) is not None:  # Tf: switch current font
             if fonts is not None:

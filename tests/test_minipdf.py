@@ -376,3 +376,149 @@ def test_lzw_earlychange_zero_variant():
         {"Filter": PdfName("LZWDecode"),
          "DecodeParms": {"EarlyChange": 0}}, enc)
     assert s.data() == data
+
+
+# ---------------------------------------------- inline images (§8.9.7)
+
+
+def test_inline_image_kinds_roundtrip():
+    """All four inline-image fixture kinds (BI/ID/EI, abbreviated keys)
+    must surface through page_image_payloads exactly like XObjects —
+    poppler renders inline images like any other, pdf2pdfocr.py:56-75
+    inherits that via pdftoppm."""
+    import numpy as np
+
+    from pdf2pdfocr_ray.functions.imagecodec import decode_image
+    from pdf2pdfocr_ray.functions.jpegcodec import decode_jpeg, encode_jpeg
+    from pdf2pdfocr_ray.functions.minipdf import build_scanned_pdf, parse_pdf
+
+    rng = np.random.default_rng(7)
+    gray = rng.integers(0, 256, (40, 60), dtype=np.uint8)
+    rgb = rng.integers(0, 256, (30, 50, 3), dtype=np.uint8)
+    bil = np.where(rng.random((45, 70)) < 0.5, 0, 255).astype(np.uint8)
+    img = rng.integers(0, 256, (32, 48, 3), dtype=np.uint8)
+    jpg = encode_jpeg(img, quality=95)
+
+    pdf = build_scanned_pdf([
+        ("inline_gray", gray),
+        ("inline_rgb", rgb),          # chained [/AHx /Fl]
+        ("inline_g4", bil),           # /CCF /K -1
+        ("inline_dct", jpg, img.shape[1], img.shape[0]),
+    ])
+    doc = parse_pdf(pdf)
+    assert doc.n_pages == 4
+    payloads = [p.image_bytes for p in doc.pages]
+    assert all(p is not None for p in payloads)
+    a = decode_image(payloads[0])
+    assert (a[:, :, 0] == gray).all()
+    b = decode_image(payloads[1])
+    assert (b == rgb).all()
+    c = decode_image(payloads[2])
+    assert (c[:, :, 0] == bil).all()
+    d = decode_image(payloads[3])
+    assert (d == decode_jpeg(jpg)).all()
+
+
+def test_inline_unfiltered_embedded_ei_exact_length_wins():
+    """Unfiltered inline data containing a literal ' EI ' byte run must
+    be cut at its COMPUTED length, not at the first EI-looking token."""
+    from pdf2pdfocr_ray.functions.pdfparse import parse_inline_images
+
+    w, h = 8, 3
+    data = bytearray(range(w * h))
+    data[5:9] = b" EI "
+    content = b"q BI /W 8 /H 3 /CS /G /BPC 8 ID\n" + bytes(data) + b"\nEI Q"
+    imgs = parse_inline_images(content)
+    assert len(imgs) == 1
+    assert imgs[0].raw == bytes(data)
+    assert str(imgs[0].dict["ColorSpace"]) == "DeviceGray"
+
+
+def test_inline_premature_ei_rejected_by_decode_validation():
+    """ASCII85's alphabet contains 'E' and 'I' and ignores whitespace —
+    a spec-valid payload can carry a whitespace-delimited EI token
+    inside the data.  The scanner must reject that split (the truncated
+    chain under-fills the image) and find the real terminator."""
+    import base64
+    import zlib
+
+    import numpy as np
+
+    from pdf2pdfocr_ray.functions.pdfparse import (
+        PdfStream,
+        parse_inline_images,
+    )
+
+    arr = np.random.default_rng(13).integers(0, 256, (16, 16),
+                                             dtype=np.uint8)
+    comp = zlib.compress(bytes(arr))
+    body = base64.a85encode(comp)
+    i = body.find(b"EI")
+    assert i >= 0  # seed 13 chosen so the armor contains adjacent 'EI'
+    evil = body[:i] + b"\nEI\n" + body[i + 2:] + b"~>"
+    content = (b"BI /W 16 /H 16 /CS /G /BPC 8 /F [/A85 /Fl] ID\n"
+               + evil + b"\nEI")
+    imgs = parse_inline_images(content)
+    assert len(imgs) == 1
+    assert PdfStream(imgs[0].dict, imgs[0].raw).data() == bytes(arr)
+
+
+def test_inline_malformed_skipped_never_raises():
+    from pdf2pdfocr_ray.functions.pdfparse import parse_inline_images
+
+    # truncated unfiltered data
+    assert parse_inline_images(
+        b"q BI /W 100 /H 100 /CS /G /BPC 8 ID\nshort") == []
+    # filtered data that never decodes and has no EI
+    assert parse_inline_images(
+        b"BI /W 10 /H 10 /CS /G /BPC 8 /F /Fl ID\nnotdeflate") == []
+    # BI with garbage dict
+    assert parse_inline_images(b"x BI 42 bogus ID\nzz\nEI") == []
+    # literal-string '(BI)' is not a BI operator
+    assert parse_inline_images(b"BT (BI) Tj ET") == []
+
+
+def test_inline_binary_blanked_from_text_extraction():
+    """Inline image bytes that happen to contain '(...) Tj' must not
+    leak phantom lines into extract_text_lines."""
+    from pdf2pdfocr_ray.functions.pdfparse import extract_text_lines
+
+    fake = b"(fake text) Tj"
+    blob = bytes(range(64))[:30] + fake + bytes(20)
+    assert len(blob) == 64
+    content = (b"BT /F1 12 Tf (real line) Tj ET\n"
+               b"BI /W 8 /H 8 /CS /G /BPC 8 ID\n" + blob + b"\nEI\n"
+               b"BT (second real) Tj ET")
+    assert extract_text_lines(content) == ["real line", "second real"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_inline_scanned_pdf_through_flagship_byte_identical():
+    """Inline-image scanned pages end-to-end: the flagship must OCR
+    BI/ID/EI rasters back to the exact source text."""
+    import numpy as np
+    import ray.data
+
+    from pdf2pdfocr_ray.functions.minipdf import build_scanned_pdf
+    from pdf2pdfocr_ray.functions.pagerender import render_page
+    from pdf2pdfocr_ray.pipelines.extract import extract
+
+    pages_lines = [["Inline gray page 1"], ["Inline fax page 22"]]
+    img0 = render_page(pages_lines[0], dpi=72)
+    img1 = render_page(pages_lines[1], dpi=72)
+    frames = [
+        ("inline_gray", np.ascontiguousarray(img0[:, :, 0])),
+        ("inline_g4",
+         np.where(img1.mean(axis=2) < 128, 0, 255).astype(np.uint8)),
+    ]
+    pdf = build_scanned_pdf(frames)
+    ds = ray.data.from_items(
+        [{"url": "https://e.org/inline-scan", "warc_ts": 0, "html": pdf,
+          "text": "", "lang": ""}]
+    )
+    res = extract(ds).to_pandas()
+    assert len(res) == 1
+    assert res["error"][0] is None
+    expect = "".join("\n".join(ls) + "\n" for ls in pages_lines)
+    assert res["extracted_text"][0] == expect
+    assert res["n_pages"][0] == 2
