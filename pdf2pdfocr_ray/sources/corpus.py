@@ -401,7 +401,7 @@ GIANT_EVERY = 150  # every 150th doc is a skewed giant PDF (repartition/skew pat
 
 # Bump when generated content changes — cache keys (bench corpus dirs)
 # embed it so stale corpora from earlier generators never get reused.
-CORPUS_VERSION = "r5j"  # r3: WebP image docs; r3b/c: scanned-page PDFs
+CORPUS_VERSION = "r5k"  # r3: WebP image docs; r3b/c: scanned-page PDFs
 # (DCT / gray-Flate / CCITT-G4 / JBIG2 embedded images, 2% of docs);
 # r3d: realistic HTML variants (inline markup, nested script junk,
 # blockquotes, unclosed tags, BOM payloads); r4a: lossy-VP8 image docs;
@@ -428,7 +428,9 @@ CORPUS_VERSION = "r5j"  # r3: WebP image docs; r3b/c: scanned-page PDFs
 # r5j: foreign-PDF text drawn from FOREIGN_VOCAB (adds currency signs,
 # fractions, guillemets, cp1252-region letters...) so the byte-identity
 # gate certifies the widened AGL glyph-name table AND the matching 5x7
-# font extension (foreign PDFs rasterize + OCR in the flagship)
+# font extension (foreign PDFs rasterize + OCR in the flagship);
+# r5k: INLINE-image scanned pages (BI/ID/EI, PDF 1.7 §8.9.7 — gray/Fl,
+# RGB/[AHx Fl] chained armor, G4/CCF, DCT) next to the XObject forms
 
 
 def _gen_doc(i: int, seed: int):
@@ -517,23 +519,34 @@ def _gen_doc(i: int, seed: int):
                              transform=0 if enc < 0.04 else 2),
                          img.shape[1], img.shape[0])
                     )
-                else:
+                elif enc < 0.21:
                     frames.append(
                         ("jpeg", encode_jpeg(img, quality=95),
                          img.shape[1], img.shape[0])
                     )
+                else:  # r5k: inline DCT (BI/ID/EI in the content stream)
+                    frames.append(
+                        ("inline_dct", encode_jpeg(img, quality=95),
+                         img.shape[1], img.shape[0])
+                    )
             elif enc < 0.5:
-                frames.append(
-                    ("gray", img.mean(axis=2).astype(np.uint8))
-                )
+                gray8 = img.mean(axis=2).astype(np.uint8)
+                if enc < 0.42:
+                    frames.append(("gray", gray8))
+                elif enc < 0.46:  # r5k: inline gray /Fl
+                    frames.append(("inline_gray", gray8))
+                else:  # r5k: inline RGB through chained [/AHx /Fl]
+                    frames.append(("inline_rgb", img))
             else:
                 bil = np.where(img.mean(axis=2) < 128, 0, 255).astype(
                     np.uint8
                 )
-                kind3 = ("g4" if enc < 0.675
-                         else "g3" if enc < 0.75      # fax-era 1D (K=0)
-                         else "g3_2d" if enc < 0.8    # mixed T.4 (K>0)
-                         else "jbig2" if enc < 0.9 else "jbig2sym")
+                kind3 = ("g4" if enc < 0.66
+                         else "g3" if enc < 0.73      # fax-era 1D (K=0)
+                         else "g3_2d" if enc < 0.79   # mixed T.4 (K>0)
+                         else "jbig2" if enc < 0.87
+                         else "jbig2sym" if enc < 0.95
+                         else "inline_g4")  # r5k: inline /CCF K=-1
                 frames.append((kind3, bil))
             parts.append(normalize_ligatures("\n".join(lines)) + "\n")
         payload = build_scanned_pdf(frames)
