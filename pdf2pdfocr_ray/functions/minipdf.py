@@ -515,7 +515,18 @@ def build_scanned_pdf(
     ``("inline_gray", ndarray)`` -> /CS /G /BPC 8 /F /Fl,
     ``("inline_rgb", ndarray_hw3)`` -> /CS /RGB /F [/AHx /Fl] (chained
     ASCII armor), ``("inline_g4", bilevel_ndarray)`` -> /F /CCF with
-    /K -1, and ``("inline_dct", jpeg_bytes, w, h)`` -> /F /DCT."""
+    /K -1, and ``("inline_dct", jpeg_bytes, w, h)`` -> /F /DCT.
+
+    Colorspace kinds (§8.6, the non-device forms real crawled PDFs
+    carry): ``("indexed", ndarray_hw3)`` -> [/Indexed /DeviceRGB hival
+    <palette>] 8-bit indices, ``("indexed4", ndarray_hw3)`` -> 4-bit
+    indices (<=16 distinct colors), ``("icc_gray", ndarray)`` /
+    ``("icc_rgb", ndarray_hw3)`` -> [/ICCBased stream] with /N 1 / 3
+    (profile bytes deliberately junk — readers fall back to the
+    component count), ``("cmyk_raw", ndarray_hw3)`` -> /DeviceCMYK
+    4-component samples, ``("gray4", ndarray)`` -> 4-bit /DeviceGray,
+    and ``("raw1_invert", bilevel_ndarray)`` -> packed 1-bit gray with
+    /Decode [1 0] (photometric inversion)."""
     import zlib as _zlib
 
     objs: list[bytes] = []
@@ -599,6 +610,101 @@ def build_scanned_pdf(
                 % (w, h, len(payload))
                 + payload
                 + b"\nendstream"
+            )
+        elif frame[0] in ("indexed", "indexed4"):
+            import numpy as np
+
+            arr = frame[1]
+            h, w = arr.shape[:2]
+            flat = arr.reshape(-1, 3)
+            pal, inv = np.unique(flat, axis=0, return_inverse=True)
+            if frame[0] == "indexed4":
+                if len(pal) > 16:
+                    raise ValueError("indexed4 fixture needs <=16 colors")
+                idx = inv.reshape(h, w).astype(np.uint8)
+                nib = np.zeros((h, (w + 1) // 2 * 2), np.uint8)
+                nib[:, :w] = idx
+                packed = (nib[:, 0::2] << 4) | nib[:, 1::2]
+                samples, bpc = packed.tobytes(), 4
+            else:
+                if len(pal) > 256:
+                    raise ValueError("indexed fixture needs <=256 colors")
+                samples, bpc = inv.astype(np.uint8).tobytes(), 8
+            import binascii
+
+            comp = _zlib.compress(samples)
+            pal_hex = binascii.hexlify(pal.astype(np.uint8).tobytes())
+            img_no = add(
+                b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "
+                b"/ColorSpace [/Indexed /DeviceRGB %d <%s>] "
+                b"/BitsPerComponent %d /Filter /FlateDecode /Length %d "
+                b">>\nstream\n" % (w, h, len(pal) - 1, pal_hex, bpc,
+                                   len(comp))
+                + comp + b"\nendstream"
+            )
+        elif frame[0] in ("icc_gray", "icc_rgb"):
+            arr = frame[1]
+            h, w = arr.shape[:2]
+            ncomp = 3 if frame[0] == "icc_rgb" else 1
+            prof = _zlib.compress(b"\x00" * 128)  # junk profile: /N rules
+            icc_no = add(
+                b"<< /N %d /Filter /FlateDecode /Length %d >>\nstream\n"
+                % (ncomp, len(prof)) + prof + b"\nendstream"
+            )
+            comp = _zlib.compress(bytes(arr))
+            img_no = add(
+                b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "
+                b"/ColorSpace [/ICCBased %d 0 R] /BitsPerComponent 8 "
+                b"/Filter /FlateDecode /Length %d >>\nstream\n"
+                % (w, h, icc_no, len(comp))
+                + comp + b"\nendstream"
+            )
+        elif frame[0] == "cmyk_raw":
+            import numpy as np
+
+            rgb = frame[1].astype(np.int32)
+            h, w = rgb.shape[:2]
+            # exact-inverse pair of the reader's r = 255 - min(c+k, 255)
+            k = 255 - rgb.max(axis=2)
+            cmy = 255 - rgb - k[:, :, None]
+            cmyk = np.concatenate([cmy, k[:, :, None]], axis=2)
+            comp = _zlib.compress(cmyk.astype(np.uint8).tobytes())
+            img_no = add(
+                b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "
+                b"/ColorSpace /DeviceCMYK /BitsPerComponent 8 "
+                b"/Filter /FlateDecode /Length %d >>\nstream\n"
+                % (w, h, len(comp)) + comp + b"\nendstream"
+            )
+        elif frame[0] == "gray4":
+            import numpy as np
+
+            arr = frame[1]
+            h, w = arr.shape[:2]
+            idx = (arr >> 4).astype(np.uint8)  # 4-bit quantization
+            nib = np.zeros((h, (w + 1) // 2 * 2), np.uint8)
+            nib[:, :w] = idx
+            packed = (nib[:, 0::2] << 4) | nib[:, 1::2]
+            comp = _zlib.compress(packed.tobytes())
+            img_no = add(
+                b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "
+                b"/ColorSpace /DeviceGray /BitsPerComponent 4 "
+                b"/Filter /FlateDecode /Length %d >>\nstream\n"
+                % (w, h, len(comp)) + comp + b"\nendstream"
+            )
+        elif frame[0] == "raw1_invert":
+            import numpy as np
+
+            arr = frame[1]  # bilevel 0/255
+            h, w = arr.shape[:2]
+            # store INVERTED bits (1 = black) + /Decode [1 0] to flip back
+            bits = (arr < 128).astype(np.uint8)
+            packed = np.packbits(bits, axis=1)
+            comp = _zlib.compress(packed.tobytes())
+            img_no = add(
+                b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "
+                b"/ColorSpace /DeviceGray /BitsPerComponent 1 "
+                b"/Decode [1 0] /Filter /FlateDecode /Length %d "
+                b">>\nstream\n" % (w, h, len(comp)) + comp + b"\nendstream"
             )
         elif frame[0] in ("inline_gray", "inline_rgb", "inline_g4",
                           "inline_dct"):

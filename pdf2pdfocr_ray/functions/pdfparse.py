@@ -414,6 +414,24 @@ def _has_token(data: bytes, tok: bytes) -> bool:
     return _find_token(data, tok, 0) >= 0
 
 
+def _decode_is_inverted(decode, ch: int, bpc: int,
+                        indexed: bool) -> bool:
+    """True when a /Decode array fully inverts the samples (the [1 0]
+    per-component form — the one inversion real writers emit, e.g. for
+    photometric-inverted fax rasters).  Indexed images invert over
+    [0, 2^bpc - 1] per §8.9.5.2.  Other decode ramps are ignored
+    (treated as default)."""
+    if not isinstance(decode, list) or len(decode) != 2 * ch:
+        return False
+    try:
+        vals = [float(x) for x in decode]
+    except (TypeError, ValueError):
+        return False
+    hi = float((1 << bpc) - 1) if indexed else 1.0
+    return all(vals[2 * i] == hi and vals[2 * i + 1] == 0.0
+               for i in range(ch))
+
+
 def _normalize_inline_dict(d: dict) -> dict:
     out: dict = {}
     for k, v in d.items():
@@ -428,6 +446,13 @@ def _normalize_inline_dict(d: dict) -> dict:
     cs = out.get("ColorSpace")
     if isinstance(cs, (PdfName, str)):
         out["ColorSpace"] = PdfName(_INLINE_CS.get(str(cs), str(cs)))
+    elif isinstance(cs, list) and cs and isinstance(cs[0], (PdfName, str)):
+        # inline [/I base hival <palette>] — expand the head and base
+        expanded = list(cs)
+        expanded[0] = PdfName(_INLINE_CS.get(str(cs[0]), str(cs[0])))
+        if len(cs) >= 2 and isinstance(cs[1], (PdfName, str)):
+            expanded[1] = PdfName(_INLINE_CS.get(str(cs[1]), str(cs[1])))
+        out["ColorSpace"] = expanded
     return out
 
 
@@ -443,8 +468,13 @@ def _inline_unfiltered_len(d: dict) -> int | None:
             ch = 1
             bpc = 1
         else:
-            ch = {"DeviceGray": 1, "DeviceRGB": 3,
-                  "DeviceCMYK": 4}.get(str(d.get("ColorSpace") or ""), 0)
+            cs = d.get("ColorSpace")
+            if (isinstance(cs, list) and cs
+                    and str(cs[0]) in ("Indexed", "I")):
+                ch = 1  # indexed: one palette index per sample
+            else:
+                ch = {"DeviceGray": 1, "DeviceRGB": 3,
+                      "DeviceCMYK": 4}.get(str(cs or ""), 0)
     except (TypeError, ValueError):
         return None
     if not (w and h and bpc and ch):
@@ -1077,11 +1107,15 @@ class PdfDocument:
             w = int(self.resolve(s.dict.get("Width")) or 0)
             h = int(self.resolve(s.dict.get("Height")) or 0)
             bpc = int(self.resolve(s.dict.get("BitsPerComponent")) or 0)
-            cs = str(self.resolve(s.dict.get("ColorSpace")) or "")
+            base, palette = self._resolve_colorspace(
+                s.dict.get("ColorSpace"))
             if self.resolve(s.dict.get("ImageMask")):
-                cs, bpc = "DeviceGray", 1  # stencil mask: 1-bit gray
-            ch = {"DeviceGray": 1, "DeviceRGB": 3}.get(cs)
-            if not (w and h and ch and bpc in (1, 8)):
+                base, palette, bpc = "DeviceGray", None, 1  # stencil mask
+            ch = {"DeviceGray": 1, "DeviceRGB": 3,
+                  "DeviceCMYK": 4}.get(base, 0)
+            if palette is not None:
+                ch = 1  # indexed: samples are palette indices
+            if not (w and h and ch and bpc in (1, 2, 4, 8)):
                 return None
             import numpy as np
 
@@ -1089,29 +1123,110 @@ class PdfDocument:
             from .limits import guard_dims
 
             guard_dims(w, h, "PDF raw image")
-            if bpc == 1:
+            if bpc < 8:
                 if ch != 1:
-                    return None
-                row_bytes = (w + 7) // 8
+                    return None  # sub-byte samples: gray/indexed only
+                row_bytes = (w * bpc + 7) // 8
                 if len(samples) < row_bytes * h:
                     return None
                 packed = np.frombuffer(
                     samples[: row_bytes * h], np.uint8
                 ).reshape(h, row_bytes)
-                bits = np.unpackbits(packed, axis=1)[:, :w]
-                # DeviceGray: 0 = black, 1 = white
-                arr = (bits * 255).astype(np.uint8)
+                bits = np.unpackbits(packed, axis=1)
+                vals = bits.reshape(h, -1, bpc)
+                weights = 1 << np.arange(bpc - 1, -1, -1)
+                idx = (vals * weights).sum(axis=2)[:, :w].astype(np.uint8)
             else:
                 if len(samples) < w * h * ch:
                     return None
-                arr = np.frombuffer(
+                idx = np.frombuffer(
                     samples[: w * h * ch], np.uint8
-                ).reshape((h, w) if ch == 1 else (h, w, 3))
+                ).reshape((h, w) if ch == 1 else (h, w, ch))
+            if _decode_is_inverted(
+                    self.resolve(s.dict.get("Decode")),
+                    ch, bpc, palette is not None):
+                idx = ((1 << bpc) - 1 - idx.astype(np.int32)).astype(
+                    np.uint8) if bpc < 8 else (255 - idx)
+            if palette is not None:
+                hival = palette.shape[0] - 1
+                arr = palette[np.minimum(idx, hival)]
+            elif ch == 4:  # DeviceCMYK: r = 255 - min(c + k, 255)
+                c = idx.astype(np.int32)
+                k = c[:, :, 3]
+                arr = (255 - np.minimum(c[:, :, :3] + k[:, :, None], 255)
+                       ).astype(np.uint8)
+            elif bpc < 8:  # sub-byte gray: scale indices to full range
+                arr = (idx.astype(np.uint16) * 255
+                       // ((1 << bpc) - 1)).astype(np.uint8)
+            else:
+                arr = idx
             if arr.ndim == 2:
                 arr = np.repeat(arr[:, :, None], 3, axis=2)
-            return encode_raw(arr)
+            return encode_raw(np.ascontiguousarray(arr))
         except (ValueError, zlib.error):
             return None  # a broken image never fails the page
+
+    def _resolve_colorspace(self, cs):
+        """PDF image colorspace -> (device base name, palette | None).
+
+        Handles the forms real crawled PDFs actually carry: the device
+        names, [/ICCBased stream] via its /N component count (the
+        profile itself is never parsed — poppler falls back the same
+        way when a profile is broken), [/CalRGB dict] / [/CalGray dict]
+        as their device equivalents, and [/Indexed base hival lookup]
+        with a string or stream palette (base resolved recursively, so
+        /Indexed-over-/ICCBased works).  Returns ("", None) for
+        anything else (Separation, Lab, Pattern...)."""
+        import numpy as np
+
+        cs = self.resolve(cs)
+        if isinstance(cs, (PdfName, str)):
+            name = str(cs)
+            return ({"DeviceGray": "DeviceGray", "DeviceRGB": "DeviceRGB",
+                     "DeviceCMYK": "DeviceCMYK", "CalGray": "DeviceGray",
+                     "CalRGB": "DeviceRGB", "G": "DeviceGray",
+                     "RGB": "DeviceRGB", "CMYK": "DeviceCMYK",
+                     }.get(name, ""), None)
+        if not isinstance(cs, list) or not cs:
+            return "", None
+        head = str(self.resolve(cs[0]) or "")
+        if head == "ICCBased" and len(cs) >= 2:
+            prof = self.resolve(cs[1])
+            n = 0
+            if isinstance(prof, PdfStream):
+                n = int(self.resolve(prof.dict.get("N")) or 0)
+            return ({1: "DeviceGray", 3: "DeviceRGB",
+                     4: "DeviceCMYK"}.get(n, ""), None)
+        if head == "CalRGB":
+            return "DeviceRGB", None
+        if head == "CalGray":
+            return "DeviceGray", None
+        if head in ("Indexed", "I") and len(cs) >= 4:
+            base, base_pal = self._resolve_colorspace(cs[1])
+            if base_pal is not None or base not in (
+                    "DeviceGray", "DeviceRGB", "DeviceCMYK"):
+                return "", None
+            nb = {"DeviceGray": 1, "DeviceRGB": 3, "DeviceCMYK": 4}[base]
+            hival = int(self.resolve(cs[2]) or 0)
+            lookup = self.resolve(cs[3])
+            if isinstance(lookup, PdfStream):
+                lookup = lookup.data()
+            if not isinstance(lookup, (bytes, bytearray)):
+                return "", None
+            need = (hival + 1) * nb
+            if hival < 0 or hival > 255 or len(lookup) < need:
+                return "", None
+            pal = np.frombuffer(
+                bytes(lookup[:need]), np.uint8).reshape(hival + 1, nb)
+            if nb == 1:
+                pal = np.repeat(pal, 3, axis=1)
+            elif nb == 4:  # CMYK palette -> RGB, same transform as images
+                k = pal[:, 3].astype(np.int32)
+                pal = (255 - np.minimum(
+                    pal[:, :3].astype(np.int32) + k[:, None], 255)
+                       ).astype(np.uint8)
+            return base, pal
+        return "", None
 
     def page_content(self, page: dict) -> bytes:
         """Decoded, concatenated content stream bytes of a page."""

@@ -401,7 +401,7 @@ GIANT_EVERY = 150  # every 150th doc is a skewed giant PDF (repartition/skew pat
 
 # Bump when generated content changes — cache keys (bench corpus dirs)
 # embed it so stale corpora from earlier generators never get reused.
-CORPUS_VERSION = "r5k"  # r3: WebP image docs; r3b/c: scanned-page PDFs
+CORPUS_VERSION = "r5l"  # r3: WebP image docs; r3b/c: scanned-page PDFs
 # (DCT / gray-Flate / CCITT-G4 / JBIG2 embedded images, 2% of docs);
 # r3d: realistic HTML variants (inline markup, nested script junk,
 # blockquotes, unclosed tags, BOM payloads); r4a: lossy-VP8 image docs;
@@ -430,7 +430,10 @@ CORPUS_VERSION = "r5k"  # r3: WebP image docs; r3b/c: scanned-page PDFs
 # gate certifies the widened AGL glyph-name table AND the matching 5x7
 # font extension (foreign PDFs rasterize + OCR in the flagship);
 # r5k: INLINE-image scanned pages (BI/ID/EI, PDF 1.7 §8.9.7 — gray/Fl,
-# RGB/[AHx Fl] chained armor, G4/CCF, DCT) next to the XObject forms
+# RGB/[AHx Fl] chained armor, G4/CCF, DCT) next to the XObject forms;
+# r5l: non-device image colorspaces (§8.6: [/Indexed /DeviceRGB],
+# [/ICCBased /N 1], /DeviceCMYK raw, 4-bit gray, /Decode [1 0]
+# photometric-inverted 1-bit) in the scanned-page rotation
 
 
 def _gen_doc(i: int, seed: int):
@@ -531,12 +534,21 @@ def _gen_doc(i: int, seed: int):
                     )
             elif enc < 0.5:
                 gray8 = img.mean(axis=2).astype(np.uint8)
-                if enc < 0.42:
+                if enc < 0.36:
                     frames.append(("gray", gray8))
-                elif enc < 0.46:  # r5k: inline gray /Fl
+                elif enc < 0.40:  # r5k: inline gray /Fl
                     frames.append(("inline_gray", gray8))
-                else:  # r5k: inline RGB through chained [/AHx /Fl]
+                elif enc < 0.43:  # r5k: inline RGB, chained [/AHx /Fl]
                     frames.append(("inline_rgb", img))
+                # r5l: non-device colorspace forms (§8.6)
+                elif enc < 0.45:  # 4-bit /DeviceGray
+                    frames.append(("gray4", gray8))
+                elif enc < 0.47:  # /DeviceCMYK raw samples
+                    frames.append(("cmyk_raw", img))
+                elif enc < 0.485:  # [/ICCBased /N 1]
+                    frames.append(("icc_gray", gray8))
+                else:  # [/Indexed /DeviceRGB hival <pal>]
+                    frames.append(("indexed", img))
             else:
                 bil = np.where(img.mean(axis=2) < 128, 0, 255).astype(
                     np.uint8
@@ -544,9 +556,10 @@ def _gen_doc(i: int, seed: int):
                 kind3 = ("g4" if enc < 0.66
                          else "g3" if enc < 0.73      # fax-era 1D (K=0)
                          else "g3_2d" if enc < 0.79   # mixed T.4 (K>0)
-                         else "jbig2" if enc < 0.87
-                         else "jbig2sym" if enc < 0.95
-                         else "inline_g4")  # r5k: inline /CCF K=-1
+                         else "jbig2" if enc < 0.86
+                         else "jbig2sym" if enc < 0.93
+                         else "inline_g4" if enc < 0.97  # r5k: /CCF K=-1
+                         else "raw1_invert")  # r5l: /Decode [1 0] 1-bit
                 frames.append((kind3, bil))
             parts.append(normalize_ligatures("\n".join(lines)) + "\n")
         payload = build_scanned_pdf(frames)

@@ -522,3 +522,107 @@ def test_inline_scanned_pdf_through_flagship_byte_identical():
     expect = "".join("\n".join(ls) + "\n" for ls in pages_lines)
     assert res["extracted_text"][0] == expect
     assert res["n_pages"][0] == 2
+
+
+# ------------------------------------- image colorspaces (§8.6/§8.9.5)
+
+
+def test_colorspace_kinds_roundtrip():
+    """The non-device colorspace forms real crawled PDFs carry must
+    decode to exact pixels: Indexed (8- and 4-bit indices), ICCBased
+    via /N (profile bytes ignored), DeviceCMYK raw samples, 4-bit
+    gray, and a 1-bit raster inverted via /Decode [1 0]."""
+    import numpy as np
+
+    from pdf2pdfocr_ray.functions.imagecodec import decode_image
+    from pdf2pdfocr_ray.functions.minipdf import build_scanned_pdf, parse_pdf
+
+    rng = np.random.default_rng(11)
+    pal_colors = rng.integers(0, 256, (12, 3), dtype=np.uint8)
+    rgb = pal_colors[rng.integers(0, 12, (25, 33))]
+    pal4 = rng.integers(0, 256, (7, 3), dtype=np.uint8)
+    rgb4 = pal4[rng.integers(0, 7, (19, 21))]
+    gray = rng.integers(0, 256, (22, 31), dtype=np.uint8)
+    rgbf = rng.integers(0, 256, (18, 27, 3), dtype=np.uint8)
+    bil = np.where(rng.random((40, 57)) < 0.5, 0, 255).astype(np.uint8)
+
+    pdf = build_scanned_pdf([
+        ("indexed", rgb), ("indexed4", rgb4),
+        ("icc_gray", gray), ("icc_rgb", rgbf),
+        ("cmyk_raw", rgbf), ("gray4", gray), ("raw1_invert", bil),
+    ])
+    doc = parse_pdf(pdf)
+    ps = [p.image_bytes for p in doc.pages]
+    assert all(p is not None for p in ps)
+    assert (decode_image(ps[0]) == rgb).all()
+    assert (decode_image(ps[1]) == rgb4).all()
+    assert (decode_image(ps[2])[:, :, 0] == gray).all()
+    assert (decode_image(ps[3]) == rgbf).all()
+    # CMYK writer/reader pair is an exact inverse (r = 255 - min(c+k,255))
+    assert (decode_image(ps[4]) == rgbf).all()
+    expect4 = ((gray >> 4).astype(np.uint16) * 255 // 15).astype(np.uint8)
+    assert (decode_image(ps[5])[:, :, 0] == expect4).all()
+    assert (decode_image(ps[6])[:, :, 0] == bil).all()
+
+
+def test_inline_indexed_abbreviated_colorspace():
+    """Inline [/I /RGB hival <palette>] expands through the abbreviation
+    map; /Decode [255 0] inverts the indices (clamped to hival)."""
+    import binascii
+    import zlib
+
+    import numpy as np
+
+    from pdf2pdfocr_ray.functions.imagecodec import decode_image
+    from pdf2pdfocr_ray.functions.minipdf import build_scanned_pdf
+    from pdf2pdfocr_ray.functions.pdfparse import (
+        PdfDocument,
+        parse_inline_images,
+    )
+
+    pal = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255], [9, 9, 9]],
+                   dtype=np.uint8)
+    idx = np.array([[0, 1, 2, 3], [3, 2, 1, 0]], dtype=np.uint8)
+    comp = zlib.compress(idx.tobytes())
+    palhex = binascii.hexlify(pal.tobytes())
+    doc = PdfDocument(
+        build_scanned_pdf([("gray", np.zeros((2, 2), np.uint8))]))
+
+    content = (b"BI /W 4 /H 2 /CS [/I /RGB 3 <" + palhex
+               + b">] /BPC 8 /F /Fl ID\n" + comp + b"\nEI")
+    (img,) = parse_inline_images(content)
+    assert (decode_image(doc._image_payload(img)) == pal[idx]).all()
+
+    content2 = (b"BI /W 4 /H 2 /CS [/I /RGB 3 <" + palhex
+                + b">] /BPC 8 /D [255 0] /F /Fl ID\n" + comp + b"\nEI")
+    (img2,) = parse_inline_images(content2)
+    inv = np.minimum((255 - idx).astype(np.uint8), 3)
+    assert (decode_image(doc._image_payload(img2)) == pal[inv]).all()
+
+
+def test_unsupported_colorspaces_skip_cleanly():
+    """Separation / Lab / bad palettes must return no payload, never
+    raise (callers fall back to blank-page behavior)."""
+    import numpy as np
+
+    from pdf2pdfocr_ray.functions.minipdf import build_scanned_pdf
+    from pdf2pdfocr_ray.functions.pdfparse import (
+        PdfDocument,
+        PdfName,
+        PdfStream,
+    )
+
+    doc = PdfDocument(
+        build_scanned_pdf([("gray", np.zeros((2, 2), np.uint8))]))
+    mk = lambda cs, raw=bytes(16): PdfStream(
+        {"Width": 4, "Height": 4, "BitsPerComponent": 8,
+         "ColorSpace": cs}, raw)
+    assert doc._image_payload(mk(PdfName("Separation"))) is None
+    assert doc._image_payload(mk([PdfName("Lab"), {}])) is None
+    # short palette
+    assert doc._image_payload(
+        mk([PdfName("Indexed"), PdfName("DeviceRGB"), 200, b"xx"])) is None
+    # hival out of range
+    assert doc._image_payload(
+        mk([PdfName("Indexed"), PdfName("DeviceRGB"), 999,
+            bytes(3000)])) is None

@@ -136,6 +136,33 @@ def test_gzip_residue_payloads_transparently_decompress():
     assert sniff_route(t2).column("route").to_pylist() == [ROUTE_ERROR]
 
 
+
+
+def _scanned_inline_and_colorspace_pdf() -> bytes:
+    """Fuzz base: a scanned PDF mixing inline images (BI/ID/EI) and the
+    round-5l colorspace forms, so bit-flips hit the inline scanner, the
+    palette/ICC resolution and the /Decode inversion paths."""
+    import numpy as np
+
+    from pdf2pdfocr_ray.functions.jpegcodec import encode_jpeg
+    from pdf2pdfocr_ray.functions.minipdf import build_scanned_pdf
+
+    rng = np.random.default_rng(99)
+    img = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+    gray = img[:, :, 0].copy()
+    bil = np.where(gray < 128, 0, 255).astype(np.uint8)
+    return build_scanned_pdf([
+        ("inline_gray", gray),
+        ("inline_rgb", img),
+        ("inline_g4", bil),
+        ("inline_dct", encode_jpeg(img, 90), 24, 24),
+        ("indexed", (img // 64) * 64),
+        ("icc_gray", gray),
+        ("cmyk_raw", img),
+        ("gray4", gray),
+        ("raw1_invert", bil),
+    ])
+
 def test_fanout_truncation_fuzz_round5_kinds():
     """300 random truncations of every round-5 container kind (tiled
     TIFF, 16-bit TIFF, EXIF JPEG, ASCII85 PDF, gzip HTML, zlib HTML)
@@ -169,6 +196,7 @@ def test_fanout_truncation_fuzz_round5_kinds():
             mtime=0),
         zlib.compress(
             b"<html><body><p>" + b"y" * 64 + b"</p></body></html>", 6),
+        _scanned_inline_and_colorspace_pdf(),
     ]
     payloads, urls = [], []
     for bi, b in enumerate(bases):
@@ -306,6 +334,7 @@ def test_fanout_bitflip_fuzz_never_stalls():
             mtime=0),
         zlib.compress(
             b"<html><body><p>" + b"y" * 64 + b"</p></body></html>", 6),
+        _scanned_inline_and_colorspace_pdf(),
     ]
     payloads, urls = [], []
     for bi, b in enumerate(bases):
