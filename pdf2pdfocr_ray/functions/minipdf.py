@@ -225,9 +225,10 @@ def parse_pdf(data: bytes) -> MiniPdfDoc:
                     )
                 )
             else:
-                lines = extract_text_lines(
-                    doc.page_content(pd_), doc.page_font_decoders(pd_)
-                )
+                # expanded content: Form XObject invocations spliced in
+                # at their Do sites with per-form font scoping (§8.10)
+                content, fonts = doc.page_content_expanded(pd_)
+                lines = extract_text_lines(content, fonts)
                 if lines:
                     pages.append(PageSpec(lines=lines, dpi=72))
                 else:
@@ -298,6 +299,7 @@ def build_foreign_pdf(
     incremental: bool = False,
     stream_filter: str = "flate",
     text_encoding: str = "plain",
+    form_mode: str = "none",
 ) -> bytes:
     """Build a REAL-WORLD-syntax PDF the engine did not write itself —
     the tolerance fixture for the pdfparse front end.  Features exercised:
@@ -319,6 +321,18 @@ def build_foreign_pdf(
       glyph names (uniXXXX fallback) — the subset-font idiom;
     * ``tounicode`` — 2-byte codes with a /ToUnicode CMap (bfchar +
       bfrange, codespacerange <0000><FFFF>) — the composite-font idiom.
+
+    ``form_mode`` exercises Form XObjects (§8.10 — writers routinely
+    wrap page text in forms, which poppler walks transparently):
+
+    * ``none`` — text ops directly in the page content (bytes unchanged
+      vs the historical builder);
+    * ``wrap`` — ALL text lives in one form invoked via ``/Fx0 Do``;
+      the font sits in the FORM's resources, not the page's;
+    * ``split`` — first half of the lines in the page content, the rest
+      in a form invoked after them (content-order splicing);
+    * ``nested`` — the page invokes form A, which only invokes form B,
+      which carries the text (depth-2 recursion + two renames).
     """
     import zlib as _zlib
 
@@ -407,14 +421,17 @@ def build_foreign_pdf(
             return bytes(out)
         return line.encode("utf-8")
 
-    kid_nos = []
-    for li, lines in enumerate(pages_lines):
-        ops = [b"BT /F1 11 Tf 40 700 Td"]
-        for i, line in enumerate(lines):
-            if i:
+    def line_ops(lines: list[str], li: int, i0: int,
+                 y0: int) -> list[bytes]:
+        """Text-showing ops for a run of lines; style indices stay tied
+        to the ABSOLUTE line index so form modes shuffle structure, not
+        string bytes."""
+        ops = [b"BT /F1 11 Tf 40 %d Td" % y0]
+        for j, line in enumerate(lines):
+            if j:
                 ops.append(b"0 -13 Td")
-            style = (li + i) % 3
-            if style == 0 and len(line) > 2:  # TJ kerning array, split line
+            style = (li + i0 + j) % 3
+            if style == 0 and len(line) > 2:  # TJ kerning array
                 cut = len(line) // 2  # char boundary, never mid-codepoint
                 ops.append(
                     b"[(" + _esc_raw(enc_line(line[:cut])) + b") -250 ("
@@ -427,20 +444,64 @@ def build_foreign_pdf(
             else:  # literal
                 ops.append(b"(" + _esc_raw(enc_line(line)) + b") Tj")
         ops.append(b"ET")
-        raw = b" ".join(ops)
+        return ops
+
+    def add_stream(raw: bytes, extra: bytes = b"") -> int:
+        """Content/form stream in the chosen filter with an INDIRECT
+        /Length object (the foreign-writer idiom)."""
         filt_clause, comp = _encode_content_stream(raw, stream_filter)
         len_no = next_no + 1  # the /Length object written right after
-        cont_no = add(
-            b"<< /Length %d 0 R " % len_no + filt_clause + b" >>\r\nstream\r\n"
-            + comp
-            + b"\r\nendstream"
+        no = add(
+            b"<< " + extra + b"/Length %d 0 R " % len_no + filt_clause
+            + b" >>\r\nstream\r\n" + comp + b"\r\nendstream"
         )
         add(b"%d" % len(comp))
+        return no
+
+    font_res = b"/Font << /F1 %d 0 R >> " % font_no
+    kid_nos = []
+    for li, lines in enumerate(pages_lines):
+        if form_mode == "wrap":
+            form_no = add_stream(
+                b" ".join(line_ops(lines, li, 0, 700)),
+                b"/Type /XObject /Subtype /Form /BBox [0 0 612 792] "
+                b"/Resources << " + font_res + b">> ",
+            )
+            cont_no = add_stream(b"q /Fx0 Do Q")
+            res = b"/XObject << /Fx0 %d 0 R >> " % form_no
+        elif form_mode == "split" and len(lines) > 1:
+            cut = (len(lines) + 1) // 2
+            form_no = add_stream(
+                b" ".join(line_ops(lines[cut:], li, cut, 500)),
+                b"/Type /XObject /Subtype /Form /BBox [0 0 612 792] "
+                b"/Resources << " + font_res + b">> ",
+            )
+            cont_no = add_stream(
+                b" ".join(line_ops(lines[:cut], li, 0, 700))
+                + b" q /Fx0 Do Q"
+            )
+            res = font_res + b"/XObject << /Fx0 %d 0 R >> " % form_no
+        elif form_mode == "nested":
+            inner_no = add_stream(
+                b" ".join(line_ops(lines, li, 0, 700)),
+                b"/Type /XObject /Subtype /Form /BBox [0 0 612 792] "
+                b"/Resources << " + font_res + b">> ",
+            )
+            outer_no = add_stream(
+                b"q /Fx1 Do Q",
+                b"/Type /XObject /Subtype /Form /BBox [0 0 612 792] "
+                b"/Resources << /XObject << /Fx1 %d 0 R >> >> " % inner_no,
+            )
+            cont_no = add_stream(b"q /Fx0 Do Q")
+            res = b"/XObject << /Fx0 %d 0 R >> " % outer_no
+        else:  # none
+            cont_no = add_stream(b" ".join(line_ops(lines, li, 0, 700)))
+            res = font_res
         kid_nos.append(
             add(
-                b"<< /Type /Page /Parent %d 0 R /MediaBox [0 0 612 792] "
-                b"/Resources << /Font << /F1 %d 0 R >> >> /Contents %d 0 R >>"
-                % (mid_pages_no, font_no, cont_no)
+                (b"<< /Type /Page /Parent %d 0 R /MediaBox [0 0 612 792] "
+                 b"/Resources << " % mid_pages_no)
+                + res + (b">> /Contents %d 0 R >>" % cont_no)
             )
         )
 
@@ -705,6 +766,25 @@ def build_scanned_pdf(
                 b"/ColorSpace /DeviceGray /BitsPerComponent 1 "
                 b"/Decode [1 0] /Filter /FlateDecode /Length %d "
                 b">>\nstream\n" % (w, h, len(comp)) + comp + b"\nendstream"
+            )
+        elif frame[0] == "form_gray":
+            # image XObject invoked from inside a Form XObject (§8.10) —
+            # the wrapper real writers put around page rasters
+            arr = frame[1]
+            h, w = arr.shape[:2]
+            comp = _zlib.compress(bytes(arr))
+            inner_no = add(
+                b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "
+                b"/ColorSpace /DeviceGray /BitsPerComponent 8 "
+                b"/Filter /FlateDecode /Length %d >>\nstream\n"
+                % (w, h, len(comp)) + comp + b"\nendstream"
+            )
+            fcontent = b"q %d 0 0 %d 0 0 cm /Im1 Do Q" % (w, h)
+            img_no = add(
+                b"<< /Type /XObject /Subtype /Form /BBox [0 0 %d %d] "
+                b"/Resources << /XObject << /Im1 %d 0 R >> >> "
+                b"/Length %d >>\nstream\n%s\nendstream"
+                % (w, h, inner_no, len(fcontent), fcontent)
             )
         elif frame[0] in ("inline_gray", "inline_rgb", "inline_g4",
                           "inline_dct"):

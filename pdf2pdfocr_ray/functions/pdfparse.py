@@ -613,6 +613,24 @@ def parse_inline_images(content: bytes, *, with_spans: bool = False):
     return out
 
 
+# form-invocation operator ("/Fx0 Do")
+_DO_RE = re.compile(rb"/([^\s/<>\[\]()%]+)\s+Do(?![^\s/<>\[\]()%])")
+
+
+def _blank_inline_spans(content: bytes) -> bytes:
+    """Replace inline-image BI..EI byte ranges with spaces — binary
+    image data can contain runs that alias text/Do operators."""
+    if b"BI" not in content or not _has_token(content, b"BI"):
+        return content
+    spans = parse_inline_images(content, with_spans=True)
+    if not spans:
+        return content
+    buf = bytearray(content)
+    for start, end, _s in spans:
+        buf[start:end] = b" " * (end - start)
+    return bytes(buf)
+
+
 def _undo_predictor(raw: bytes, parms) -> bytes:
     """Undo /DecodeParms predictors on decoded stream bytes: 1 = none,
     2 = TIFF horizontal, >= 10 = PNG per-row filters (the common
@@ -1002,34 +1020,71 @@ class PdfDocument:
         Unsupported encodings (refinement JBIG2, other colorspaces) are
         skipped — callers fall back to their no-image behavior."""
         out: list[bytes] = []
-        res = self.resolve(page.get("Resources"))
-        xobjs = self.resolve(res.get("XObject")) if isinstance(res, dict) \
-            else None
-        if isinstance(xobjs, dict):
-            for v in xobjs.values():
-                try:
-                    s = self.resolve(v)
-                except ValueError:
-                    continue
-                if (not isinstance(s, PdfStream)
-                        or s.dict.get("Subtype") != "Image"):
-                    continue
-                p = self._image_payload(s)
-                if p is not None:
-                    out.append(p)
-        # inline images (fax-era writers and some distillers embed the
-        # page raster straight in the content stream; poppler renders
-        # them like any XObject)
+        try:
+            res = self.resolve(page.get("Resources"))
+        except ValueError:
+            res = None
         try:
             content = self.page_content(page)
         except (ValueError, zlib.error):
             content = b""
+        self._collect_images(res, content, out, (), set())
+        return out
+
+    def _collect_images(self, res, content: bytes, out: list,
+                        path: tuple, seen: set) -> None:
+        """Image XObjects, inline images, and (recursively) the images
+        inside Form XObjects of one content scope (§8.10 — forms wrap
+        page rasters in real writers; poppler renders through them).
+        ``seen`` dedupes images when a resource-less form re-enters its
+        parent's scope; ``path`` cuts form cycles."""
+        if len(path) > 6:
+            return
+        try:
+            xobjs = self.resolve(res.get("XObject")) \
+                if isinstance(res, dict) else None
+        except ValueError:
+            xobjs = None
+        if isinstance(xobjs, dict):
+            for v in xobjs.values():
+                key = (v.num, v.gen) if isinstance(v, PdfRef) \
+                    else ("anon", id(v))
+                if key in path:
+                    continue  # cycle
+                try:
+                    s = self.resolve(v)
+                except ValueError:
+                    continue
+                if not isinstance(s, PdfStream):
+                    continue
+                sub = s.dict.get("Subtype")
+                if sub == "Image":
+                    if key in seen:
+                        continue
+                    seen.add(key)
+                    p = self._image_payload(s)
+                    if p is not None:
+                        out.append(p)
+                elif sub == "Form":
+                    try:
+                        fc = s.data()
+                    except (ValueError, zlib.error):
+                        continue
+                    try:
+                        fres = self.resolve(s.dict.get("Resources"))
+                    except ValueError:
+                        fres = None
+                    self._collect_images(
+                        fres if isinstance(fres, dict) else res,
+                        fc, out, path + (key,), seen)
+        # inline images (fax-era writers and some distillers embed the
+        # page raster straight in the content stream; poppler renders
+        # them like any XObject)
         if _has_token(content, b"BI"):
             for s in parse_inline_images(content):
                 p = self._image_payload(s)
                 if p is not None:
                     out.append(p)
-        return out
 
     def _image_payload(self, s: PdfStream) -> bytes | None:
         """One image stream (XObject or inline) -> engine-decodable
@@ -1241,6 +1296,90 @@ class PdfDocument:
                 parts.append(s.data())
         return b"\n".join(parts)
 
+    def page_content_expanded(self, page: dict) -> tuple[bytes, dict]:
+        """Page content with Form XObject invocations SPLICED IN at
+        their ``/Name Do`` sites (PDF §8.10 — real writers wrap page
+        text in forms routinely; poppler walks them transparently),
+        plus the merged font-decoder map.
+
+        A form's own fonts are renamed into a private namespace (its
+        ``Tf`` operators rewritten to match) so a form ``/F1`` with a
+        different encoding can't collide with the page's ``/F1``; a
+        form with NO /Resources inherits the invoking scope's per the
+        spec's compatibility note.  Cycles are cut (a self-invoking
+        form expands to nothing) and depth is capped.  Inline-image
+        data is blanked before splicing so binary bytes can't alias a
+        ``Do`` operator."""
+        try:
+            res = self.resolve(page.get("Resources"))
+        except ValueError:
+            res = None
+        content = _blank_inline_spans(self.page_content(page))
+        fonts = self._font_decoders_from_res(res)
+        counter = [0]
+        content = self._splice_forms(content, res, fonts, counter, ())
+        return content, fonts
+
+    def _splice_forms(self, content: bytes, res, fonts_out: dict,
+                      counter: list, path: tuple) -> bytes:
+        if len(path) > 6:
+            return content
+        try:
+            xobjs = self.resolve(res.get("XObject")) \
+                if isinstance(res, dict) else None
+        except ValueError:
+            return content
+        if not isinstance(xobjs, dict) or not xobjs:
+            return content
+
+        def repl(m: "re.Match[bytes]") -> bytes:
+            name = m.group(1).decode("latin-1")
+            v = xobjs.get(name)
+            if v is None:
+                return m.group(0)
+            key = (v.num, v.gen) if isinstance(v, PdfRef) else ("anon",
+                                                                id(v))
+            if key in path:
+                return b""  # cycle: a self-invoking form draws nothing
+            try:
+                s = self.resolve(v)
+            except ValueError:
+                return m.group(0)
+            if not isinstance(s, PdfStream) \
+                    or s.dict.get("Subtype") != "Form":
+                return m.group(0)
+            try:
+                fc = _blank_inline_spans(s.data())
+            except (ValueError, zlib.error):
+                return b""
+            try:
+                fres = self.resolve(s.dict.get("Resources"))
+            except ValueError:
+                fres = None
+            own_res = isinstance(fres, dict)
+            scope = fres if own_res else res
+            fc = self._splice_forms(fc, scope, fonts_out, counter,
+                                    path + (key,))
+            if own_res:
+                ffonts = self._font_decoders_from_res(fres)
+                if ffonts:
+                    mapping = {}
+                    for fname, dec in ffonts.items():
+                        counter[0] += 1
+                        new = f"{fname}~fx{counter[0]}"
+                        mapping[fname.encode('latin-1')] = \
+                            new.encode("latin-1")
+                        fonts_out[new] = dec
+                    fc = re.sub(
+                        rb"/([^\s/<>\[\]()%]+)(\s+[-+.\d]+\s+Tf)",
+                        lambda tm: (b"/" + mapping.get(
+                            tm.group(1), tm.group(1)) + tm.group(2)),
+                        fc,
+                    )
+            return b"\n" + fc + b"\n"
+
+        return _DO_RE.sub(repl, content)
+
     def info(self) -> dict[str, str]:
         """/Info metadata dict with string values decoded."""
         info = self.trailer.get("Info")
@@ -1266,6 +1405,15 @@ class PdfDocument:
         + /Differences); fonts with neither fall back to the default
         utf-8/latin-1 decoding.  Malformed font dicts are skipped — text
         extraction must never throw for one bad font."""
+        try:
+            res = self.resolve(page.get("Resources"))
+        except ValueError:
+            return {}
+        return self._font_decoders_from_res(res)
+
+    def _font_decoders_from_res(self, res) -> dict:
+        """page_font_decoders body over an already-resolved /Resources
+        dict (shared with Form XObject resource scopes)."""
         from .pdftext import (
             FontDecoder,
             encoding_decoder,
@@ -1274,7 +1422,6 @@ class PdfDocument:
 
         out: dict[str, FontDecoder] = {}
         try:
-            res = self.resolve(page.get("Resources"))
             fonts = self.resolve(res.get("Font")) if isinstance(res, dict) else None
         except ValueError:
             return out
@@ -1363,15 +1510,9 @@ def extract_text_lines(content: bytes, fonts: dict | None = None) -> list[str]:
     applies."""
     lines: list[str] = []
     decoder = None
-    if b"BI" in content and _has_token(content, b"BI"):
-        # blank inline-image binary data (it can contain byte runs that
-        # look like text-showing operators) before the operator scan
-        spans = parse_inline_images(content, with_spans=True)
-        if spans:
-            buf = bytearray(content)
-            for start, end, _s in spans:
-                buf[start:end] = b" " * (end - start)
-            content = bytes(buf)
+    # blank inline-image binary data (it can contain byte runs that
+    # look like text-showing operators) before the operator scan
+    content = _blank_inline_spans(content)
     for m in _TF_OR_TEXT_RE.finditer(content):
         if m.group(1) is not None:  # Tf: switch current font
             if fonts is not None:

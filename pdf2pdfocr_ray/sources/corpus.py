@@ -401,7 +401,7 @@ GIANT_EVERY = 150  # every 150th doc is a skewed giant PDF (repartition/skew pat
 
 # Bump when generated content changes — cache keys (bench corpus dirs)
 # embed it so stale corpora from earlier generators never get reused.
-CORPUS_VERSION = "r5l"  # r3: WebP image docs; r3b/c: scanned-page PDFs
+CORPUS_VERSION = "r5m"  # r3: WebP image docs; r3b/c: scanned-page PDFs
 # (DCT / gray-Flate / CCITT-G4 / JBIG2 embedded images, 2% of docs);
 # r3d: realistic HTML variants (inline markup, nested script junk,
 # blockquotes, unclosed tags, BOM payloads); r4a: lossy-VP8 image docs;
@@ -433,7 +433,9 @@ CORPUS_VERSION = "r5l"  # r3: WebP image docs; r3b/c: scanned-page PDFs
 # RGB/[AHx Fl] chained armor, G4/CCF, DCT) next to the XObject forms;
 # r5l: non-device image colorspaces (§8.6: [/Indexed /DeviceRGB],
 # [/ICCBased /N 1], /DeviceCMYK raw, 4-bit gray, /Decode [1 0]
-# photometric-inverted 1-bit) in the scanned-page rotation
+# photometric-inverted 1-bit) in the scanned-page rotation;
+# r5m: Form XObject organizations in pdf_foreign (wrap/split/nested,
+# §8.10) and form-wrapped page rasters in pdf_scanned
 
 
 def _gen_doc(i: int, seed: int):
@@ -488,9 +490,13 @@ def _gen_doc(i: int, seed: int):
         # encodings and 2-byte /ToUnicode CMaps next to plain UTF-8
         tenc = ("plain", "plain", "plain", "differences",
                 "tounicode")[int(rng.integers(0, 5))]
+        # r5m: Form XObject organizations (§8.10) — wrapped, split
+        # mid-content, and depth-2 nested forms next to direct layout
+        fmode = ("none", "none", "none", "wrap", "split",
+                 "nested")[int(rng.integers(0, 6))]
         payload = build_foreign_pdf(
             pages_lines, incremental=bool(rng.random() < 0.3),
-            stream_filter=sfilter, text_encoding=tenc,
+            stream_filter=sfilter, text_encoding=tenc, form_mode=fmode,
         )
         golden = "".join(
             normalize_ligatures("\n".join(ls)) + "\n" for ls in pages_lines
@@ -534,8 +540,10 @@ def _gen_doc(i: int, seed: int):
                     )
             elif enc < 0.5:
                 gray8 = img.mean(axis=2).astype(np.uint8)
-                if enc < 0.36:
+                if enc < 0.33:
                     frames.append(("gray", gray8))
+                elif enc < 0.36:  # r5m: raster behind a Form XObject
+                    frames.append(("form_gray", gray8))
                 elif enc < 0.40:  # r5k: inline gray /Fl
                     frames.append(("inline_gray", gray8))
                 elif enc < 0.43:  # r5k: inline RGB, chained [/AHx /Fl]

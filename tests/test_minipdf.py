@@ -626,3 +626,176 @@ def test_unsupported_colorspaces_skip_cleanly():
     assert doc._image_payload(
         mk([PdfName("Indexed"), PdfName("DeviceRGB"), 999,
             bytes(3000)])) is None
+
+
+# ----------------------------------------------- Form XObjects (§8.10)
+
+
+def test_form_modes_extract_in_content_order():
+    """wrap / split / nested form organizations must extract the same
+    lines in the same order as the direct layout, across all three
+    text encodings and stream filters."""
+    from pdf2pdfocr_ray.functions.minipdf import build_foreign_pdf, parse_pdf
+
+    pages = [["alpha beta gamma", "second line here", "third one"],
+             ["page two single"]]
+    for mode in ("wrap", "split", "nested"):
+        for tenc in ("plain", "differences", "tounicode"):
+            pdf = build_foreign_pdf(
+                pages, form_mode=mode, text_encoding=tenc,
+                stream_filter="lzw" if mode == "split" else "flate")
+            got = [p.lines for p in parse_pdf(pdf).pages]
+            assert got == pages, (mode, tenc, got)
+    # the historical direct layout is byte-stable under the refactor
+    assert build_foreign_pdf(pages) == build_foreign_pdf(
+        pages, form_mode="none")
+
+
+def test_form_font_scope_collision():
+    """A form's /F1 with a /Differences encoding must not collide with
+    the page's plain /F1 — each string decodes through its own scope's
+    font (the rename machinery)."""
+    import zlib
+
+    from pdf2pdfocr_ray.functions.pdfparse import (
+        PdfDocument,
+        extract_text_lines,
+    )
+
+    # page /F1: no encoding (utf-8/latin-1). form /F1: /Differences
+    # mapping code 0x41 ('A') -> /zcaron — same byte, different glyph.
+    form_content = b"BT /F1 9 Tf (A) Tj ET"
+    comp = zlib.compress(form_content)
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 6 0 R >> "
+        b"/XObject << /Fx0 4 0 R >> >> /Contents 7 0 R >>\nendobj\n"
+        b"4 0 obj\n<< /Type /XObject /Subtype /Form /BBox [0 0 100 100] "
+        b"/Resources << /Font << /F1 5 0 R >> >> /Length "
+        + str(len(comp)).encode() + b" "
+        b"/Filter /FlateDecode >>\nstream\n" + comp
+        + b"\nendstream\nendobj\n"
+        b"5 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /T "
+        b"/Encoding << /Differences [ 65 /zcaron ] >> >>\nendobj\n"
+        b"6 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /T >>\nendobj\n"
+        b"7 0 obj\n<< /Length 29 >>\nstream\n"
+        b"BT /F1 9 Tf (A) Tj ET /Fx0 Do\nendstream\nendobj\n"
+        b"trailer\n<< /Size 8 /Root 1 0 R >>\n"
+    )
+    doc = PdfDocument(pdf)
+    content, fonts = doc.page_content_expanded(doc.pages()[0])
+    lines = extract_text_lines(content, fonts)
+    assert lines == ["A", "ž"], lines  # page 'A', form 'ž' (zcaron)
+
+
+def test_form_cycle_and_depth_are_cut():
+    """A self-invoking form must expand to nothing (not hang), for both
+    text splicing and image collection."""
+    import zlib
+
+    from pdf2pdfocr_ray.functions.pdfparse import (
+        PdfDocument,
+        extract_text_lines,
+    )
+
+    form_content = b"BT /F1 9 Tf (loop) Tj ET /Fx0 Do"
+    comp = zlib.compress(form_content)
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /XObject << /Fx0 4 0 R >> >> "
+        b"/Contents 5 0 R >>\nendobj\n"
+        b"4 0 obj\n<< /Type /XObject /Subtype /Form /BBox [0 0 100 100] "
+        b"/Length " + str(len(comp)).encode()
+        + b" /Filter /FlateDecode >>\nstream\n"
+        + comp + b"\nendstream\nendobj\n"
+        b"5 0 obj\n<< /Length 11 >>\nstream\nq /Fx0 Do Q\nendstream\n"
+        b"endobj\n"
+        b"trailer\n<< /Size 6 /Root 1 0 R >>\n"
+    )
+    doc = PdfDocument(pdf)
+    page = doc.pages()[0]
+    content, fonts = doc.page_content_expanded(page)
+    # the form body appears ONCE; its self-invocation expands to nothing
+    assert extract_text_lines(content, fonts) == ["loop"]
+    assert doc.page_image_payloads(page) == []
+
+
+def test_form_inherits_parent_resources_without_duplicates():
+    """A form with no /Resources uses the invoking scope's; the page's
+    image XObject must be collected exactly once even though the form
+    re-enters the same scope."""
+    import zlib
+
+    import numpy as np
+
+    from pdf2pdfocr_ray.functions.imagecodec import decode_image
+    from pdf2pdfocr_ray.functions.pdfparse import PdfDocument
+
+    gray = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    img = zlib.compress(gray.tobytes())
+    fc = zlib.compress(b"BT /F1 9 Tf (inherited) Tj ET")
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 6 0 R >> /XObject "
+        b"<< /Im0 4 0 R /Fx0 5 0 R >> >> /Contents 7 0 R >>\nendobj\n"
+        b"4 0 obj\n<< /Type /XObject /Subtype /Image /Width 8 /Height 8 "
+        b"/ColorSpace /DeviceGray /BitsPerComponent 8 "
+        b"/Filter /FlateDecode /Length " + str(len(img)).encode()
+        + b" >>\nstream\n"
+        + img + b"\nendstream\nendobj\n"
+        b"5 0 obj\n<< /Type /XObject /Subtype /Form /BBox [0 0 100 100] "
+        b"/Length " + str(len(fc)).encode()
+        + b" /Filter /FlateDecode >>\nstream\n"
+        + fc + b"\nendstream\nendobj\n"
+        b"6 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /T >>\nendobj\n"
+        b"7 0 obj\n<< /Length 20 >>\nstream\n/Im0 Do q /Fx0 Do Q\nendstream\n"
+        b"endobj\n"
+        b"trailer\n<< /Size 8 /Root 1 0 R >>\n"
+    )
+    doc = PdfDocument(pdf)
+    page = doc.pages()[0]
+    from pdf2pdfocr_ray.functions.pdfparse import extract_text_lines
+
+    content, fonts = doc.page_content_expanded(page)
+    assert extract_text_lines(content, fonts) == ["inherited"]
+    payloads = doc.page_image_payloads(page)
+    assert len(payloads) == 1  # not duplicated by the form's re-entry
+    assert (decode_image(payloads[0])[:, :, 0] == gray).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_form_wrapped_pdf_through_flagship_byte_identical():
+    """Form-organized foreign PDFs end-to-end through the flagship."""
+    import ray.data
+
+    from pdf2pdfocr_ray.functions.minipdf import build_foreign_pdf
+    from pdf2pdfocr_ray.pipelines.extract import extract
+
+    pages = [["Form wrapped page 1", "with two lines"],
+             ["and a second page"]]
+    items = []
+    for mode in ("wrap", "split", "nested"):
+        items.append({
+            "url": f"https://e.org/form-{mode}", "warc_ts": 0,
+            "html": build_foreign_pdf(pages, form_mode=mode),
+            "text": "", "lang": "",
+        })
+    res = extract(ray.data.from_items(items)).to_pandas().sort_values(
+        "url").reset_index(drop=True)
+    assert len(res) == 3
+    from pdf2pdfocr_ray.functions.hocr import normalize_ligatures
+
+    expect = "".join(
+        normalize_ligatures("\n".join(ls)) + "\n" for ls in pages)
+    for i in range(3):
+        assert res["error"][i] is None, res["url"][i]
+        assert res["extracted_text"][i] == expect, res["url"][i]
