@@ -243,14 +243,19 @@ def test_ocr_timeout_preemptive_cutoff():
     # calibrate host load so the wall bound doesn't flake when the suite
     # shares the machine (a loaded host slows the pathological page and
     # the cutoff checks by the same factor)
-    c0 = time.monotonic()
-    for _ in range(20):
-        np.linalg.norm(np.ones((400, 400)) @ np.ones((400, 400)))
-    slowdown = max(1.0, (time.monotonic() - c0) / 0.12)
+    def probe_slowdown():
+        c0 = time.monotonic()
+        for _ in range(20):
+            np.linalg.norm(np.ones((400, 400)) @ np.ones((400, 400)))
+        return max(1.0, (time.monotonic() - c0) / 0.12)
 
+    before = probe_slowdown()
     t0 = time.monotonic()
     out = stage(batch)
     wall = time.monotonic() - t0
+    # a load spike DURING the stage call but not the pre-probe would
+    # under-estimate; take the worse of a probe on each side
+    slowdown = max(before, probe_slowdown())
     errs = dict(zip(out.column("url").to_pylist(), out.column("error").to_pylist()))
     texts = dict(zip(out.column("url").to_pylist(), out.column("page_text").to_pylist()))
     assert errs["bad"] == "ocr_timeout"
