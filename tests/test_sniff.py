@@ -139,9 +139,10 @@ def test_gzip_residue_payloads_transparently_decompress():
 
 
 def _scanned_inline_and_colorspace_pdf() -> bytes:
-    """Fuzz base: a scanned PDF mixing inline images (BI/ID/EI) and the
-    round-5l colorspace forms, so bit-flips hit the inline scanner, the
-    palette/ICC resolution and the /Decode inversion paths."""
+    """Fuzz base: a scanned PDF mixing inline images (BI/ID/EI), the
+    round-5l colorspace forms and a form-wrapped raster, so bit-flips
+    hit the inline scanner, the palette/ICC resolution, the /Decode
+    inversion and the Form-XObject image recursion paths."""
     import numpy as np
 
     from pdf2pdfocr_ray.functions.jpegcodec import encode_jpeg
@@ -161,6 +162,7 @@ def _scanned_inline_and_colorspace_pdf() -> bytes:
         ("cmyk_raw", img),
         ("gray4", gray),
         ("raw1_invert", bil),
+        ("form_gray", gray),
     ])
 
 def test_fanout_truncation_fuzz_round5_kinds():
@@ -188,6 +190,8 @@ def test_fanout_truncation_fuzz_round5_kinds():
         encode_jpeg(img, 90, exif_orientation=6),
         build_foreign_pdf([["alpha beta"]], stream_filter="a85+flate"),
         build_foreign_pdf([["€½ «Škoda» beta"]], text_encoding="differences"),
+        build_foreign_pdf([["form alpha"], ["beta gamma"]],
+                          form_mode="nested"),
         encrypt_pdf(
             build_foreign_pdf([["€½ «Škoda» beta"]], text_encoding="tounicode"),
             variant="aes-128"),
@@ -326,6 +330,8 @@ def test_fanout_bitflip_fuzz_never_stalls():
         encode_pnm(img),
         build_foreign_pdf([["alpha beta"]], stream_filter="a85+flate"),
         build_foreign_pdf([["€½ «Škoda» beta"]], text_encoding="differences"),
+        build_foreign_pdf([["form alpha"], ["beta gamma"]],
+                          form_mode="nested"),
         encrypt_pdf(
             build_foreign_pdf([["€½ «Škoda» beta"]], text_encoding="tounicode"),
             variant="aes-128"),
