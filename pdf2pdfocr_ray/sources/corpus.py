@@ -401,7 +401,7 @@ GIANT_EVERY = 150  # every 150th doc is a skewed giant PDF (repartition/skew pat
 
 # Bump when generated content changes — cache keys (bench corpus dirs)
 # embed it so stale corpora from earlier generators never get reused.
-CORPUS_VERSION = "r5m"  # r3: WebP image docs; r3b/c: scanned-page PDFs
+CORPUS_VERSION = "r5n"  # r3: WebP image docs; r3b/c: scanned-page PDFs
 # (DCT / gray-Flate / CCITT-G4 / JBIG2 embedded images, 2% of docs);
 # r3d: realistic HTML variants (inline markup, nested script junk,
 # blockquotes, unclosed tags, BOM payloads); r4a: lossy-VP8 image docs;
@@ -435,7 +435,9 @@ CORPUS_VERSION = "r5m"  # r3: WebP image docs; r3b/c: scanned-page PDFs
 # [/ICCBased /N 1], /DeviceCMYK raw, 4-bit gray, /Decode [1 0]
 # photometric-inverted 1-bit) in the scanned-page rotation;
 # r5m: Form XObject organizations in pdf_foreign (wrap/split/nested,
-# §8.10) and form-wrapped page rasters in pdf_scanned
+# §8.10) and form-wrapped page rasters in pdf_scanned;
+# r5n: PDF 1.5 layout (cross-reference STREAM + /ObjStm-packed document
+# dicts — what most modern writers emit) on ~25% of pdf_foreign docs
 
 
 def _gen_doc(i: int, seed: int):
@@ -494,10 +496,19 @@ def _gen_doc(i: int, seed: int):
         # mid-content, and depth-2 nested forms next to direct layout
         fmode = ("none", "none", "none", "wrap", "split",
                  "nested")[int(rng.integers(0, 6))]
-        payload = build_foreign_pdf(
-            pages_lines, incremental=bool(rng.random() < 0.3),
-            stream_filter=sfilter, text_encoding=tenc, form_mode=fmode,
-        )
+        # r5n: ~25% of foreign PDFs use the PDF 1.5 file organization
+        # (xref STREAM + /ObjStm-packed dicts, §7.5.7/§7.5.8 — the
+        # layout most modern writers emit); document structure replaces
+        # the classic builder's filter/encoding/form options there.
+        if rng.random() < 0.25:
+            from ..functions.minipdf import build_foreign_pdf_15
+
+            payload = build_foreign_pdf_15(pages_lines)
+        else:
+            payload = build_foreign_pdf(
+                pages_lines, incremental=bool(rng.random() < 0.3),
+                stream_filter=sfilter, text_encoding=tenc, form_mode=fmode,
+            )
         golden = "".join(
             normalize_ligatures("\n".join(ls)) + "\n" for ls in pages_lines
         )

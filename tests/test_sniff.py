@@ -177,7 +177,10 @@ def test_fanout_truncation_fuzz_round5_kinds():
     import numpy as np
 
     from pdf2pdfocr_ray.functions.jpegcodec import encode_jpeg
-    from pdf2pdfocr_ray.functions.minipdf import build_foreign_pdf
+    from pdf2pdfocr_ray.functions.minipdf import (
+        build_foreign_pdf,
+        build_foreign_pdf_15,
+    )
     from pdf2pdfocr_ray.functions.pdfcrypt import encrypt_pdf
     from pdf2pdfocr_ray.functions.tiffcodec import encode_tiff
     from pdf2pdfocr_ray.stages.fanout import FanOut
@@ -192,6 +195,7 @@ def test_fanout_truncation_fuzz_round5_kinds():
         build_foreign_pdf([["€½ «Škoda» beta"]], text_encoding="differences"),
         build_foreign_pdf([["form alpha"], ["beta gamma"]],
                           form_mode="nested"),
+        build_foreign_pdf_15([["modern xref"], ["objstm page"]]),
         encrypt_pdf(
             build_foreign_pdf([["€½ «Škoda» beta"]], text_encoding="tounicode"),
             variant="aes-128"),
@@ -301,7 +305,10 @@ def test_fanout_bitflip_fuzz_never_stalls():
     from pdf2pdfocr_ray.functions.gifcodec import encode_gif
     from pdf2pdfocr_ray.functions.icocodec import encode_ico
     from pdf2pdfocr_ray.functions.jpegcodec import encode_jpeg
-    from pdf2pdfocr_ray.functions.minipdf import build_foreign_pdf
+    from pdf2pdfocr_ray.functions.minipdf import (
+        build_foreign_pdf,
+        build_foreign_pdf_15,
+    )
     from pdf2pdfocr_ray.functions.pdfcrypt import encrypt_pdf
     from pdf2pdfocr_ray.functions.pngcodec import encode_png
     from pdf2pdfocr_ray.functions.pnmcodec import encode_pnm
@@ -332,6 +339,7 @@ def test_fanout_bitflip_fuzz_never_stalls():
         build_foreign_pdf([["€½ «Škoda» beta"]], text_encoding="differences"),
         build_foreign_pdf([["form alpha"], ["beta gamma"]],
                           form_mode="nested"),
+        build_foreign_pdf_15([["modern xref"], ["objstm page"]]),
         encrypt_pdf(
             build_foreign_pdf([["€½ «Škoda» beta"]], text_encoding="tounicode"),
             variant="aes-128"),
