@@ -873,14 +873,22 @@ def build_scanned_pdf(
 
 
 def build_foreign_pdf_15(
-    pages_lines: list[list[str]], *, title: str = "Modern Doc"
+    pages_lines: list[list[str]], *, title: str = "Modern Doc",
+    hybrid: bool = False,
 ) -> bytes:
     """Build a PDF 1.5-style file: cross-reference STREAM (/Type /XRef,
     /W [1 2 2], PNG /Predictor 12) instead of an xref table, with the
     document dictionaries (catalog / page tree / pages / info) packed into
     a compressed /ObjStm container — the layout most modern writers emit.
     Content streams are regular FlateDecode objects (streams cannot live
-    inside an ObjStm)."""
+    inside an ObjStm).
+
+    ``hybrid``: emit the HYBRID-REFERENCE layout (PDF 1.7 §7.5.8.4, what
+    Acrobat writes for back-compat): startxref points at a CLASSIC xref
+    table whose ObjStm-resident objects are marked free, and the
+    trailer's /XRefStm key points at the cross-reference stream that
+    carries their real type-2 entries — a reader that ignores /XRefStm
+    cannot resolve the catalog."""
     import zlib as _zlib
 
     # object numbers: 1 catalog, 2 pages, 3 font, 4..3+n content streams,
@@ -985,5 +993,23 @@ def build_foreign_pdf_15(
         + xdata
         + b"\nendstream\nendobj\n"
     )
-    buf += b"startxref\n%d\n%%%%EOF\n" % xref_off
+    if hybrid:
+        # classic table: in-use rows only for the uncompressed objects;
+        # ObjStm residents are free ("deleted" to pre-1.5 readers), the
+        # trailer's /XRefStm carries their real entries
+        table_off = len(buf)
+        entries = [b"0000000000 65535 f \n"]
+        for num in range(1, xref_no + 1):
+            if num in offsets:
+                entries.append(b"%010d 00000 n \n" % offsets[num])
+            else:
+                entries.append(b"0000000000 00001 f \n")
+        buf += b"xref\n0 %d\n" % (xref_no + 1) + b"".join(entries)
+        buf += (
+            b"trailer\n<< /Size %d /Root 1 0 R /Info %d 0 R /XRefStm %d >>\n"
+            % (xref_no + 1, info_no, xref_off)
+        )
+        buf += b"startxref\n%d\n%%%%EOF\n" % table_off
+    else:
+        buf += b"startxref\n%d\n%%%%EOF\n" % xref_off
     return bytes(buf)

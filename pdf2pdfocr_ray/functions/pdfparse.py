@@ -773,6 +773,17 @@ class PdfDocument:
                     raise ValueError("trailer is not a dictionary")
                 for k, v in trailer.items():
                     self.trailer.setdefault(k, v)  # newest section wins
+                xstm = trailer.get("XRefStm")
+                if isinstance(xstm, (int, float)):
+                    # hybrid-reference file (§7.5.8.4): the table marks
+                    # ObjStm-resident objects free; their real type-2
+                    # entries live in the /XRefStm stream.  Its own
+                    # /Prev (if any) duplicates the table's — the
+                    # table's drives the chain walk.
+                    try:
+                        self._load_xref_stream(int(xstm))
+                    except ValueError:
+                        pass  # damaged hybrid stream: table entries stand
                 prev = trailer.get("Prev")
                 return int(prev) if isinstance(prev, (int, float)) else 0
             m = re.match(rb"(\d+)\s+(\d+)", self.data[lex.pos : lex.pos + 40])

@@ -401,7 +401,7 @@ GIANT_EVERY = 150  # every 150th doc is a skewed giant PDF (repartition/skew pat
 
 # Bump when generated content changes — cache keys (bench corpus dirs)
 # embed it so stale corpora from earlier generators never get reused.
-CORPUS_VERSION = "r5n"  # r3: WebP image docs; r3b/c: scanned-page PDFs
+CORPUS_VERSION = "r5o"  # r3: WebP image docs; r3b/c: scanned-page PDFs
 # (DCT / gray-Flate / CCITT-G4 / JBIG2 embedded images, 2% of docs);
 # r3d: realistic HTML variants (inline markup, nested script junk,
 # blockquotes, unclosed tags, BOM payloads); r4a: lossy-VP8 image docs;
@@ -437,7 +437,10 @@ CORPUS_VERSION = "r5n"  # r3: WebP image docs; r3b/c: scanned-page PDFs
 # r5m: Form XObject organizations in pdf_foreign (wrap/split/nested,
 # §8.10) and form-wrapped page rasters in pdf_scanned;
 # r5n: PDF 1.5 layout (cross-reference STREAM + /ObjStm-packed document
-# dicts — what most modern writers emit) on ~25% of pdf_foreign docs
+# dicts — what most modern writers emit) on ~25% of pdf_foreign docs;
+# r5o: half of those as HYBRID-reference files (classic table marking
+# ObjStm residents free + trailer /XRefStm, §7.5.8.4 — Acrobat's
+# back-compat layout)
 
 
 def _gen_doc(i: int, seed: int):
@@ -500,10 +503,13 @@ def _gen_doc(i: int, seed: int):
         # (xref STREAM + /ObjStm-packed dicts, §7.5.7/§7.5.8 — the
         # layout most modern writers emit); document structure replaces
         # the classic builder's filter/encoding/form options there.
+        # r5o: half of those are HYBRID-reference files (§7.5.8.4 —
+        # classic table with ObjStm residents marked free + /XRefStm).
         if rng.random() < 0.25:
             from ..functions.minipdf import build_foreign_pdf_15
 
-            payload = build_foreign_pdf_15(pages_lines)
+            payload = build_foreign_pdf_15(
+                pages_lines, hybrid=bool(rng.random() < 0.5))
         else:
             payload = build_foreign_pdf(
                 pages_lines, incremental=bool(rng.random() < 0.3),

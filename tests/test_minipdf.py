@@ -799,3 +799,37 @@ def test_form_wrapped_pdf_through_flagship_byte_identical():
     for i in range(3):
         assert res["error"][i] is None, res["url"][i]
         assert res["extracted_text"][i] == expect, res["url"][i]
+
+
+def test_hybrid_reference_pdf_resolves_via_xrefstm():
+    """Hybrid-reference layout (PDF 1.7 §7.5.8.4, Acrobat back-compat):
+    startxref points at a classic TABLE whose ObjStm-resident objects
+    are free; the trailer's /XRefStm stream carries their real type-2
+    entries.  The parser must splice both — and the /XRefStm really is
+    load-bearing: stripping the key leaves the catalog unresolvable."""
+    import pytest
+
+    from pdf2pdfocr_ray.functions.minipdf import build_foreign_pdf_15
+    from pdf2pdfocr_ray.functions.pdfparse import PdfDocument
+
+    pages = [["hybrid alpha beta", "gamma delta"], ["page two line"]]
+    data = build_foreign_pdf_15(pages, hybrid=True)
+    d = PdfDocument(data)
+    assert not d.recovered  # classic table + XRefStm, no recovery scan
+    assert d.compressed  # type-2 entries spliced from the stream
+    doc = parse_pdf(data)
+    assert [p.lines for p in doc.pages] == pages
+    assert doc.metadata["Producer"] == "ModernWriter 3.0"
+
+    # a reader that ignores /XRefStm sees the catalog as a free object
+    blind = data.replace(b"/XRefStm", b"/XRefStX")
+    with pytest.raises(ValueError):
+        parse_pdf(blind)
+
+    # corrupt XRefStm target: table entries stand, failure is a clean
+    # ValueError (error row), never a crash
+    i = data.find(b"/Type /XRef")
+    bad = bytearray(data)
+    bad[i + 20 : i + 40] = b"\x00" * 20
+    with pytest.raises(ValueError):
+        parse_pdf(bytes(bad))

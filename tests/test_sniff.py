@@ -196,6 +196,7 @@ def test_fanout_truncation_fuzz_round5_kinds():
         build_foreign_pdf([["form alpha"], ["beta gamma"]],
                           form_mode="nested"),
         build_foreign_pdf_15([["modern xref"], ["objstm page"]]),
+        build_foreign_pdf_15([["hybrid table"], ["xrefstm page"]], hybrid=True),
         encrypt_pdf(
             build_foreign_pdf([["€½ «Škoda» beta"]], text_encoding="tounicode"),
             variant="aes-128"),
@@ -340,6 +341,7 @@ def test_fanout_bitflip_fuzz_never_stalls():
         build_foreign_pdf([["form alpha"], ["beta gamma"]],
                           form_mode="nested"),
         build_foreign_pdf_15([["modern xref"], ["objstm page"]]),
+        build_foreign_pdf_15([["hybrid table"], ["xrefstm page"]], hybrid=True),
         encrypt_pdf(
             build_foreign_pdf([["€½ «Škoda» beta"]], text_encoding="tounicode"),
             variant="aes-128"),
