@@ -66,6 +66,12 @@ BOILERPLATE_TAGS = frozenset(
         "select",
         "option",
         "iframe",
+        # foreign content (SVG icons carry <title>/<desc>/<text>
+        # accessibility labels — "Menu", "Search" — that readability-
+        # style extractors never count as page text; MathML source
+        # likewise is markup, not prose)
+        "svg",
+        "math",
     }
 )
 VOID_TAGS = frozenset(

@@ -363,9 +363,13 @@ def _make_html_doc(rng: np.random.Generator) -> tuple[bytes, str]:
         text = p  # golden text of this block (markup-free, collapsed)
         markup = p.replace("&", "&amp;")
         if variant < 0.25:
-            # inline markup: bold the first word, em-dash entity appended
+            # inline markup: bold the first word, em-dash entity appended,
+            # and (r5p) an inline SVG share-icon whose <title>/<text>
+            # accessibility labels must NOT leak into the extracted text
             first, _, rest = markup.partition(" ")
-            markup = f"<b>{first}</b> {rest} &#8212; more"
+            icon = ('<svg viewBox="0 0 24 24"><title>Share</title>'
+                    '<text x="0" y="12">Menu</text><path d="M3 6h18"/></svg>')
+            markup = f"<b>{first}</b> {rest}{icon} &#8212; more"
             text = f"{p} — more"
         elif variant < 0.45:
             # junk between/inside blocks: comments, script, style
@@ -401,7 +405,7 @@ GIANT_EVERY = 150  # every 150th doc is a skewed giant PDF (repartition/skew pat
 
 # Bump when generated content changes — cache keys (bench corpus dirs)
 # embed it so stale corpora from earlier generators never get reused.
-CORPUS_VERSION = "r5o"  # r3: WebP image docs; r3b/c: scanned-page PDFs
+CORPUS_VERSION = "r5p"  # r3: WebP image docs; r3b/c: scanned-page PDFs
 # (DCT / gray-Flate / CCITT-G4 / JBIG2 embedded images, 2% of docs);
 # r3d: realistic HTML variants (inline markup, nested script junk,
 # blockquotes, unclosed tags, BOM payloads); r4a: lossy-VP8 image docs;
@@ -440,7 +444,9 @@ CORPUS_VERSION = "r5o"  # r3: WebP image docs; r3b/c: scanned-page PDFs
 # dicts — what most modern writers emit) on ~25% of pdf_foreign docs;
 # r5o: half of those as HYBRID-reference files (classic table marking
 # ObjStm residents free + trailer /XRefStm, §7.5.8.4 — Acrobat's
-# back-compat layout)
+# back-compat layout);
+# r5p: inline SVG icons (<title>/<text> accessibility labels) inside
+# content paragraphs — foreign content the extractor must drop
 
 
 def _gen_doc(i: int, seed: int):

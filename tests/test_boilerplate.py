@@ -116,3 +116,25 @@ def test_decode_html_bytes_charset_sniffing():
     assert decode_html_bytes(b"<p>caf\xe9</p>") == "<p>café</p>"
     # undeclared valid UTF-8 stays UTF-8
     assert decode_html_bytes("<p>café</p>".encode()) == "<p>café</p>"
+
+
+def test_inline_svg_and_mathml_never_leak():
+    """Foreign content inside a kept paragraph (SVG icons with
+    <title>/<desc>/<text> accessibility labels, MathML source) is
+    markup, not prose — readability-style extractors drop it."""
+    from pdf2pdfocr_ray.functions.boilerplate import extract_main_text
+
+    para = "This paragraph carries enough characters to clear the keep threshold."
+    html = (
+        "<html><body><article><p>"
+        + para.replace("threshold.",
+                       'threshold.<svg viewBox="0 0 24 24"><title>Share</title>'
+                       '<desc>share icon</desc><text x="0" y="9">Menu</text>'
+                       '<path d="M3 6h18"/></svg>')
+        + '<math><mi>x</mi><mo>=</mo><mn>42</mn></math>'
+        + "</p></article></body></html>"
+    )
+    out = extract_main_text(html)
+    assert out == para
+    for leak in ("Share", "share icon", "Menu", "42"):
+        assert leak not in out
