@@ -89,7 +89,10 @@ def _run_flagship(n_docs: int, warmup: bool, repeats: int = 1) -> tuple[float, i
         extract(
             ray.data.read_parquet(wpath, columns=PAGE_COLS)
         ).count()
-    out_dir = "/tmp/graft_bench_out"
+    # per-process dir: a concurrent bench (e.g. a scaling leg still
+    # draining while a flagship-only run starts) must not co-mingle its
+    # output rows into this run's count
+    out_dir = f"/tmp/graft_bench_out_{os.getpid()}"
     best = None
     for _ in range(max(1, repeats)):
         shutil.rmtree(out_dir, ignore_errors=True)
@@ -112,6 +115,7 @@ def _run_flagship(n_docs: int, warmup: bool, repeats: int = 1) -> tuple[float, i
         dt = time.time() - t0
         best = dt if best is None else min(best, dt)
     n = ray.data.read_parquet(out_dir).count()
+    shutil.rmtree(out_dir, ignore_errors=True)
     return best, n
 
 
