@@ -171,6 +171,13 @@ BENCH_QUERIES = [
     "domain_mix",
     "line_dedup",
     "dedup_incremental",
+    # round-5 fifth wave: the composite curation pipelines + the
+    # tokenizer/packing/decontamination trio of a training-data run
+    "ccnet_pipeline",
+    "curation_pipeline",
+    "bpe_train_encode",
+    "pack_sequences",
+    "decontaminate",
 ]
 
 
