@@ -43,6 +43,33 @@ def test_parse_warc_skips_non_capture_records():
     assert len(rows) == 2
 
 
+def test_parse_warc_skips_revisit_request_metadata():
+    """Real Common Crawl WARCs interleave revisit (dedup pointer),
+    request and metadata records between responses; all three skip
+    without consuming the neighboring captures."""
+    recs = _fixture_records()
+    data = build_warc(recs)
+
+    def rec(rtype: str, body: bytes) -> bytes:
+        return (
+            b"WARC/1.0\r\nWARC-Type: " + rtype.encode() + b"\r\n"
+            b"WARC-Target-URI: https://example.org/dup\r\n"
+            b"WARC-Date: 2026-01-01T00:00:00Z\r\n"
+            b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n"
+            + body + b"\r\n\r\n"
+        )
+
+    revisit = rec("revisit", b"WARC-Refers-To-Target-URI: https://example.org/a\r\n")
+    request = rec("request", b"GET / HTTP/1.1\r\nHost: example.org\r\n\r\n")
+    metadata = rec("metadata", b"fetchTimeMs: 12\r\n")
+    # interleave: revisit BETWEEN the two captures, request/metadata after
+    half = data.find(b"WARC/1.0", 8)  # start of the second record
+    spliced = data[:half] + revisit + data[half:] + request + metadata
+    rows = parse_warc(spliced)
+    assert [r["url"] for r in rows] == [u for u, _, _ in recs]
+    assert [r["html"] for r in rows] == [p for _, _, p in recs]
+
+
 def test_parse_warc_rejects_junk():
     with pytest.raises(ValueError):
         parse_warc(b"not a warc at all")
