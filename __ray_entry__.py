@@ -1646,6 +1646,19 @@ def _q_doc_global_rank(sf_dir: str):
     )
 
 
+def _q_corpus_shuffle(sf_dir: str):
+    """Deterministic seeded corpus shuffle (terasort pattern): rows
+    ordered by md5(seed ':' doc_id) — reproducible across runs /
+    partitionings / cluster sizes, unlike random_shuffle, and exactly
+    recomputable in SQL.  The final training-data step before packing."""
+    from pdf2pdfocr_ray.ops.relational import read, seeded_shuffle
+
+    ds = read(sf_dir, "documents", ["doc_id"])
+    return seeded_shuffle(ds, "doc_id", seed=42).select_columns(
+        ["doc_id", "shuffle_key", "rank"]
+    )
+
+
 def _q_robots_filter(sf_dir: str):
     """Crawl-politeness filter: urls synthesized over 5 hosts; hosts 1
     and 3 disallow path prefixes (plus an Allow carve-out on host 3).
@@ -3135,6 +3148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_fingerprint": _q_winnow_fingerprint,
         "doc_meta_corpus": _q_doc_meta_corpus,
         # ---- ~50-query driver window cut line ----
+        "corpus_shuffle": _q_corpus_shuffle,
         "page_spans": _q_page_spans,
         "flagship_spans": _q_flagship_spans,
         "doc_stats": _q_doc_stats,
@@ -3573,6 +3587,13 @@ def _oracle_sql_static() -> dict[str, str]:
         "doc_global_rank": (
             "SELECT doc_id, n_chars, ROW_NUMBER() OVER "
             "(ORDER BY n_chars, doc_id) AS rank FROM documents"
+        ),
+        # full-semantics oracle: DuckDB's md5() recomputes the seeded
+        # permutation key row for row, so rank, key and id all hash-match
+        "corpus_shuffle": (
+            "SELECT doc_id, md5('42:' || CAST(doc_id AS VARCHAR)) AS "
+            "shuffle_key, ROW_NUMBER() OVER (ORDER BY "
+            "md5('42:' || CAST(doc_id AS VARCHAR))) AS rank FROM documents"
         ),
         # same url synthesis; the two hosts' prefix rules replicated:
         # host1 blocks /private/, host3 blocks /p/ except /p/open/

@@ -1410,3 +1410,35 @@ def global_rank(
         return out
 
     return sorted_ds.map_batches(assign, batch_format="pandas", batch_size=None)
+
+
+def seeded_shuffle(
+    ds: "ray.data.Dataset",
+    id_col: str,
+    seed: int,
+    key_col: str = "shuffle_key",
+    out_col: str = "rank",
+) -> "ray.data.Dataset":
+    """Deterministic seeded global shuffle — the terasort pattern: order
+    rows by ``md5(seed ':' id)``, a uniform pseudo-random permutation
+    that, unlike ``Dataset.random_shuffle``, is REPRODUCIBLE across
+    runs, partitionings and cluster sizes (the training-data property: a
+    resumed or re-sharded 100-TB job derives the identical order, and an
+    ANSI-SQL oracle can recompute it row for row).  One range-partitioned
+    sort via :func:`global_rank`; md5 keys of a unique id are collision-
+    free in practice, so ranks are total."""
+    import hashlib
+
+    import pyarrow as pa
+
+    prefix = f"{seed}:"
+
+    def key_batch(t: pa.Table) -> pa.Table:
+        keys = [
+            hashlib.md5((prefix + str(v)).encode()).hexdigest()
+            for v in t[id_col].to_pylist()
+        ]
+        return t.append_column(key_col, pa.array(keys, pa.string()))
+
+    keyed = ds.map_batches(key_batch, batch_format="pyarrow")
+    return global_rank(keyed, [key_col], out_col=out_col)

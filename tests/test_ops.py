@@ -1912,3 +1912,48 @@ def test_line_dedup_drops_cross_doc_boilerplate(ray_session):
         ray.data.from_pandas(docs).repartition(3)).to_pandas().sort_values(
         "doc_id").reset_index(drop=True)
     assert (out3["text"] == out["text"]).all()
+
+
+def test_seeded_shuffle_deterministic_and_shuffled(ray_session):
+    """The seeded shuffle is (a) partition-independent — 2-block and
+    8-block inputs produce identical (id, key, rank) rows — and (b) an
+    actual shuffle: the rank order decorrelates from insertion order.
+    random_shuffle guarantees neither; this is why the op exists."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from pdf2pdfocr_ray.ops.relational import seeded_shuffle
+
+    ids = list(range(500))
+    t = pa.table({"doc_id": pa.array(ids, pa.int64())})
+
+    outs = []
+    for nblocks in (2, 8):
+        ds = ray.data.from_arrow(t).repartition(nblocks)
+        df = (
+            seeded_shuffle(ds, "doc_id", seed=42)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        outs.append(df)
+    assert outs[0].equals(outs[1])
+
+    by_rank = outs[0].sort_values("rank")["doc_id"].to_numpy()
+    # Spearman-style check: correlation between shuffled position and
+    # original id is ~0 (|rho| < 0.2 at n=500 is far beyond chance for
+    # any "mostly sorted" order)
+    rho = np.corrcoef(by_rank, np.arange(len(by_rank)))[0, 1]
+    assert abs(rho) < 0.2, rho
+    # ranks are a total 1..n permutation
+    assert sorted(outs[0]["rank"].tolist()) == list(range(1, 501))
+    # a different seed produces a different permutation
+    ds = ray.data.from_arrow(t)
+    other = (
+        seeded_shuffle(ds, "doc_id", seed=7)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert not other["rank"].equals(outs[0]["rank"])
