@@ -809,6 +809,10 @@ class PdfDocument:
         rows of /W-field widths, optional /Index subsections, optional
         PNG/TIFF predictor; type-2 entries point into /ObjStm containers."""
         m = re.match(rb"(\d+)\s+(\d+)\s+obj\b", self.data[off : off + 40])
+        if m is None:
+            # a junk offset (e.g. a damaged /XRefStm value) must raise the
+            # typed error the callers' fallbacks catch, not AttributeError
+            raise ValueError("startxref does not point at an xref stream")
         lex = _Lexer(self.data, off + m.end())
         obj = lex.parse_object()
         if not isinstance(obj, PdfStream) or obj.dict.get("Type") != "XRef":

@@ -833,3 +833,22 @@ def test_hybrid_reference_pdf_resolves_via_xrefstm():
     bad[i + 20 : i + 40] = b"\x00" * 20
     with pytest.raises(ValueError):
         parse_pdf(bytes(bad))
+
+    # /XRefStm pointing at junk (not an object at all): still the typed
+    # ValueError for the hybrid (its catalog needs the stream)...
+    import re
+
+    m = re.search(rb"/XRefStm (\d+)", data)
+    junk_off = data[: m.start(1)] + b"33" + data[m.end(1) :]
+    with pytest.raises(ValueError):
+        parse_pdf(junk_off)
+
+    # ...but a CLASSIC file carrying a junk /XRefStm key parses fine off
+    # its table — the fallback must not fail a doc the table can resolve
+    from pdf2pdfocr_ray.functions.minipdf import build_foreign_pdf
+
+    cls = build_foreign_pdf([["alpha beta"]])
+    i = cls.rfind(b"trailer")
+    j = cls.find(b">>", i)
+    doc = parse_pdf(cls[:j] + b" /XRefStm 33 " + cls[j:])
+    assert [p.lines for p in doc.pages] == [["alpha beta"]]
