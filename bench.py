@@ -230,10 +230,31 @@ def run_default(num_cpus: int, sf_dir: str) -> dict:
     return out
 
 
-def run_flagship_only(num_cpus: int, n_docs: int) -> dict:
-    _init(num_cpus)
+def run_flagship_only(num_cpus: int, n_docs: int, nodes: int = 0) -> dict:
+    cluster = None
+    if nodes:
+        # simulated multi-NODE cluster (ray.cluster_utils): one raylet
+        # process per node, real inter-node object transfer — the
+        # closest local stand-in for the north rule's N vs 4N nodes
+        from ray.cluster_utils import Cluster
+
+        import ray
+
+        cluster = Cluster()
+        cluster.add_node(
+            num_cpus=num_cpus, object_store_memory=2 << 30,
+            include_dashboard=False,
+        )
+        for _ in range(nodes - 1):
+            cluster.add_node(num_cpus=num_cpus, object_store_memory=2 << 30)
+        ray.init(address=cluster.address, logging_level="ERROR")
+        import ray.data
+
+        ray.data.DataContext.get_current().enable_progress_bars = False
+    else:
+        _init(num_cpus)
     dt, n = _run_flagship(n_docs, warmup=True, repeats=2)
-    return {
+    out = {
         "metric": "flagship_docs_per_sec",
         "value": round(n / dt, 2),
         "unit": "docs/sec",
@@ -242,6 +263,9 @@ def run_flagship_only(num_cpus: int, n_docs: int) -> dict:
         "num_cpus": num_cpus,
         "flagship_docs": n,
     }
+    if nodes:
+        out["nodes"] = nodes
+    return out
 
 
 def _per_core_ratio(lo: int, hi: int) -> float:
@@ -324,6 +348,59 @@ def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
     }
 
 
+def run_scaling_nodes(
+    sf_dir: str, lo_nodes: int = 1, hi_nodes: int = 4, cpus_per_node: int = 4
+) -> dict:
+    """The north rule's criterion shape proper: the same job on a
+    simulated LO-node and HI-node Ray cluster (ray.cluster_utils — one
+    raylet per node, real inter-node object transfer and actor spread),
+    fresh process per leg.  Per-core clocks still shift with total busy
+    cores on this single host, so the hw probe is reported alongside."""
+    sf = _sf_of(sf_dir)
+    n_docs = 12 * max(200, int(DOCS_PER_SF * sf))
+    _init(lo_nodes * cpus_per_node)
+    _corpus(n_docs)
+    _corpus(max(64, n_docs // 20))
+    import ray
+
+    ray.shutdown()
+
+    results = {}
+    for nodes in (lo_nodes, hi_nodes):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--flagship-only",
+             "--nodes", str(nodes), "--cpus", str(cpus_per_node),
+             "--docs", str(n_docs)],
+            capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        results[nodes] = json.loads(proc.stdout.strip().splitlines()[-1])
+    tput_lo = results[lo_nodes]["value"]
+    tput_hi = results[hi_nodes]["value"]
+    eff = (tput_hi / tput_lo) / (hi_nodes / lo_nodes)
+    hw_ratio = _per_core_ratio(lo_nodes * cpus_per_node,
+                               hi_nodes * cpus_per_node)
+    return {
+        "metric": "scaling_efficiency_nodes",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "queries": {
+            f"flagship_extract_nodes{lo_nodes}":
+                results[lo_nodes]["queries"]["flagship_extract"],
+            f"flagship_extract_nodes{hi_nodes}":
+                results[hi_nodes]["queries"]["flagship_extract"],
+        },
+        "sf": sf,
+        "num_cpus": hi_nodes * cpus_per_node,
+        "nodes": {"lo": lo_nodes, "hi": hi_nodes,
+                  "cpus_per_node": cpus_per_node},
+        "docs_per_sec": {str(lo_nodes): tput_lo, str(hi_nodes): tput_hi},
+        "flagship_docs": results[hi_nodes]["flagship_docs"],
+        "hw_per_core_ratio": round(hw_ratio, 3),
+        "efficiency_cpu_normalized": round(min(1.0, eff / hw_ratio), 3),
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
@@ -336,13 +413,22 @@ def main() -> None:
     # 4→16 are recorded in BASELINE.md.
     ap.add_argument("--lo", type=int, default=8)
     ap.add_argument("--hi", type=int, default=32)
+    # --scaling-nodes: N vs 4N simulated NODES (one raylet per node)
+    ap.add_argument("--scaling-nodes", action="store_true")
+    ap.add_argument("--nodes", type=int, default=0)
+    ap.add_argument("--cpus-per-node", type=int, default=4)
     args = ap.parse_args()
 
     if args.scaling:
         out = run_scaling(SF_DIR, lo=args.lo, hi=args.hi)
+    elif args.scaling_nodes:
+        out = run_scaling_nodes(
+            SF_DIR, lo_nodes=1, hi_nodes=4,
+            cpus_per_node=args.cpus_per_node,
+        )
     elif args.flagship_only:
         n = args.docs or max(200, int(DOCS_PER_SF * _sf_of(SF_DIR)))
-        out = run_flagship_only(args.cpus, n)
+        out = run_flagship_only(args.cpus, n, nodes=args.nodes)
     else:
         out = run_default(args.cpus, SF_DIR)
 
