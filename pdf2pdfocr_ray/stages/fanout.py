@@ -112,7 +112,17 @@ class FanOut:
         for url, ts, payload, route in zip(urls, tss, payloads, routes):
             _cur_title[0] = None
             if route == ROUTE_ERROR:
-                emit(url, ts, ROUTE_ERROR, 0, 0, 0, None, None, "unsupported_type")
+                # typed sub-reason for compression formats this container
+                # cannot decode (no zstandard/lz4 libs): at crawl scale
+                # "how much of the input is zstd" is a census question,
+                # not a generic junk bucket
+                if payload[:4] == b"\x28\xb5\x2f\xfd":
+                    reason = "unsupported_compression: zstd"
+                elif payload[:4] == b"\x04\x22\x4d\x18":
+                    reason = "unsupported_compression: lz4"
+                else:
+                    reason = "unsupported_type"
+                emit(url, ts, ROUTE_ERROR, 0, 0, 0, None, None, reason)
                 continue
             if cfg.min_kbytes and len(payload) / 1024.0 < cfg.min_kbytes:
                 emit(url, ts, route, 0, 0, 0, None, None, "too_small")

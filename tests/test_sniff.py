@@ -407,3 +407,31 @@ def test_decode_caps_reject_bombs_and_absurd_dims():
     # honest stream under the cap passes through
     assert capped_inflate(zlib.compress(b"abc"), "t") == b"abc"
     assert MAX_DECODE_BYTES > MAX_PIXELS * 3  # cap clears a max-size RGB image
+
+
+def test_zstd_lz4_payloads_get_typed_error_reason():
+    """Payloads in compression formats this container cannot decode
+    (zstd, lz4 — no libs available offline) become TYPED error rows, so
+    a crawl census can count them; arbitrary junk keeps the generic
+    reason."""
+    import zlib
+
+    from pdf2pdfocr_ray.stages.fanout import FanOut
+
+    t = pa.table({
+        "url": pa.array(["zstd", "lz4", "junk"], pa.string()),
+        "warc_ts": pa.array([0, 0, 0], pa.timestamp("us")),
+        "html": pa.array([
+            b"\x28\xb5\x2f\xfd" + zlib.compress(b"data") ,
+            b"\x04\x22\x4d\x18" + b"\x00" * 16,
+            b"\x00\x01\x02 junk",
+        ], pa.binary()),
+        "text": pa.array(["", "", ""], pa.string()),
+        "lang": pa.array(["eng"] * 3, pa.string()),
+    })
+    out = FanOut()(sniff_route(t))
+    errs = dict(zip(out.column("url").to_pylist(),
+                    out.column("error").to_pylist()))
+    assert errs["zstd"] == "unsupported_compression: zstd"
+    assert errs["lz4"] == "unsupported_compression: lz4"
+    assert errs["junk"] == "unsupported_type"
