@@ -138,3 +138,53 @@ def test_inline_svg_and_mathml_never_leak():
     assert out == para
     for leak in ("Share", "share icon", "Menu", "42"):
         assert leak not in out
+
+
+def test_extractor_golden_property_random_dom():
+    """Property test over randomized DOM trees: for any interleaving of
+    content paragraphs, boilerplate containers, nesting, inline markup
+    and foreign content, the extraction equals the hand-derived golden
+    (content blocks in document order, collapsed, "\\n\\n"-joined) —
+    the context-free contract the byte-identity gate relies on."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pdf2pdfocr_ray.functions.boilerplate import extract_main_text
+
+    words = st.lists(
+        st.text(alphabet="abcdefghijklmnop", min_size=3, max_size=8),
+        min_size=8, max_size=20,
+    ).map(lambda ws: " ".join(ws))  # >= 8*3+7 = 31 chars > MIN_CHARS
+
+    para = st.tuples(st.just("para"), words)
+    junk = st.tuples(
+        st.sampled_from(["nav", "footer", "aside", "script", "style",
+                         "svg", "template"]),
+        words,
+    )
+    item = st.one_of(para, junk)
+
+    @given(st.lists(item, min_size=1, max_size=12),
+           st.integers(min_value=0, max_value=3))
+    @settings(max_examples=60, deadline=None)
+    def check(items, wrap_depth):
+        body, golden = [], []
+        for kind, text in items:
+            if kind == "para":
+                # inline markup + a short link (link density stays far
+                # below the 0.3 cutoff: 4 chars over >= 31)
+                first, _, rest = text.partition(" ")
+                html = f"<p><b>{first}</b> {rest} <a href='/x'>more</a></p>"
+                body.append(html)
+                golden.append(f"{first} {rest} more")
+            else:
+                body.append(f"<{kind}><p>{text}</p></{kind}>"
+                            if kind not in ("script", "style", "svg")
+                            else f"<{kind}>{text}</{kind}>")
+        inner = "\n".join(body)
+        for _ in range(wrap_depth):  # nesting in block containers
+            inner = f"<div>\n{inner}\n</div>"
+        doc = f"<html><body><article>{inner}</article></body></html>"
+        assert extract_main_text(doc) == "\n\n".join(golden)
+
+    check()
