@@ -188,3 +188,38 @@ def test_extractor_golden_property_random_dom():
         assert extract_main_text(doc) == "\n\n".join(golden)
 
     check()
+
+
+def test_charset_sniff_roundtrip_property():
+    """For any latin-region text: declaring the charset in <meta> (or a
+    UTF-16/UTF-8 BOM) always decodes back to the original characters
+    through the WHATWG sniffing order."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pdf2pdfocr_ray.functions.boilerplate import decode_html_bytes
+
+    # cp1252-encodable text incl. the 0x80-0x9F smart-punct region
+    latin = st.text(
+        alphabet="abc déèñü€”—•œž ", min_size=1, max_size=40
+    )
+
+    @given(latin, st.sampled_from(["cp1252-meta", "utf8-meta",
+                                   "utf8-bom", "utf16-bom"]))
+    @settings(max_examples=80, deadline=None)
+    def check(text, mode):
+        doc = f"<html><head>META</head><body><p>{text}</p></body></html>"
+        if mode == "cp1252-meta":
+            payload = doc.replace(
+                "META", '<meta charset="windows-1252">').encode("cp1252")
+        elif mode == "utf8-meta":
+            payload = doc.replace(
+                "META", '<meta charset="UTF-8">').encode("utf-8")
+        elif mode == "utf8-bom":
+            payload = b"\xef\xbb\xbf" + doc.replace("META", "").encode("utf-8")
+        else:
+            payload = doc.replace("META", "").encode("utf-16")  # BOM'd
+        out = decode_html_bytes(payload)
+        assert text in out
+
+    check()
