@@ -139,3 +139,64 @@ def test_cli_warc_input_and_wet_output(tmp_path):
         assert (back["extracted_text"] == g["extracted_text"]).all()
     finally:
         ray.shutdown()
+
+
+@pytest.mark.slow
+def test_cli_resume_after_driver_kill(tmp_path):
+    """SIGKILL the CLI driver mid-extraction (part files on disk, no
+    manifest yet — the manifest is the atomic completion marker, written
+    only after a shard's data), then re-run the same command: crashed
+    partials are wiped, every shard redoes cleanly, and the final output
+    is complete and byte-identical with no duplicated rows — the
+    crash-resume story a multi-hour 100-TB job depends on."""
+    import signal
+    import time
+
+    import pandas as pd
+
+    pages, golden = generate_corpus(600, seed=42)
+    src = str(tmp_path / "pages.parquet")
+    pq.write_table(pages, src)
+    out = str(tmp_path / "out")
+    cmd = [sys.executable, "-m", "pdf2pdfocr_ray", "-i", src, "-o", out,
+           "--shards", "8", "--num-cpus", "2"]
+
+    proc = subprocess.Popen(cmd, cwd=REPO, stdout=subprocess.DEVNULL,
+                            stderr=subprocess.DEVNULL)
+    deadline = time.time() + 180
+    killed = False
+    while time.time() < deadline and proc.poll() is None:
+        # parts stream out during the run; manifests land only at the end
+        if glob.glob(os.path.join(out, "shard=*", "part-*.parquet")):
+            proc.send_signal(signal.SIGKILL)
+            killed = True
+            break
+        time.sleep(0.02)
+    proc.wait(timeout=60)
+    assert killed, "no part files observed before the run finished"
+    leftover_parts = glob.glob(os.path.join(out, "shard=*", "part-*.parquet"))
+    assert leftover_parts, "kill landed after cleanup?"
+
+    r2 = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO,
+                        timeout=300)
+    s2 = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert s2["rows"] == 600
+    states = list(s2["shards"].values())
+    # no manifest survived the crash -> every shard redoes (any shard
+    # whose manifest HAD landed would legitimately report "skipped")
+    assert all(v in ("done", "skipped") for v in states), states
+    assert len(glob.glob(os.path.join(out, "shard=*", "_MANIFEST.json"))) == 8
+
+    res = (
+        pd.concat(
+            pd.read_parquet(f)
+            for f in glob.glob(os.path.join(out, "shard=*", "*.parquet"))
+        )
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    g = golden.to_pandas().sort_values("url").reset_index(drop=True)
+    assert len(res) == len(g)  # crashed partials wiped: no duplicates
+    for i in range(len(g)):
+        a, b = res["extracted_text"][i], g["extracted_text"][i]
+        assert (a == b) or (pd.isna(a) and pd.isna(b))
