@@ -3131,6 +3131,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_score": _q_lm_score,
         "repetition_signals": _q_repetition_signals,
         "dedup_incremental": _q_dedup_incremental,
+        # r5 fifth-session addition, never driver-run, full SQL oracle —
+        # ahead of the re-check block so it lands inside the ~50 window
+        "corpus_shuffle": _q_corpus_shuffle,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_clusters": _q_dedup_clusters,
@@ -3148,7 +3151,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_fingerprint": _q_winnow_fingerprint,
         "doc_meta_corpus": _q_doc_meta_corpus,
         # ---- ~50-query driver window cut line ----
-        "corpus_shuffle": _q_corpus_shuffle,
         "page_spans": _q_page_spans,
         "flagship_spans": _q_flagship_spans,
         "doc_stats": _q_doc_stats,
