@@ -222,7 +222,11 @@ def test_ocr_timeout_preemptive_cutoff():
     rng = np.random.default_rng(5)
     cell = np.ones((9, 7), dtype=bool)
     cell[:7, :5] = rng.random((7, 5)) < 0.5  # an unknown (non-font) glyph
-    tile = np.tile(cell, (520, 680))  # ~350k segmented glyphs
+    # ~700k segmented glyphs: >1s of natural work even on a fast host
+    # (the round-5 kernel speedups made the old 350k-glyph page finish
+    # inside the old 0.5s budget, so the cutoff never fired; the budget
+    # below drops to 0.25s to keep a >4x margin)
+    tile = np.tile(cell, (1040, 680))
     bad_img = np.stack([np.where(tile, 255, 0).astype(np.uint8)] * 3, axis=-1)
     good_img = render_page(["hello world"], dpi=72)
 
@@ -239,7 +243,7 @@ def test_ocr_timeout_preemptive_cutoff():
             "error": pa.array([None, None], pa.string()),
         }
     )
-    stage = OcrStage(PipelineConfig(autorotate=True, deskew=True, ocr_timeout_s=0.5))
+    stage = OcrStage(PipelineConfig(autorotate=True, deskew=True, ocr_timeout_s=0.25))
     # calibrate host load so the wall bound doesn't flake when the suite
     # shares the machine (a loaded host slows the pathological page and
     # the cutoff checks by the same factor)
@@ -261,7 +265,7 @@ def test_ocr_timeout_preemptive_cutoff():
     assert errs["bad"] == "ocr_timeout"
     assert errs["good"] is None and texts["good"] == "hello world\n"
     # whole batch (timeout page + neighbor) well under the pathological
-    # page's natural runtime (> 5.5 s idle); bound scales with host load
+    # page's natural runtime (~3 s idle); bound scales with host load
     assert wall < 4.0 * slowdown, (wall, slowdown)
 
 
