@@ -1659,6 +1659,42 @@ def _q_corpus_shuffle(sf_dir: str):
     )
 
 
+def _q_mirror_hosts(sf_dir: str):
+    """Mirror-site detection: host pairs sharing >= 2 byte-identical
+    documents.  Hosts synthesized from doc_id (the robots_filter
+    convention); docs with doc_id % 10 == 0 additionally appear on a
+    mirror host, so cross-host duplicate structure exists by
+    construction and the SQL oracle reproduces it exactly."""
+    import pandas as pd
+
+    from pdf2pdfocr_ray.ops.dedup import mirror_hosts
+    from pdf2pdfocr_ray.ops.relational import read
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def synth(df: pd.DataFrame) -> pd.DataFrame:
+        base = pd.DataFrame(
+            {
+                "host": "host" + (df["doc_id"] % 7).astype(str)
+                + ".example.org",
+                "text": df["text"],
+            }
+        )
+        m = df[df["doc_id"] % 10 == 0]
+        mirror = pd.DataFrame(
+            {
+                "host": "mirror" + (m["doc_id"] % 3).astype(str)
+                + ".example.net",
+                "text": m["text"],
+            }
+        )
+        return pd.concat([base, mirror], ignore_index=True)
+
+    return mirror_hosts(
+        ds.map_batches(synth, batch_format="pandas"), min_shared=2
+    )
+
+
 def _q_robots_filter(sf_dir: str):
     """Crawl-politeness filter: urls synthesized over 5 hosts; hosts 1
     and 3 disallow path prefixes (plus an Allow carve-out on host 3).
@@ -3151,6 +3187,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_fingerprint": _q_winnow_fingerprint,
         "doc_meta_corpus": _q_doc_meta_corpus,
         # ---- ~50-query driver window cut line ----
+        "mirror_hosts": _q_mirror_hosts,
         "page_spans": _q_page_spans,
         "flagship_spans": _q_flagship_spans,
         "doc_stats": _q_doc_stats,
@@ -3589,6 +3626,20 @@ def _oracle_sql_static() -> dict[str, str]:
         "doc_global_rank": (
             "SELECT doc_id, n_chars, ROW_NUMBER() OVER "
             "(ORDER BY n_chars, doc_id) AS rank FROM documents"
+        ),
+        # full-semantics oracle: the same host synthesis + a self-join on
+        # md5(text) recomputes every mirror pair and its shared count
+        "mirror_hosts": (
+            "WITH base AS ("
+            "SELECT 'host' || (doc_id % 7) || '.example.org' AS host, text "
+            "FROM documents UNION ALL "
+            "SELECT 'mirror' || (doc_id % 3) || '.example.net' AS host, text "
+            "FROM documents WHERE doc_id % 10 = 0), "
+            "h AS (SELECT DISTINCT host, md5(text) AS hsh FROM base) "
+            "SELECT a.host AS host_a, b.host AS host_b, "
+            "count(*)::BIGINT AS n_shared "
+            "FROM h a JOIN h b ON a.hsh = b.hsh AND a.host < b.host "
+            "GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY 1, 2"
         ),
         # full-semantics oracle: DuckDB's md5() recomputes the seeded
         # permutation key row for row, so rank, key and id all hash-match

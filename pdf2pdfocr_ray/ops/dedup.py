@@ -1346,3 +1346,71 @@ def dedup_minhash_incremental(
             bucket_truncated=("bucket_truncated", "any"),
         ),
     )
+
+
+def mirror_hosts(
+    ds: "ray.data.Dataset",
+    host_col: str = "host",
+    text_col: str = "text",
+    min_shared: int = 2,
+    max_hosts_per_hash: int = 32,
+) -> "ray.data.Dataset":
+    """Mirror-site detection: ordered host pairs sharing >= ``min_shared``
+    byte-identical documents -> (host_a, host_b, n_shared).  The standard
+    crawl-curation step before host-level dedup decisions (a mirror pair
+    means one side's documents are redundant wholesale).
+
+    Shape: hash text per batch (md5, vectorized via hashlib over the
+    block), global DISTINCT (host, hash) + per-hash host-pair expansion
+    inside ONE sorted group pass, then a grouped count over pairs — no
+    self-join.  A hash carried by more than ``max_hosts_per_hash`` hosts
+    (boilerplate shared by everyone — empty pages, parked-domain
+    templates) is dropped with its pair explosion: it identifies no
+    specific mirror relationship.  At 100 TB the group pass is one
+    shuffle of (host, hash16) pairs, far smaller than the corpus."""
+    import hashlib
+
+    from .grouped import sorted_groupby
+
+    def hash_block(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "host": df[host_col].astype(str),
+                "hsh": [
+                    hashlib.md5(t.encode() if isinstance(t, str) else b"").hexdigest()
+                    for t in df[text_col]
+                ],
+            }
+        )
+        return out.drop_duplicates()  # map-side partial distinct
+
+    hashed = ds.map_batches(hash_block, batch_format="pandas")
+
+    def pairs_block(df: pd.DataFrame) -> pd.DataFrame:
+        out_a: list[str] = []
+        out_b: list[str] = []
+        for _, grp in df.groupby("hsh", sort=False):
+            hosts = sorted(grp["host"].unique())
+            if len(hosts) < 2 or len(hosts) > max_hosts_per_hash:
+                continue
+            for i in range(len(hosts)):
+                for j in range(i + 1, len(hosts)):
+                    out_a.append(hosts[i])
+                    out_b.append(hosts[j])
+        return pd.DataFrame(
+            {"host_a": pd.Series(out_a, dtype="object"),
+             "host_b": pd.Series(out_b, dtype="object")}
+        )
+
+    pairs = sorted_groupby(hashed, ["hsh"], pairs_block)
+
+    def count_block(df: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            df.groupby(["host_a", "host_b"], as_index=False)
+            .size()
+            .rename(columns={"size": "n_shared"})
+        )
+        out["n_shared"] = out["n_shared"].astype("int64")
+        return out[out["n_shared"] >= min_shared]
+
+    return sorted_groupby(pairs, ["host_a", "host_b"], count_block)

@@ -1957,3 +1957,43 @@ def test_seeded_shuffle_deterministic_and_shuffled(ray_session):
         .reset_index(drop=True)
     )
     assert not other["rank"].equals(outs[0]["rank"])
+
+
+def test_mirror_hosts_detects_planted_mirrors(ray_session):
+    """Planted mirror pairs surface with exact shared counts; a
+    boilerplate hash carried by more hosts than the cap identifies no
+    pair; singleton overlaps fall under min_shared."""
+    import pandas as pd
+    import ray.data
+
+    from pdf2pdfocr_ray.ops.dedup import mirror_hosts
+
+    rows = []
+    # a.com and b.net mirror 3 documents
+    for i in range(3):
+        for h in ("a.com", "b.net"):
+            rows.append({"host": h, "text": f"mirrored document {i}"})
+    # c.org shares exactly ONE doc with a.com (under min_shared=2)
+    rows.append({"host": "c.org", "text": "mirrored document 0"})
+    # boilerplate carried by 40 hosts: over the 32-host cap, no pairs
+    for k in range(40):
+        rows.append({"host": f"farm{k}.x", "text": "parked domain page"})
+    # unique content contributes nothing
+    rows.append({"host": "a.com", "text": "only here"})
+
+    ds = ray.data.from_pandas(pd.DataFrame(rows)).repartition(4)
+    out = (
+        mirror_hosts(ds, min_shared=2)
+        .to_pandas()
+        .sort_values(["host_a", "host_b"])
+        .reset_index(drop=True)
+    )
+    assert out.to_dict("records") == [
+        {"host_a": "a.com", "host_b": "b.net", "n_shared": 3}
+    ]
+
+    # min_shared=1 brings in the single-doc overlaps (incl. c.org)
+    out1 = mirror_hosts(ds, min_shared=1).to_pandas()
+    pairs = set(zip(out1["host_a"], out1["host_b"]))
+    assert ("a.com", "c.org") in pairs and ("b.net", "c.org") in pairs
+    assert not any("farm" in a or "farm" in b for a, b in pairs)
