@@ -1659,6 +1659,58 @@ def _q_corpus_shuffle(sf_dir: str):
     )
 
 
+def _q_robots_meta_optout(sf_dir: str):
+    """Publisher opt-out census: pages synthesized from documents carry
+    <meta name="robots"> directives by a doc_id rule (0: noindex,
+    1: nofollow, 2: "noindex, noarchive", 3: none-directive, 4: no
+    meta); the flags come from the REAL HTML parse, the oracle
+    recomputes the expected counts from the rule."""
+    import pandas as pd
+
+    from pdf2pdfocr_ray.ops.relational import read
+    from pdf2pdfocr_ray.ops.text_analysis import meta_robots_flags
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def synth(df: pd.DataFrame) -> pd.DataFrame:
+        metas = {
+            0: '<META NAME="ROBOTS" CONTENT="NOINDEX">',
+            1: "<meta name=robots content=nofollow>",
+            2: '<meta name="robots" content="noindex, noarchive">',
+            3: "<meta name='robots' content='none'>",
+            4: '<meta name="description" content="noindex is a word">',
+        }
+        html = [
+            f"<html><head>{metas[int(i) % 5]}</head><body><p>{t}</p></body></html>"
+            for i, t in zip(df["doc_id"], df["text"])
+        ]
+        return pd.DataFrame({"doc_id": df["doc_id"], "html": html})
+
+    flagged = meta_robots_flags(
+        ds.map_batches(synth, batch_format="pandas"), html_col="html"
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "n_docs": [len(df)],
+                "n_noindex": [int(df["noindex"].sum())],
+                "n_nofollow": [int(df["nofollow"].sum())],
+                "n_noarchive": [int(df["noarchive"].sum())],
+                "n_kept": [int((~df["noindex"]).sum())],
+            }
+        )
+
+    out = (
+        flagged.map_batches(partial, batch_format="pandas")
+        .to_pandas()
+        .sum()
+        .to_frame()
+        .T.astype("int64")
+    )
+    return out
+
+
 def _q_mirror_hosts(sf_dir: str):
     """Mirror-site detection: host pairs sharing >= 2 byte-identical
     documents.  Hosts synthesized from doc_id (the robots_filter
@@ -3188,6 +3240,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_meta_corpus": _q_doc_meta_corpus,
         # ---- ~50-query driver window cut line ----
         "mirror_hosts": _q_mirror_hosts,
+        "robots_meta_optout": _q_robots_meta_optout,
         "page_spans": _q_page_spans,
         "flagship_spans": _q_flagship_spans,
         "doc_stats": _q_doc_stats,
@@ -3626,6 +3679,20 @@ def _oracle_sql_static() -> dict[str, str]:
         "doc_global_rank": (
             "SELECT doc_id, n_chars, ROW_NUMBER() OVER "
             "(ORDER BY n_chars, doc_id) AS rank FROM documents"
+        ),
+        # synthesis-by-construction oracle (robots_filter pattern): the
+        # doc_id rule decides each page's directives — noindex on rules
+        # 0, 2 and 3 ("none" implies it), nofollow on 1 and 3, noarchive
+        # on 2 only; rule 4's lookalike meta must NOT count
+        "robots_meta_optout": (
+            "SELECT count(*)::BIGINT AS n_docs, "
+            "count(*) FILTER (WHERE doc_id % 5 IN (0, 2, 3))::BIGINT "
+            "AS n_noindex, "
+            "count(*) FILTER (WHERE doc_id % 5 IN (1, 3))::BIGINT "
+            "AS n_nofollow, "
+            "count(*) FILTER (WHERE doc_id % 5 = 2)::BIGINT AS n_noarchive, "
+            "count(*) FILTER (WHERE doc_id % 5 NOT IN (0, 2, 3))::BIGINT "
+            "AS n_kept FROM documents"
         ),
         # full-semantics oracle: the same host synthesis + a self-join on
         # md5(text) recomputes every mirror pair and its shared count

@@ -211,3 +211,40 @@ def extract_main_text(html: str) -> str:
     p.feed(html)
     p.close()
     return "\n\n".join(text for _, text in sorted(p.kept, key=lambda t: t[0]))
+
+
+class _MetaRobots(HTMLParser):
+    """Collects <meta name="robots" content="..."> directives."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.directives: list[str] = []
+
+    def handle_starttag(self, tag, attrs):
+        if tag != "meta":
+            return
+        d = {k.lower(): (v or "") for k, v in attrs}
+        if d.get("name", "").strip().lower() != "robots":
+            return
+        for tok in d.get("content", "").split(","):
+            tok = tok.strip().lower()
+            if tok:
+                self.directives.append(tok)
+
+
+def meta_robots_directives(html: str) -> list[str]:
+    """``<meta name="robots">`` directives of a page, lowercased, in
+    document order (duplicates preserved).  Tag/attribute case and
+    attribute order are irrelevant; directives split on commas and
+    trimmed per the robots-meta convention.  Accepted anywhere in the
+    document (crawler behavior — real pages misplace the tag in body).
+    The publisher opt-out signal a training-data pipeline must respect:
+    ``noindex`` pages should be dropped, ``nofollow`` ignored for link
+    extraction."""
+    p = _MetaRobots()
+    try:
+        p.feed(html)
+        p.close()
+    except Exception:  # malformed markup never blocks the flag scan
+        pass
+    return p.directives

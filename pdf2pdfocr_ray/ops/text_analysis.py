@@ -1717,3 +1717,37 @@ def dsir_logweights(
         )
 
     return ds.map_batches(score, batch_format="pandas")
+
+
+def meta_robots_flags(
+    ds: "ray.data.Dataset", html_col: str = "html"
+) -> "ray.data.Dataset":
+    """Publisher opt-out flags per page: parse ``<meta name="robots">``
+    (functions/boilerplate.meta_robots_directives) and emit boolean
+    ``noindex`` / ``nofollow`` / ``noarchive`` columns (``none`` implies
+    the first two, per the robots-meta convention).  A training-data
+    pipeline drops noindex pages — the opt-out signal — and skips link
+    extraction on nofollow pages.  Pure per-batch map: zero shuffle."""
+    import pyarrow as pa
+
+    from ..functions.boilerplate import decode_html_bytes, meta_robots_directives
+
+    def flag_batch(t: pa.Table) -> pa.Table:
+        noindex, nofollow, noarchive = [], [], []
+        for payload in t[html_col].to_pylist():
+            html = (
+                decode_html_bytes(payload)
+                if isinstance(payload, (bytes, bytearray))
+                else (payload or "")
+            )
+            d = set(meta_robots_directives(html))
+            noindex.append("noindex" in d or "none" in d)
+            nofollow.append("nofollow" in d or "none" in d)
+            noarchive.append("noarchive" in d)
+        return (
+            t.append_column("noindex", pa.array(noindex, pa.bool_()))
+            .append_column("nofollow", pa.array(nofollow, pa.bool_()))
+            .append_column("noarchive", pa.array(noarchive, pa.bool_()))
+        )
+
+    return ds.map_batches(flag_batch, batch_format="pyarrow")

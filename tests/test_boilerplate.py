@@ -223,3 +223,45 @@ def test_charset_sniff_roundtrip_property():
         assert text in out
 
     check()
+
+
+def test_meta_robots_directives_parsing():
+    """Robots-meta forms real pages carry: case-insensitive tag/attr
+    names, quoted/unquoted values, comma splitting, lookalike metas not
+    counted, body placement accepted (crawler behavior), truncated
+    trailing tags discarded without raising."""
+    from pdf2pdfocr_ray.functions.boilerplate import meta_robots_directives as m
+
+    assert m('<head><META NAME="ROBOTS" CONTENT="NOINDEX, nofollow"></head>') \
+        == ["noindex", "nofollow"]
+    assert m("<meta name=robots content=none>") == ["none"]
+    assert m("<meta name='robots' content=' noarchive , nosnippet '>") \
+        == ["noarchive", "nosnippet"]
+    assert m('<meta name="description" content="noindex is a word">') == []
+    assert m('<body><meta name=robots content="noarchive"></body>') \
+        == ["noarchive"]
+    assert m("<p>broken <<< <meta name=robots content=noindex") == []
+    assert m("") == []
+
+
+def test_meta_robots_flags_stage(ray_session):
+    """The flag op over a batch: none implies noindex+nofollow; bytes
+    payloads decode through the charset sniff first."""
+    import pyarrow as pa
+
+    from pdf2pdfocr_ray.ops.text_analysis import meta_robots_flags
+    import ray.data
+
+    pages = [
+        b'<html><head><meta name="robots" content="noindex"></head></html>',
+        b"<html><head><meta name=robots content=none></head></html>",
+        "<html><head><meta name='robots' content='nofollow'></head></html>",
+        b"<html><head></head><body>plain</body></html>",
+    ]
+    t = pa.table({"html": pa.array(
+        [p if isinstance(p, bytes) else p.encode() for p in pages],
+        pa.binary())})
+    out = meta_robots_flags(ray.data.from_arrow(t)).to_pandas()
+    assert out["noindex"].tolist() == [True, True, False, False]
+    assert out["nofollow"].tolist() == [False, True, True, False]
+    assert out["noarchive"].tolist() == [False, False, False, False]
