@@ -1711,6 +1711,43 @@ def _q_robots_meta_optout(sf_dir: str):
     return out
 
 
+def _q_canonical_dedup(sf_dir: str):
+    """Publisher-declared dedup census: synthesized pages where doc_id
+    % 4 == 1 declares the PREVIOUS doc's url canonical (a duplicate by
+    declaration), % 4 == 2 declares itself canonical explicitly, and
+    the rest carry no link.  Flags come from the real HTML parse; the
+    oracle recomputes the counts from the rule, plus the per-url rows
+    (url, canonical_url, is_canonical_dup) value-hash exactly."""
+    import pandas as pd
+
+    from pdf2pdfocr_ray.ops.relational import read
+    from pdf2pdfocr_ray.ops.text_analysis import canonical_dedup
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def synth(df: pd.DataFrame) -> pd.DataFrame:
+        urls, htmls = [], []
+        for i, t in zip(df["doc_id"], df["text"]):
+            i = int(i)
+            url = f"https://example.org/d/{i:06d}"
+            if i % 4 == 1:
+                link = ('<LINK REL="Canonical" '
+                        f'HREF="https://example.org/d/{i - 1:06d}">')
+            elif i % 4 == 2:
+                link = f"<link rel='canonical nofollow' href='{url}'>"
+            else:
+                link = ""
+            urls.append(url)
+            htmls.append(
+                f"<html><head>{link}</head><body><p>{t}</p></body></html>"
+            )
+        return pd.DataFrame({"url": urls, "html": htmls})
+
+    return canonical_dedup(
+        ds.map_batches(synth, batch_format="pandas")
+    ).select_columns(["url", "canonical_url", "is_canonical_dup"])
+
+
 def _q_mirror_hosts(sf_dir: str):
     """Mirror-site detection: host pairs sharing >= 2 byte-identical
     documents.  Hosts synthesized from doc_id (the robots_filter
@@ -3241,6 +3278,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- ~50-query driver window cut line ----
         "mirror_hosts": _q_mirror_hosts,
         "robots_meta_optout": _q_robots_meta_optout,
+        "canonical_dedup": _q_canonical_dedup,
         "page_spans": _q_page_spans,
         "flagship_spans": _q_flagship_spans,
         "doc_stats": _q_doc_stats,
@@ -3679,6 +3717,16 @@ def _oracle_sql_static() -> dict[str, str]:
         "doc_global_rank": (
             "SELECT doc_id, n_chars, ROW_NUMBER() OVER "
             "(ORDER BY n_chars, doc_id) AS rank FROM documents"
+        ),
+        # full-row oracle: the doc_id rule decides each page's canonical
+        # (previous doc's url on 1 mod 4, itself otherwise)
+        "canonical_dedup": (
+            "SELECT 'https://example.org/d/' || lpad(CAST(doc_id AS VARCHAR), 6, '0') "
+            "AS url, "
+            "'https://example.org/d/' || lpad(CAST(CASE WHEN doc_id % 4 = 1 "
+            "THEN doc_id - 1 ELSE doc_id END AS VARCHAR), 6, '0') "
+            "AS canonical_url, "
+            "(doc_id % 4 = 1) AS is_canonical_dup FROM documents"
         ),
         # synthesis-by-construction oracle (robots_filter pattern): the
         # doc_id rule decides each page's directives — noindex on rules

@@ -248,3 +248,33 @@ def meta_robots_directives(html: str) -> list[str]:
     except Exception:  # malformed markup never blocks the flag scan
         pass
     return p.directives
+
+
+class _CanonicalLink(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.href: str | None = None
+
+    def handle_starttag(self, tag, attrs):
+        if tag != "link" or self.href is not None:
+            return
+        d = {k.lower(): (v or "") for k, v in attrs}
+        rel = d.get("rel", "").strip().lower().split()
+        if "canonical" in rel and d.get("href", "").strip():
+            self.href = d["href"].strip()
+
+
+def canonical_link(html: str) -> str | None:
+    """First ``<link rel="canonical" href="...">`` of a page, or None.
+    ``rel`` is a space-separated token list per HTML (``rel="canonical
+    nofollow"`` counts); tag/attribute case is irrelevant; an empty href
+    is no declaration.  A page whose canonical differs from its own url
+    is a publisher-declared DUPLICATE of the target — the cheapest
+    dedup signal a crawl carries."""
+    p = _CanonicalLink()
+    try:
+        p.feed(html)
+        p.close()
+    except Exception:
+        pass
+    return p.href

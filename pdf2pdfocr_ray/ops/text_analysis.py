@@ -1751,3 +1751,38 @@ def meta_robots_flags(
         )
 
     return ds.map_batches(flag_batch, batch_format="pyarrow")
+
+
+def canonical_dedup(
+    ds: "ray.data.Dataset", url_col: str = "url", html_col: str = "html"
+) -> "ray.data.Dataset":
+    """Publisher-declared dedup: resolve each page's ``<link
+    rel=canonical>`` and emit ``canonical_url`` (the page's own url when
+    absent) plus ``is_canonical_dup`` — true when the page declares a
+    DIFFERENT url as its canonical form, i.e. the publisher says "this
+    content lives at X, not here".  Dropping flagged pages is the
+    zero-shuffle half of crawl dedup that needs no content hashing at
+    all; the grouped keep-one step reuses dedup_exact on canonical_url."""
+    import pyarrow as pa
+
+    from ..functions.boilerplate import canonical_link, decode_html_bytes
+
+    def flag_batch(t: pa.Table) -> pa.Table:
+        canon, dup = [], []
+        for url, payload in zip(
+            t[url_col].to_pylist(), t[html_col].to_pylist()
+        ):
+            html = (
+                decode_html_bytes(payload)
+                if isinstance(payload, (bytes, bytearray))
+                else (payload or "")
+            )
+            c = canonical_link(html) or url
+            canon.append(c)
+            dup.append(c != url)
+        return (
+            t.append_column("canonical_url", pa.array(canon, pa.string()))
+            .append_column("is_canonical_dup", pa.array(dup, pa.bool_()))
+        )
+
+    return ds.map_batches(flag_batch, batch_format="pyarrow")

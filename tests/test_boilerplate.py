@@ -265,3 +265,33 @@ def test_meta_robots_flags_stage(ray_session):
     assert out["noindex"].tolist() == [True, True, False, False]
     assert out["nofollow"].tolist() == [False, True, True, False]
     assert out["noarchive"].tolist() == [False, False, False, False]
+
+
+def test_canonical_link_parsing_and_dedup_stage(ray_session):
+    """Canonical-link forms: rel token lists, case-insensitive, first
+    declaration wins, empty href ignored; the stage flags only pages
+    declaring a DIFFERENT url."""
+    import pyarrow as pa
+    import ray.data
+
+    from pdf2pdfocr_ray.functions.boilerplate import canonical_link as c
+    from pdf2pdfocr_ray.ops.text_analysis import canonical_dedup
+
+    assert c('<link rel="canonical" href="https://a/x">') == "https://a/x"
+    assert c("<LINK REL='Canonical NOFOLLOW' HREF='https://a/y'>") == "https://a/y"
+    assert c('<link rel="canonical" href="">') is None
+    assert c('<link rel="stylesheet" href="https://a/css">') is None
+    assert c('<link rel=canonical href=/first><link rel=canonical href=/second>') == "/first"
+    assert c("") is None
+
+    t = pa.table({
+        "url": pa.array(["https://a/1", "https://a/2", "https://a/3"], pa.string()),
+        "html": pa.array([
+            b'<head><link rel="canonical" href="https://a/1"></head>',  # self
+            b'<head><link rel="canonical" href="https://a/1"></head>',  # dup of 1
+            b"<head></head>",                                           # none
+        ], pa.binary()),
+    })
+    out = canonical_dedup(ray.data.from_arrow(t)).to_pandas().sort_values("url")
+    assert out["is_canonical_dup"].tolist() == [False, True, False]
+    assert out["canonical_url"].tolist() == ["https://a/1", "https://a/1", "https://a/3"]
