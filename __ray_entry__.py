@@ -1711,6 +1711,61 @@ def _q_robots_meta_optout(sf_dir: str):
     return out
 
 
+def _q_outlink_graph(sf_dir: str):
+    """Host-level link graph from REAL <a href> extraction: pages
+    synthesized by a doc_id rule (one absolute cross-host link — doubled
+    when doc_id % 5 == 0, duplicate hrefs are weight — plus one RELATIVE
+    link that must resolve to the page's own host via RFC 3986).  Edges
+    come from the HTML parse + urljoin; the oracle recomputes the
+    (src_host, dst_host, n_links) triples from the rule."""
+    import pandas as pd
+
+    from pdf2pdfocr_ray.ops.grouped import sorted_groupby
+    from pdf2pdfocr_ray.ops.relational import read
+    from pdf2pdfocr_ray.ops.text_analysis import extract_outlinks
+
+    ds = read(sf_dir, "documents", ["doc_id"])
+
+    def synth(df: pd.DataFrame) -> pd.DataFrame:
+        urls, htmls = [], []
+        for i in df["doc_id"]:
+            i = int(i)
+            url = f"https://h{i % 7}.org/p{i}"
+            a = f"https://h{(i + 1) % 7}.org/p{i}"
+            body = f'<a href="{a}">x</a><a href="/local{i}">y</a>'
+            if i % 5 == 0:
+                body += f"<a href='{a}'>again</a>"
+            urls.append(url)
+            htmls.append(f"<html><body>{body}</body></html>")
+        return pd.DataFrame({"url": urls, "html": htmls})
+
+    edges = extract_outlinks(ds.map_batches(synth, batch_format="pandas"))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        from urllib.parse import urlparse
+
+        out = pd.DataFrame(
+            {
+                "src_host": [urlparse(u).netloc for u in df["src_url"]],
+                "dst_host": [urlparse(u).netloc for u in df["dst_url"]],
+            }
+        )
+        return (
+            out.groupby(["src_host", "dst_host"], as_index=False)
+            .size()
+            .rename(columns={"size": "n_links"})
+        )
+
+    partials = edges.map_batches(partial, batch_format="pandas")
+    return sorted_groupby(
+        partials,
+        ["src_host", "dst_host"],
+        lambda df: df.groupby(["src_host", "dst_host"], as_index=False)
+        .agg(n_links=("n_links", "sum"))
+        .astype({"n_links": "int64"}),
+    )
+
+
 def _q_canonical_dedup(sf_dir: str):
     """Publisher-declared dedup census: synthesized pages where doc_id
     % 4 == 1 declares the PREVIOUS doc's url canonical (a duplicate by
@@ -3279,6 +3334,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mirror_hosts": _q_mirror_hosts,
         "robots_meta_optout": _q_robots_meta_optout,
         "canonical_dedup": _q_canonical_dedup,
+        "outlink_graph": _q_outlink_graph,
         "page_spans": _q_page_spans,
         "flagship_spans": _q_flagship_spans,
         "doc_stats": _q_doc_stats,
@@ -3717,6 +3773,23 @@ def _oracle_sql_static() -> dict[str, str]:
         "doc_global_rank": (
             "SELECT doc_id, n_chars, ROW_NUMBER() OVER "
             "(ORDER BY n_chars, doc_id) AS rank FROM documents"
+        ),
+        # rule-reconstructed edge multiset: cross-host link per doc
+        # (doubled on 0 mod 5) + one self-host link from the RELATIVE
+        # href the parser must urljoin against the page url
+        "outlink_graph": (
+            "WITH e AS ("
+            "SELECT 'h' || (doc_id % 7) || '.org' AS src_host, "
+            "'h' || ((doc_id + 1) % 7) || '.org' AS dst_host FROM documents "
+            "UNION ALL "
+            "SELECT 'h' || (doc_id % 7) || '.org', "
+            "'h' || ((doc_id + 1) % 7) || '.org' FROM documents "
+            "WHERE doc_id % 5 = 0 "
+            "UNION ALL "
+            "SELECT 'h' || (doc_id % 7) || '.org', "
+            "'h' || (doc_id % 7) || '.org' FROM documents) "
+            "SELECT src_host, dst_host, count(*)::BIGINT AS n_links "
+            "FROM e GROUP BY 1, 2 ORDER BY 1, 2"
         ),
         # full-row oracle: the doc_id rule decides each page's canonical
         # (previous doc's url on 1 mod 4, itself otherwise)

@@ -278,3 +278,42 @@ def canonical_link(html: str) -> str | None:
     except Exception:
         pass
     return p.href
+
+
+class _LinkCollector(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.hrefs: list[str] = []
+
+    def handle_starttag(self, tag, attrs):
+        if tag != "a":
+            return
+        d = {k.lower(): (v or "") for k, v in attrs}
+        href = d.get("href", "").strip()
+        if not href or href.startswith("#"):
+            return
+        if href.split(":", 1)[0].lower() in ("javascript", "mailto", "tel",
+                                             "data"):
+            return
+        self.hrefs.append(href)
+
+
+def extract_links(html: str, base_url: str | None = None) -> list[str]:
+    """All ``<a href>`` targets of a page in document order (duplicates
+    preserved — link COUNTS matter for host-graph weights).  Fragment-
+    only, javascript:, mailto:, tel: and data: hrefs are skipped;
+    relative hrefs resolve against ``base_url`` (RFC 3986 via
+    urllib.parse.urljoin) when given, else stay as written.  The edge
+    producer for the crawl link graph (PageRank quality prior, host-
+    level analysis)."""
+    p = _LinkCollector()
+    try:
+        p.feed(html)
+        p.close()
+    except Exception:
+        pass
+    if base_url is None:
+        return p.hrefs
+    from urllib.parse import urljoin
+
+    return [urljoin(base_url, h) for h in p.hrefs]

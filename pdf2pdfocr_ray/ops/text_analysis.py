@@ -1786,3 +1786,36 @@ def canonical_dedup(
         )
 
     return ds.map_batches(flag_batch, batch_format="pyarrow")
+
+
+def extract_outlinks(
+    ds: "ray.data.Dataset", url_col: str = "url", html_col: str = "html"
+) -> "ray.data.Dataset":
+    """Page rows -> link-graph edge rows (src_url, dst_url), one per
+    ``<a href>`` occurrence (duplicates preserved: counts are the edge
+    weights).  Relative hrefs resolve against the page url.  Pure
+    per-batch flat map — the zero-shuffle edge producer feeding
+    ops/graph.pagerank and host-level aggregation."""
+    import pyarrow as pa
+
+    from ..functions.boilerplate import decode_html_bytes, extract_links
+
+    def edges_batch(t: pa.Table) -> pa.Table:
+        src, dst = [], []
+        for url, payload in zip(
+            t[url_col].to_pylist(), t[html_col].to_pylist()
+        ):
+            html = (
+                decode_html_bytes(payload)
+                if isinstance(payload, (bytes, bytearray))
+                else (payload or "")
+            )
+            for link in extract_links(html, base_url=url):
+                src.append(url)
+                dst.append(link)
+        return pa.table(
+            {"src_url": pa.array(src, pa.string()),
+             "dst_url": pa.array(dst, pa.string())}
+        )
+
+    return ds.map_batches(edges_batch, batch_format="pyarrow")

@@ -295,3 +295,30 @@ def test_canonical_link_parsing_and_dedup_stage(ray_session):
     out = canonical_dedup(ray.data.from_arrow(t)).to_pandas().sort_values("url")
     assert out["is_canonical_dup"].tolist() == [False, True, False]
     assert out["canonical_url"].tolist() == ["https://a/1", "https://a/1", "https://a/3"]
+
+
+def test_extract_links_forms_and_resolution():
+    """Link extraction: duplicates preserved (edge weights), fragment/
+    javascript/mailto/tel/data skipped, relative hrefs resolve against
+    the base url per RFC 3986, nested markup inside the anchor is fine."""
+    from pdf2pdfocr_ray.functions.boilerplate import extract_links as ex
+
+    html = (
+        '<a href="https://b.org/x">one</a>'
+        '<a href="https://b.org/x"><b>again</b></a>'
+        '<a href="#section">frag</a>'
+        '<a href="javascript:void(0)">js</a>'
+        '<a href="mailto:a@b.c">mail</a>'
+        '<a href="/rel/path">rel</a>'
+        '<a href="sibling">sib</a>'
+        '<a href="../up">up</a>'
+    )
+    assert ex(html) == ["https://b.org/x", "https://b.org/x", "/rel/path",
+                        "sibling", "../up"]
+    assert ex(html, base_url="https://a.org/dir/page.html") == [
+        "https://b.org/x", "https://b.org/x",
+        "https://a.org/rel/path",
+        "https://a.org/dir/sibling",
+        "https://a.org/up",
+    ]
+    assert ex("") == []
