@@ -284,8 +284,14 @@ class _LinkCollector(HTMLParser):
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
         self.hrefs: list[str] = []
+        self.base: str | None = None  # first <base href> wins (HTML spec)
 
     def handle_starttag(self, tag, attrs):
+        if tag == "base" and self.base is None:
+            d = {k.lower(): (v or "") for k, v in attrs}
+            if d.get("href", "").strip():
+                self.base = d["href"].strip()
+            return
         if tag != "a":
             return
         d = {k.lower(): (v or "") for k, v in attrs}
@@ -302,18 +308,23 @@ def extract_links(html: str, base_url: str | None = None) -> list[str]:
     """All ``<a href>`` targets of a page in document order (duplicates
     preserved — link COUNTS matter for host-graph weights).  Fragment-
     only, javascript:, mailto:, tel: and data: hrefs are skipped;
-    relative hrefs resolve against ``base_url`` (RFC 3986 via
-    urllib.parse.urljoin) when given, else stay as written.  The edge
-    producer for the crawl link graph (PageRank quality prior, host-
-    level analysis)."""
+    relative hrefs resolve against the page's first ``<base href>`` if
+    present (itself resolved against ``base_url``, per the HTML spec),
+    else against ``base_url`` (RFC 3986 via urllib.parse.urljoin); with
+    neither they stay as written.  The edge producer for the crawl link
+    graph (PageRank quality prior, host-level analysis)."""
     p = _LinkCollector()
     try:
         p.feed(html)
         p.close()
     except Exception:
         pass
-    if base_url is None:
-        return p.hrefs
     from urllib.parse import urljoin
 
-    return [urljoin(base_url, h) for h in p.hrefs]
+    if base_url is not None and p.base is not None:
+        base = urljoin(base_url, p.base)
+    else:
+        base = p.base if base_url is None else base_url
+    if base is None:
+        return p.hrefs
+    return [urljoin(base, h) for h in p.hrefs]

@@ -322,3 +322,21 @@ def test_extract_links_forms_and_resolution():
         "https://a.org/up",
     ]
     assert ex("") == []
+
+
+def test_extract_links_base_href():
+    """<base href> overrides the resolution base for relative links
+    (first base wins; the base itself resolves against the page url)."""
+    from pdf2pdfocr_ray.functions.boilerplate import extract_links as ex
+
+    h = ('<base href="https://cdn.example/assets/">'
+         '<base href="https://ignored.example/">'
+         '<a href="img/x">l</a><a href="https://abs.org/y">m</a>')
+    assert ex(h, base_url="https://a.org/page") == [
+        "https://cdn.example/assets/img/x", "https://abs.org/y"]
+    # relative base resolves against the page url first
+    assert ex('<base href="/en/"><a href="doc">l</a>',
+              base_url="https://a.org/fr/page") == ["https://a.org/en/doc"]
+    # base without page url: used as-is
+    assert ex('<base href="https://b.org/"><a href="p">l</a>') == [
+        "https://b.org/p"]
