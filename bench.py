@@ -178,6 +178,13 @@ BENCH_QUERIES = [
     "bpe_train_encode",
     "pack_sequences",
     "decontaminate",
+    # round-5 fifth-session wave: deterministic shuffle + the
+    # publisher-signal curation family
+    "corpus_shuffle",
+    "mirror_hosts",
+    "robots_meta_optout",
+    "canonical_dedup",
+    "outlink_graph",
 ]
 
 
