@@ -1386,7 +1386,9 @@ def mirror_hosts(
 
     hashed = ds.map_batches(hash_block, batch_format="pandas")
 
-    def pairs_block(df: pd.DataFrame) -> pd.DataFrame:
+    def pairs_block(df: pd.DataFrame):
+        import pyarrow as pa
+
         out_a: list[str] = []
         out_b: list[str] = []
         for _, grp in df.groupby("hsh", sort=False):
@@ -1397,20 +1399,50 @@ def mirror_hosts(
                 for j in range(i + 1, len(hosts)):
                     out_a.append(hosts[i])
                     out_b.append(hosts[j])
-        return pd.DataFrame(
-            {"host_a": pd.Series(out_a, dtype="object"),
-             "host_b": pd.Series(out_b, dtype="object")}
+        # typed Arrow block: zero-pair blocks keep the schema
+        return pa.table(
+            {"host_a": pa.array(out_a, pa.string()),
+             "host_b": pa.array(out_b, pa.string())}
         )
 
-    pairs = sorted_groupby(hashed, ["hsh"], pairs_block)
+    pairs = sorted_groupby(hashed, ["hsh"], pairs_block).materialize()
+    if pairs.count() == 0:
+        # mirror-free corpus: a typed empty (post-shuffle all-empty
+        # datasets lose their schema — the connected_components pattern)
+        import pyarrow as pa
 
-    def count_block(df: pd.DataFrame) -> pd.DataFrame:
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.table(
+                {"host_a": pa.array([], pa.string()),
+                 "host_b": pa.array([], pa.string()),
+                 "n_shared": pa.array([], pa.int64())}
+            )
+        )
+
+    def count_block(df: pd.DataFrame):
+        import pyarrow as pa
+
         out = (
             df.groupby(["host_a", "host_b"], as_index=False)
             .size()
             .rename(columns={"size": "n_shared"})
         )
-        out["n_shared"] = out["n_shared"].astype("int64")
-        return out[out["n_shared"] >= min_shared]
+        if "n_shared" in out:
+            out = out[out["n_shared"] >= min_shared]
+        # typed Arrow block so a mirror-free corpus still yields a dataset
+        # WITH a schema (all-empty pandas blocks infer to schema None)
+        return pa.table(
+            {
+                "host_a": pa.array(out.get("host_a", []), pa.string()),
+                "host_b": pa.array(out.get("host_b", []), pa.string()),
+                "n_shared": pa.array(
+                    out.get("n_shared", pd.Series([], dtype="int64"))
+                    .astype("int64"),
+                    pa.int64(),
+                ),
+            }
+        )
 
     return sorted_groupby(pairs, ["host_a", "host_b"], count_block)

@@ -1997,3 +1997,11 @@ def test_mirror_hosts_detects_planted_mirrors(ray_session):
     pairs = set(zip(out1["host_a"], out1["host_b"]))
     assert ("a.com", "c.org") in pairs and ("b.net", "c.org") in pairs
     assert not any("farm" in a or "farm" in b for a, b in pairs)
+
+    # a mirror-free corpus yields an EMPTY dataset WITH schema (writable)
+    clean = ray.data.from_pandas(pd.DataFrame(
+        {"host": [f"h{i}.x" for i in range(6)],
+         "text": [f"unique {i}" for i in range(6)]})).repartition(3)
+    empty = mirror_hosts(clean)
+    assert empty.schema().names == ["host_a", "host_b", "n_shared"]
+    assert empty.count() == 0
