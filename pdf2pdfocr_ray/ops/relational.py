@@ -1395,10 +1395,15 @@ def global_rank(
     stats = sorted_ds.map_batches(
         block_stat, batch_format="pandas", batch_size=None
     ).to_pandas()  # one row per block
-    stats = stats.sort_values("k0").reset_index(drop=True)
-    offsets = dict(
-        zip(stats["k0"], np.concatenate([[0], np.cumsum(stats["n"])[:-1]]))
-    )
+    if len(stats) == 0 or "k0" not in stats:
+        # empty input: all-empty blocks can drop the stat columns; the
+        # assign path below handles empty blocks without the offsets
+        offsets: dict = {}
+    else:
+        stats = stats.sort_values("k0").reset_index(drop=True)
+        offsets = dict(
+            zip(stats["k0"], np.concatenate([[0], np.cumsum(stats["n"])[:-1]]))
+        )
     ref = ray.put(offsets)
 
     def assign(df: pd.DataFrame) -> pd.DataFrame:

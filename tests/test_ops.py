@@ -2005,3 +2005,16 @@ def test_mirror_hosts_detects_planted_mirrors(ray_session):
     empty = mirror_hosts(clean)
     assert empty.schema().names == ["host_a", "host_b", "n_shared"]
     assert empty.count() == 0
+
+
+def test_global_rank_empty_input(ray_session):
+    """An empty (e.g. fully-filtered) input must produce an empty
+    ranking, not a KeyError from the all-empty block-stat pass."""
+    import pyarrow as pa
+    import ray.data
+
+    from pdf2pdfocr_ray.ops.relational import global_rank, seeded_shuffle
+
+    t = pa.table({"doc_id": pa.array([], pa.int64())})
+    assert global_rank(ray.data.from_arrow(t), ["doc_id"]).count() == 0
+    assert seeded_shuffle(ray.data.from_arrow(t), "doc_id", seed=1).count() == 0
