@@ -980,6 +980,21 @@ def semdedup(
     from .grouped import sorted_groupby
     from .similarity import kmeans_fit
 
+    if ds.limit(1).count() == 0:
+        # a fully-filtered corpus has no pairs by definition (and no
+        # vectors to train centroids on)
+        import pyarrow as pa
+
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.table(
+                {"id_a": pa.array([], pa.int64()),
+                 "id_b": pa.array([], pa.int64()),
+                 "cos": pa.array([], pa.float64()),
+                 "cluster_truncated": pa.array([], pa.bool_())}
+            )
+        )
     cents, _ = kmeans_fit(ds, k=k, iters=iters, vec_col=vec_col,
                           seed=seed)
     npb = max(1, min(n_probe, len(cents)))

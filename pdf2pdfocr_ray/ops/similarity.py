@@ -259,7 +259,12 @@ def kmeans_fit(
     final SSE).  Empty clusters keep their previous centroid."""
     import ray
 
-    sample = _to_raw_matrix(ds.limit(sample_rows).to_pandas()[vec_col])
+    sample_df = ds.limit(sample_rows).to_pandas()
+    if len(sample_df) == 0 or vec_col not in sample_df:
+        # an empty Dataset's to_pandas drops its columns entirely —
+        # raise the clear error instead of a KeyError deep in pandas
+        raise ValueError("kmeans_fit: empty input (no vectors to cluster)")
+    sample = _to_raw_matrix(sample_df[vec_col])
     cent = _kmeanspp_init(sample, k, seed)
     kk, d = cent.shape
     sse_prev = np.inf

@@ -2018,3 +2018,24 @@ def test_global_rank_empty_input(ray_session):
     t = pa.table({"doc_id": pa.array([], pa.int64())})
     assert global_rank(ray.data.from_arrow(t), ["doc_id"]).count() == 0
     assert seeded_shuffle(ray.data.from_arrow(t), "doc_id", seed=1).count() == 0
+
+
+def test_semdedup_and_kmeans_empty_input(ray_session):
+    """A fully-filtered corpus: semdedup returns a typed empty pair set;
+    kmeans_fit raises the clear error (clustering nothing is undefined)."""
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from pdf2pdfocr_ray.ops.dedup import semdedup
+    from pdf2pdfocr_ray.ops.similarity import kmeans_fit
+
+    empty = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array([], pa.int64()),
+        "embedding": pa.array([], pa.list_(pa.float32())),
+    }))
+    out = semdedup(empty)
+    assert out.count() == 0
+    assert out.schema().names == ["id_a", "id_b", "cos", "cluster_truncated"]
+    with pytest.raises(ValueError, match="empty input"):
+        kmeans_fit(empty, k=4)
