@@ -63,12 +63,15 @@ def pagerank(
             f"{broadcast_node_limit}; use pagerank_dataset() — node state "
             "stays a Dataset and never lands on the driver"
         )
+    if n == 0:
+        # before the to_pandas sort: an empty Dataset's to_pandas drops
+        # its columns, so the old post-sort check raised KeyError
+        return pd.DataFrame({"node": pd.Series([], dtype="int64"),
+                             "rank": pd.Series([], dtype="float64")})
     deg = deg_ds.to_pandas().sort_values("node").reset_index(drop=True)
     nodes = deg["node"].to_numpy(np.int64)
     outdeg = deg["outdeg"].to_numpy(np.float64)
     n = len(nodes)
-    if n == 0:
-        return pd.DataFrame({"node": [], "rank": []})
     rank = np.full(n, 1.0 / n)
 
     for _ in range(iters):

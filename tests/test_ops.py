@@ -2039,3 +2039,17 @@ def test_semdedup_and_kmeans_empty_input(ray_session):
     assert out.schema().names == ["id_a", "id_b", "cos", "cluster_truncated"]
     with pytest.raises(ValueError, match="empty input"):
         kmeans_fit(empty, k=4)
+
+
+def test_pagerank_empty_edges(ray_session):
+    """An empty edge set yields an empty, typed ranking (the old check
+    sat after a to_pandas sort that raised KeyError on empty input)."""
+    import pyarrow as pa
+    import ray.data
+
+    from pdf2pdfocr_ray.ops.graph import pagerank
+
+    e = ray.data.from_arrow(pa.table({"src": pa.array([], pa.int64()),
+                                      "dst": pa.array([], pa.int64())}))
+    out = pagerank(e)
+    assert len(out) == 0 and list(out.columns) == ["node", "rank"]
