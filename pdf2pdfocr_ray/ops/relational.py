@@ -454,9 +454,27 @@ def sort_merge_join(
     # Normalize to Arrow blocks: pandas-backed datasets (from_pandas)
     # report numpy/object types, not pa.DataType, which the typed-null
     # padding below needs.  The identity map fuses — no extra pass.
+    pre_a, pre_b = a.schema(), b.schema()
     a = a.map_batches(lambda t: t, batch_format="pyarrow")
     b = b.map_batches(lambda t: t, batch_format="pyarrow")
     sa, sb = a.schema(), b.schema()
+
+    def _resolve(post, pre, side):
+        # an EMPTY side executes the identity map to all-empty blocks and
+        # reports schema None — fall back to the input's schema when that
+        # one is Arrow-typed (from_arrow / read_parquet empties)
+        sch = post if post is not None else pre
+        if sch is None or not all(
+            isinstance(t, pa.DataType) for t in sch.types
+        ):
+            raise ValueError(
+                f"sort_merge_join: {side} side schema unavailable (empty "
+                "non-Arrow dataset) — materialize a typed empty or skip "
+                "the join"
+            )
+        return sch
+
+    sa, sb = _resolve(sa, pre_a, "left"), _resolve(sb, pre_b, "right")
     shared = (set(sa.names) & set(sb.names)) - set(keys)
     ren_a = {c: c + suffixes[0] for c in shared}
     ren_b = {c: c + suffixes[1] for c in shared}

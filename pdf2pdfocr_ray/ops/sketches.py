@@ -184,6 +184,8 @@ def hll_distinct(
         return pd.DataFrame({"sketch": [regs.tobytes()]})
 
     parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    if len(parts) == 0 or "sketch" not in parts:
+        return 0.0, 0  # empty input: zero distinct values, no partials
     merged = np.zeros(1 << p, dtype=np.uint8)
     for b in parts["sketch"]:
         np.maximum(merged, np.frombuffer(b, dtype=np.uint8), out=merged)

@@ -2053,3 +2053,23 @@ def test_pagerank_empty_edges(ray_session):
                                       "dst": pa.array([], pa.int64())}))
     out = pagerank(e)
     assert len(out) == 0 and list(out.columns) == ["node", "rank"]
+
+
+def test_hll_and_smj_empty_inputs(ray_session):
+    """Empty inputs: hll_distinct reports (0, 0); a typed-empty join
+    side joins correctly (inner -> 0 rows, right -> the right side)."""
+    import pyarrow as pa
+    import ray.data
+
+    from pdf2pdfocr_ray.ops.relational import sort_merge_join
+    from pdf2pdfocr_ray.ops.sketches import hll_distinct
+
+    e = ray.data.from_arrow(pa.table({"x": pa.array([], pa.int64())}))
+    assert hll_distinct(e, "x") == (0.0, 0)
+
+    a = ray.data.from_arrow(pa.table({"k": pa.array([], pa.int64()),
+                                      "va": pa.array([], pa.int64())}))
+    b = ray.data.from_arrow(pa.table({"k": pa.array([2, 3], pa.int64()),
+                                      "vb": pa.array([200, 300], pa.int64())}))
+    assert sort_merge_join(a, b, ["k"]).count() == 0
+    assert sort_merge_join(a, b, ["k"], how="right").count() == 2
