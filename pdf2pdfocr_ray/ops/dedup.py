@@ -69,8 +69,12 @@ def dedup_exact(ds: "ray.data.Dataset", text_col: str = "text",
     def add_hash(batch: pd.DataFrame) -> pd.DataFrame:
         norm = batch[text_col].str.replace(r"\s+", " ", regex=True).str.lower()
         batch = batch.copy()
+        # null text (error rows riding through a pipeline) is NOT
+        # duplicate content: a unique per-row hash keeps every such row
         batch["content_hash"] = [
-            hashlib.md5(t.encode("utf-8")).hexdigest() for t in norm
+            hashlib.md5(t.encode("utf-8")).hexdigest()
+            if isinstance(t, str) else f"__null__{i}"
+            for t, i in zip(norm, batch[id_col])
         ]
         return batch
 
@@ -144,6 +148,9 @@ class MinHasher:
         # list<uint64>: the band explode copies each sig `bands` times and
         # the bucket shuffle moves them all — binary cells are ~5x cheaper
         # to serialize than object lists.
+        # null-text rows (error docs) cannot be near-duplicates; they are
+        # dropped here — the op's output is PAIRS, so nothing is lost
+        batch = batch[batch["text"].notna()]
         out = batch.copy()
         out["minhash_sig"] = [self.signature(t).tobytes() for t in batch["text"]]
         return out
@@ -303,7 +310,9 @@ def simhash64(text: str) -> int:
 
 def add_simhash(ds: "ray.data.Dataset", text_col: str = "text") -> "ray.data.Dataset":
     def fn(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch.copy()
+        # null-text rows (error docs) cannot be near-duplicates — dropped
+        # (downstream consumes pairs, so nothing is lost)
+        batch = batch[batch[text_col].notna()].copy()
         batch["simhash"] = [simhash64(t) for t in batch[text_col]]
         return batch
 

@@ -553,6 +553,8 @@ def paragraph_dedup(
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
         ids, hashes, texts = [], [], []
         for did, t in zip(batch[id_col], batch[text_col]):
+            if not isinstance(t, str):
+                continue  # null text (error rows): no paragraphs to dedup
             for p in t.split("\n\n"):
                 if not p:
                     continue

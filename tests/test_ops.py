@@ -2073,3 +2073,30 @@ def test_hll_and_smj_empty_inputs(ray_session):
                                       "vb": pa.array([200, 300], pa.int64())}))
     assert sort_merge_join(a, b, ["k"]).count() == 0
     assert sort_merge_join(a, b, ["k"], how="right").count() == 2
+
+
+def test_dedup_ops_tolerate_null_text(ray_session):
+    """Error rows carry null text; they must ride through dedup without
+    crashing and without being treated as duplicates of each other."""
+    import pyarrow as pa
+    import ray.data
+
+    from pdf2pdfocr_ray.ops.dedup import (
+        dedup_exact,
+        dedup_minhash_lsh,
+        dedup_simhash,
+    )
+    from pdf2pdfocr_ray.ops.text_analysis import paragraph_dedup
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array(
+            ["same text here for dup", None, "same text here for dup", None],
+            pa.string()),
+    }))
+    kept = dedup_exact(ds).to_pandas()
+    assert len(kept) == 3  # both nulls kept, dup pair collapsed to min id
+    assert set(kept["doc_id"]) == {1, 2, 4}
+    assert dedup_minhash_lsh(ds).count() == 1  # only the real pair
+    assert dedup_simhash(ds).count() == 1
+    assert paragraph_dedup(ds).count() == 1  # one distinct paragraph
