@@ -38,8 +38,9 @@ _LANG_STOPWORDS = {
 
 
 def token_stats(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
-    """Vectorized token/char/punct counts (SQL-oracle-able)."""
-    s = batch[text_col]
+    """Vectorized token/char/punct counts (SQL-oracle-able).  Null text
+    (error rows) measures as empty: 0 tokens / 0 chars."""
+    s = batch[text_col].fillna("")
     batch = batch.copy()
     batch["n_tokens"] = s.str.count(_TOKEN_RE).astype("int64")
     batch["n_chars_measured"] = s.str.len().astype("int64")
@@ -49,7 +50,9 @@ def token_stats(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
 
 def bpe_token_count(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
     batch = batch.copy()
-    batch["n_bpe_tokens"] = batch[text_col].str.count(_BPE_RE).astype("int64")
+    batch["n_bpe_tokens"] = (
+        batch[text_col].fillna("").str.count(_BPE_RE).astype("int64")
+    )
     return batch
 
 
@@ -109,7 +112,8 @@ class QualityScorer:
         self.stop_arr = pd.Index(sorted(self.stop))
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        s = batch["text"]
+        # null text (error rows) scores as empty -> minimal quality
+        s = batch["text"].fillna("")
         n_tok = s.str.count(self.token_re).astype("int64")
         n_chars = s.str.len().clip(lower=1)
         nonws = s.str.count(self.nonws_re)
@@ -262,7 +266,8 @@ def scrub_pii(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
     """Redact emails / IPv4s / international phone numbers (the standard
     training-data hygiene pass; same replacement chain as the DuckDB
     oracle).  Emits ``text_scrubbed`` plus per-kind hit counts."""
-    s = batch[text_col]
+    nulls = batch[text_col].isna()
+    s = batch[text_col].fillna("")
     batch = batch.copy()
     batch["n_emails"] = s.str.count(_PII_EMAIL_RE).astype("int64")
     batch["n_ips"] = s.str.count(_PII_IP_RE).astype("int64")
@@ -270,7 +275,7 @@ def scrub_pii(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
     out = s.str.replace(_PII_EMAIL_RE, "<EMAIL>", regex=True)
     out = out.str.replace(_PII_IP_RE, "<IP>", regex=True)
     out = out.str.replace(_PII_PHONE_RE, "<PHONE>", regex=True)
-    batch["text_scrubbed"] = out
+    batch["text_scrubbed"] = out.mask(nulls)  # null in -> null out
     return batch
 
 
@@ -301,11 +306,12 @@ def normalize_text(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
     outer spaces trimmed.  Fully vectorized (``Series.str`` kernels); the
     DuckDB oracle applies the same chain via ``NORMALIZE_SQL_EXPR``.
     Emits ``text_norm`` + ``n_chars_norm``."""
-    s = batch[text_col].str.normalize("NFC")
+    nulls = batch[text_col].isna()
+    s = batch[text_col].fillna("").str.normalize("NFC")
     s = s.str.replace(_CTRL_RE, "", regex=True)
     s = s.str.replace(_WS_RE, " ", regex=True).str.strip(" ")
     out = batch.copy()
-    out["text_norm"] = s
+    out["text_norm"] = s.mask(nulls)  # null in -> null out
     out["n_chars_norm"] = s.str.len().astype("int64")
     return out
 
@@ -374,7 +380,7 @@ def repetition_signals(
     assembly via shifted arrays, pandas grouped counts."""
     tops, dups = [], []
     for t in batch[text_col]:
-        toks = t.split()
+        toks = t.split() if isinstance(t, str) else []
         n = len(toks)
         if n < 5:
             tops.append(0.0)
@@ -828,7 +834,10 @@ class TrigramLM:
         # accumulation is independent of its batch neighbors, so scores
         # are bit-identical across any partitioning/cpu count.
         v = self.v
-        texts = batch["text"].tolist()
+        # null text (error rows) scores as empty: 0 trigrams, the same
+        # path as a genuinely empty document
+        texts = ["" if not isinstance(t, str) else t
+                 for t in batch["text"].tolist()]
         lens = np.fromiter((len(t) for t in texts), np.int64, len(texts))
         lp = np.zeros(len(batch), np.float64)
         if lens.sum() >= 3:
@@ -1385,6 +1394,8 @@ def chunk_text(
     def explode(df: pd.DataFrame) -> pd.DataFrame:
         ids, chunk_nos, chunks = [], [], []
         for did, t in zip(df[id_col], df[text_col]):
+            if not isinstance(t, str):
+                continue  # null text (error rows): nothing to chunk
             n = len(t)
             n_chunks = 1 if n <= chunk_chars else 1 + (n - chunk_chars + step - 1) // step
             for i in range(n_chunks):

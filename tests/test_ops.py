@@ -2100,3 +2100,34 @@ def test_dedup_ops_tolerate_null_text(ray_session):
     assert dedup_minhash_lsh(ds).count() == 1  # only the real pair
     assert dedup_simhash(ds).count() == 1
     assert paragraph_dedup(ds).count() == 1  # one distinct paragraph
+
+
+def test_scoring_ops_tolerate_null_text(ray_session):
+    """Error rows (null extracted text) flow through every scoring /
+    transform op: measured as empty, text-carrying outputs keep null."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    import pdf2pdfocr_ray.ops.text_analysis as ta
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["real document text here a@b.co", None], pa.string()),
+        "lang": pa.array(["en", "en"], pa.string()),
+        "source": pa.array(["a", "a"], pa.string()),
+        "n_chars": pa.array([30, 0], pa.int64()),
+    }))
+    assert ta.add_quality(ds).count() == 2
+    assert ta.add_lm_score(ds).count() == 2
+    assert ta.chunk_text(ds).count() == 1  # null doc: no chunks
+
+    batch = pd.DataFrame({"doc_id": [1, 2],
+                          "text": ["text a@b.co here", None]})
+    scrubbed = ta.scrub_pii(batch.copy())
+    assert scrubbed["n_emails"].tolist() == [1, 0]
+    assert scrubbed["text_scrubbed"].isna().tolist() == [False, True]
+    norm = ta.normalize_text(batch.copy())
+    assert norm["text_norm"].isna().tolist() == [False, True]
+    assert ta.token_stats(batch.copy())["n_tokens"].tolist()[1] == 0
+    assert ta.repetition_signals(batch.copy())["top_bigram_frac"].tolist()[1] == 0.0
