@@ -62,7 +62,9 @@ def fingerprint_md5(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame
     batch = batch.copy()
     norm = batch[text_col].str.replace(r"\s+", " ", regex=True).str.lower()
     batch["fingerprint"] = [
-        hashlib.md5(t.encode("utf-8")).hexdigest() for t in norm
+        hashlib.md5(t.encode("utf-8")).hexdigest()
+        if isinstance(t, str) else None  # null text -> null fingerprint
+        for t in norm
     ]
     return batch
 
@@ -949,7 +951,7 @@ def tfidf_top_terms(
     n_docs = ds.count()
 
     def tf_explode(df: pd.DataFrame) -> pd.DataFrame:
-        toks = df[text_col].str.lower().str.findall(token_re)
+        toks = df[text_col].fillna("").str.lower().str.findall(token_re)
         ex = pd.DataFrame(
             {id_col: df[id_col].repeat(toks.str.len()), "term": toks.explode().dropna()}
         )
@@ -1179,13 +1181,15 @@ def inverted_index(
     token_re = re.compile(r"[a-z0-9]+")
 
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
-        toks = df[text_col].str.lower().str.findall(token_re)
+        toks = df[text_col].fillna("").str.lower().str.findall(token_re)
+        # dropna BEFORE frame construction: an all-empty token list
+        # explodes to a NaN row whose index misaligns with repeat()
         ex = pd.DataFrame(
             {
-                "term": toks.explode(),
+                "term": toks.explode().dropna(),
                 id_col: df[id_col].repeat(toks.str.len()),
             }
-        ).dropna(subset=["term"])
+        )
         return ex.drop_duplicates(["term", id_col])
 
     def pack_block(df: pd.DataFrame) -> pd.DataFrame:
@@ -1266,7 +1270,7 @@ def extract_mentions(
     def mine(df: pd.DataFrame) -> pd.DataFrame:
         outs = []
         for kind in names:
-            hits = df[text_col].str.findall(res[kind])
+            hits = df[text_col].fillna("").str.findall(res[kind])
             n = hits.str.len()
             ex = pd.DataFrame(
                 {

@@ -2131,3 +2131,28 @@ def test_scoring_ops_tolerate_null_text(ray_session):
     assert norm["text_norm"].isna().tolist() == [False, True]
     assert ta.token_stats(batch.copy())["n_tokens"].tolist()[1] == 0
     assert ta.repetition_signals(batch.copy())["top_bigram_frac"].tolist()[1] == 0.0
+
+
+def test_index_and_mention_ops_tolerate_null_text(ray_session):
+    """Null text through the index/term ops: measured as empty, null
+    fingerprints preserved, no ghost terms."""
+    import pyarrow as pa
+    import ray.data
+
+    import pdf2pdfocr_ray.ops.text_analysis as ta
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(
+            ["real doc words here", None, "second doc words"], pa.string()),
+        "lang": pa.array(["en"] * 3, pa.string()),
+        "source": pa.array(["a", "a", "b"], pa.string()),
+        "n_chars": pa.array([19, 0, 16], pa.int64()),
+    }))
+    fp = ta.add_fingerprint(ds).to_pandas().sort_values("doc_id")
+    assert fp["fingerprint"].isna().tolist() == [False, True, False]
+    inv = ta.inverted_index(ds).to_pandas()
+    # null doc contributes no postings (min/max doc ids never touch 2)
+    assert 2 not in set(inv["min_doc"]) | set(inv["max_doc"])
+    assert ta.tfidf_top_terms(ds).count() > 0
+    assert ta.extract_mentions(ds).count() == 0  # no mentions planted
